@@ -1,0 +1,151 @@
+"""Tile payload codecs for the ``fmt`` column of the tiles table.
+
+The reference stores pixels as an in-memory float64 array with the NODATA
+sentinel eagerly rewritten to NaN on load and written back on save
+(``Raster.py:104-109``, ``spatial_analysis.py:117-119,169``). The engine's
+analog: the ``bytes`` column holds an encoded ``(h, w)`` patch; ``decode``
+always yields float64 with NaN holes, ``encode`` writes the sentinel back.
+That NODATA↔NaN round-trip is a test-visible semantic.
+
+Codecs (all little-endian, vectorized via ``np.frombuffer``):
+
+- ``raw-f32``  — float32 pixels, NaN = nodata. Lossless for f32 data.
+- ``raw-u16``  — 16-byte header (offset:f64, scale:f64) then uint16 pixels;
+  65535 = nodata; value = offset + scale*u. Lossless for data produced by
+  ``quantize_u16`` (the fixture quantizes at generation time so goldens stay
+  exact).
+- ``qlossy``   — same layout with uint8 pixels (255 = nodata); scale spans the
+  tile's min..max over 254 levels ⇒ PSNR ≥ 40 dB for the fixture surface
+  (quantization step ≈ range/254, RMSE ≈ step/√12).
+
+All functions are deterministic (retry/resume safe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+__all__ = [
+    "FORMATS",
+    "decode",
+    "encode",
+    "quantize_u16",
+    "payload_nbytes",
+    "phash64",
+    "psnr",
+]
+
+_U16_NODATA = np.uint16(65535)
+_U8_NODATA = np.uint8(255)
+_HDR = struct.Struct("<dd")  # offset, scale
+
+FORMATS = ("raw-f32", "raw-u16", "qlossy")
+
+
+def payload_nbytes(fmt: str, h: int, w: int) -> int:
+    """Expected byte length — the per-row consistency check mirroring the
+    reference's array/header shape check (``Raster.py:112-114``)."""
+    n = int(h) * int(w)
+    if fmt == "raw-f32":
+        return 4 * n
+    if fmt == "raw-u16":
+        return _HDR.size + 2 * n
+    if fmt == "qlossy":
+        return _HDR.size + n
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
+    """bytes → float64 (h, w) array with NaN holes (NODATA→NaN semantics)."""
+    n = int(h) * int(w)
+    if fmt == "raw-f32":
+        a = np.frombuffer(buf, dtype="<f4", count=n).astype(np.float64)
+        return a.reshape(int(h), int(w))
+    if fmt == "raw-u16":
+        offset, scale = _HDR.unpack_from(buf, 0)
+        u = np.frombuffer(buf, dtype="<u2", count=n, offset=_HDR.size)
+        a = offset + scale * u.astype(np.float64)
+        a[u == _U16_NODATA] = np.nan
+        return a.reshape(int(h), int(w))
+    if fmt == "qlossy":
+        offset, scale = _HDR.unpack_from(buf, 0)
+        u = np.frombuffer(buf, dtype="u1", count=n, offset=_HDR.size)
+        a = offset + scale * u.astype(np.float64)
+        a[u == _U8_NODATA] = np.nan
+        return a.reshape(int(h), int(w))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def _u16_params(a: np.ndarray) -> tuple[float, float]:
+    finite = a[np.isfinite(a)]
+    if finite.size == 0:
+        return 0.0, 1.0
+    lo = float(finite.min())
+    hi = float(finite.max())
+    scale = (hi - lo) / 65534.0 if hi > lo else 1.0
+    return lo, scale
+
+
+def _u8_params(a: np.ndarray) -> tuple[float, float]:
+    finite = a[np.isfinite(a)]
+    if finite.size == 0:
+        return 0.0, 1.0
+    lo = float(finite.min())
+    hi = float(finite.max())
+    scale = (hi - lo) / 254.0 if hi > lo else 1.0
+    return lo, scale
+
+
+def encode(a: np.ndarray, fmt: str) -> bytes:
+    """float array (NaN holes) → bytes (NaN→sentinel semantics)."""
+    if fmt == "raw-f32":
+        return np.ascontiguousarray(a, dtype="<f4").tobytes()
+    if fmt == "raw-u16":
+        offset, scale = _u16_params(a)
+        q = np.clip(np.round((a - offset) / scale), 0, 65534)
+        u = np.where(np.isnan(a), _U16_NODATA, np.nan_to_num(q).astype(np.uint16))
+        return _HDR.pack(offset, scale) + u.astype("<u2").tobytes()
+    if fmt == "qlossy":
+        offset, scale = _u8_params(a)
+        q = np.clip(np.round((a - offset) / scale), 0, 254)
+        u = np.where(np.isnan(a), _U8_NODATA, np.nan_to_num(q).astype(np.uint8))
+        return _HDR.pack(offset, scale) + u.astype("u1").tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def quantize_u16(a: np.ndarray) -> np.ndarray:
+    """decode(encode(a, 'raw-u16')) without the byte round-trip — used by the
+    fixture generator so that raw-u16 tiles are lossless by construction."""
+    offset, scale = _u16_params(a)
+    q = np.clip(np.round((a - offset) / scale), 0, 65534)
+    out = offset + scale * q
+    out[np.isnan(a)] = np.nan
+    return out
+
+
+def phash64(a: np.ndarray) -> int:
+    """Stable 64-bit content key of the decoded payload: blake2b-8 of the
+    little-endian float32 pixel bytes (NaN canonicalized by float32 cast).
+    Deterministic across processes — the dedup/partition key of the table."""
+    buf = np.ascontiguousarray(a, dtype="<f4").tobytes()
+    d = hashlib.blake2b(buf, digest_size=8).digest()
+    return int.from_bytes(d, "little", signed=True)
+
+
+def psnr(ref: np.ndarray, test: np.ndarray) -> float:
+    """Peak signal-to-noise ratio over jointly-valid cells, peak = ref range.
+    Returns +inf for exact match. The lossy-fmt pass gate is PSNR ≥ 40 dB."""
+    m = np.isfinite(ref) & np.isfinite(test)
+    if not m.any():
+        return float("inf")
+    err = ref[m] - test[m]
+    mse = float(np.mean(err * err))
+    if mse == 0.0:
+        return float("inf")
+    peak = float(ref[m].max() - ref[m].min())
+    if peak == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(peak) - 10.0 * np.log10(mse)

@@ -1,0 +1,426 @@
+"""Deterministic synthetic fixtures (FIXTURES.md).
+
+Replays the reference's sample data shapes (`hydro_raster/sample/`: CA1 DEM,
+4-polygon overhead-features shapefile, gauge points) at parametric scale, with
+zero external data and zero randomness: every value derives from ids via fixed
+formulas, so any parallelism level and any retry produces identical bytes.
+
+The *decoded truth* of a tile is ``decode(encode(analytic_z))`` — i.e. lossy
+formats are quantized at generation time — so engine-vs-oracle comparisons are
+exact for all three ``fmt`` codecs while the codec-vs-analytic PSNR gate stays
+meaningful.
+
+Besides the Lance-shaped ``tiles`` table (``input_hint`` schema), the module
+emits an exploded ``pixels`` Parquet (tile_id, gr, gc, x, y, z) that DuckDB
+oracle SQL reads directly — the independent witness for the driver's
+correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import codecs
+from .grid import GridSpec, TileScheme, tile_id
+
+__all__ = [
+    "make_scheme",
+    "analytic_z",
+    "tile_truth",
+    "tiles_table",
+    "pixels_table",
+    "gauges_table",
+    "rect_zone_features",
+    "zones_table",
+    "poly_features",
+    "mosaic_schemes",
+    "ensure_fixture_dir",
+    "CLIP_WINDOW",
+    "CLASSIFY_BREAKS",
+]
+
+TILES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+# CA1-like georef: British National Grid, 5 m cells (SURVEY.md §5 /
+# reference sample `CA1_overhead_features.prj`, tutorial clip window family).
+XLL = 340000.0
+YLL = 554000.0
+CELLSIZE = 5.0
+NODATA = -9999.0
+
+# interesting sub-window for clip queries (inside an 8x8-tile grid; edges NOT
+# on half-cell boundaries so np.round vs SQL ROUND never disagree)
+CLIP_WINDOW = (340261.0, 341028.0, 554168.0, 554882.0)
+CLASSIFY_BREAKS = (-30.0, -10.0, 0.0, 10.0, 30.0)
+
+
+def make_scheme(
+    n_tile_rows: int = 4,
+    n_tile_cols: int = 4,
+    tile_h: int = 64,
+    tile_w: int = 64,
+    ragged: bool = True,
+    xll: float = XLL,
+    yll: float = YLL,
+    cellsize: float = CELLSIZE,
+) -> TileScheme:
+    """Global grid of TRxTC tiles; last row/col ragged (24 / 40 px) when
+    `ragged` (FIXTURES.md §1)."""
+    nrows = (n_tile_rows - 1) * tile_h + (24 if ragged else tile_h)
+    ncols = (n_tile_cols - 1) * tile_w + (40 if ragged else tile_w)
+    grid = GridSpec(
+        ncols=ncols,
+        nrows=nrows,
+        xllcorner=xll,
+        yllcorner=yll,
+        cellsize=cellsize,
+        nodata=NODATA,
+    )
+    return TileScheme(grid=grid, tile_h=tile_h, tile_w=tile_w)
+
+
+def analytic_z(x, y, grid: GridSpec) -> np.ndarray:
+    """Smooth, non-separable synthetic DEM (catches transposition / flip /
+    off-by-half-cell bugs): FIXTURES.md §1 formula."""
+    ext = grid.extent
+    xc = 0.5 * (ext[0] + ext[1])
+    yc = 0.5 * (ext[2] + ext[3])
+    ridge = 15.0 * np.exp(
+        -(((x - (xc + 137.0)) ** 2 + (y - (yc - 89.0)) ** 2)) / (2.0 * 200.0**2)
+    )
+    return (
+        40.0 * np.sin(x / 450.0) * np.cos(y / 600.0)
+        + 0.00005 * (x - xc) * (y - yc)
+        + ridge
+    )
+
+
+def tile_fmt(tile_row: int) -> str:
+    return codecs.FORMATS[tile_row % 3]
+
+
+def _raw_tile(scheme: TileScheme, tr: int, tc: int) -> np.ndarray:
+    """Analytic surface at the tile's cell centres with NaN holes where
+    (global_row + global_col) % 97 == 0."""
+    X, Y = scheme.tile_cell_centres(tr, tc)
+    z = analytic_z(X, Y, scheme.grid)
+    h, w = scheme.tile_shape(tr, tc)
+    r0, c0 = scheme.tile_origin_rc(tr, tc)
+    gr = np.arange(r0, r0 + h)[:, None]
+    gc = np.arange(c0, c0 + w)[None, :]
+    z[(gr + gc) % 97 == 0] = np.nan
+    return z
+
+
+def tile_truth(scheme: TileScheme, tr: int, tc: int) -> np.ndarray:
+    """Decoded ground truth = decode(encode(analytic)) for the tile's fmt."""
+    z = _raw_tile(scheme, tr, tc)
+    fmt = tile_fmt(tr)
+    h, w = z.shape
+    return codecs.decode(codecs.encode(z, fmt), h, w, fmt)
+
+
+def _caption(img_id: str, cellsize: float) -> str:
+    return f"DEM tile {img_id} cellsize={cellsize} crs=EPSG:27700"
+
+
+def tiles_table(scheme: TileScheme, dup_mod: int | None = None) -> pa.Table:
+    """The Lance-layout stand-in, exactly ``input_hint``-shaped.
+
+    When ``dup_mod`` is set, tile (tr, tc) with ``(tr*31+tc) % dup_mod == 3``
+    carries the payload of tile (tr % 2, tc % 2) — exact-duplicate rows
+    sharing ``phash`` for the dedup fixtures."""
+    ids, bufs, ws, hs, fmts, caps, hashes = [], [], [], [], [], [], []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            src = (tr, tc)
+            if dup_mod is not None and (tr * 31 + tc) % dup_mod == 3:
+                src = (tr % 2, tc % 2)
+            fmt = tile_fmt(src[0])
+            z = _raw_tile(scheme, *src)
+            buf = codecs.encode(z, fmt)
+            h, w = z.shape
+            truth = codecs.decode(buf, h, w, fmt)
+            img_id = tile_id(tr, tc)
+            ids.append(img_id)
+            bufs.append(buf)
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+            caps.append(_caption(img_id, scheme.grid.cellsize))
+            hashes.append(codecs.phash64(truth))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(hashes, pa.int64()),
+        },
+        schema=TILES_SCHEMA,
+    )
+
+
+def pixels_table(scheme: TileScheme) -> pa.Table:
+    """Exploded decoded-truth pixels — the DuckDB-side witness table.
+
+    Columns: tile_id, gr (global row, 0 = north), gc, x, y (cell centres),
+    z (decoded value; NULL at NaN holes).
+    """
+    tiles, grs, gcs, xs, ys, zs = [], [], [], [], [], []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            z = tile_truth(scheme, tr, tc)
+            h, w = z.shape
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            gr, gc = np.meshgrid(
+                np.arange(r0, r0 + h), np.arange(c0, c0 + w), indexing="ij"
+            )
+            X, Y = scheme.tile_cell_centres(tr, tc)
+            tiles.append(np.full(z.size, tile_id(tr, tc), dtype=object))
+            grs.append(gr.ravel())
+            gcs.append(gc.ravel())
+            xs.append(X.ravel())
+            ys.append(Y.ravel())
+            zs.append(z.ravel())
+    z = np.concatenate(zs)
+    return pa.table(
+        {
+            "tile_id": pa.array(np.concatenate(tiles), pa.string()),
+            "gr": pa.array(np.concatenate(grs).astype(np.int32)),
+            "gc": pa.array(np.concatenate(gcs).astype(np.int32)),
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "z": pa.array(z, mask=np.isnan(z)),
+        }
+    )
+
+
+def _halton(n: int, base: int) -> np.ndarray:
+    out = np.zeros(n)
+    for i in range(n):
+        f, r = 1.0, 0.0
+        k = i + 1
+        while k > 0:
+            f /= base
+            r += f * (k % base)
+            k //= base
+        out[i] = r
+    return out
+
+
+def gauges_table(scheme: TileScheme, n: int = 25) -> pa.Table:
+    """Low-discrepancy (Halton 2/3) gauge points; value = analytic z —
+    deterministic, irregular, no distance ties (FIXTURES.md §3)."""
+    ext = scheme.grid.extent
+    hx = _halton(n, 2)
+    hy = _halton(n, 3)
+    x = ext[0] + hx * (ext[1] - ext[0])
+    y = ext[2] + hy * (ext[3] - ext[2])
+    v = analytic_z(x, y, scheme.grid)
+    return pa.table(
+        {
+            "gauge_id": pa.array([f"g{k:03d}" for k in range(n)], pa.string()),
+            "x": pa.array(x),
+            "y": pa.array(y),
+            "value": pa.array(v),
+        }
+    )
+
+
+def rect_zone_features(scheme: TileScheme) -> list[dict]:
+    """Four axis-aligned rectangle zones placed relative to the grid extent
+    (mirrors the 4-polygon CA1_overhead_features sample: ids {2,4,5,9},
+    adjust_val per FIXTURES.md §2): (a) spans a tile border, (b) fully inside
+    one tile, (c) has edges exactly on cell-centre coords (on-edge inclusion),
+    (d) overlaps (a) (burn-order)."""
+    g = scheme.grid
+    cs = g.cellsize
+    ext = g.extent
+    W = ext[1] - ext[0]
+    H = ext[3] - ext[2]
+
+    def rect(x0, x1, y0, y1):
+        return [
+            [
+                [x0, y0],
+                [x1, y0],
+                [x1, y1],
+                [x0, y1],
+                [x0, y0],
+            ]
+        ]
+
+    # (a) spans the border between tile cols 0/1 (x near tile_w*cs)
+    ax0 = ext[0] + scheme.tile_w * cs - 17.0
+    a = rect(ax0, ax0 + 34.0 + 0.3 * W / 8, ext[2] + 0.15 * H, ext[2] + 0.40 * H)
+    # (b) fully inside tile (0, 0) region (top-left of the map)
+    b = rect(ext[0] + 3.2 * cs, ext[0] + 9.7 * cs, ext[3] - 11.6 * cs, ext[3] - 4.1 * cs)
+    # (c) edges exactly on cell-centre coords (k + 0.5 cells from the corner)
+    c = rect(
+        ext[0] + 20.5 * cs,
+        ext[0] + 30.5 * cs,
+        ext[2] + 10.5 * cs,
+        ext[2] + 18.5 * cs,
+    )
+    # (d) overlaps (a)
+    d = rect(ax0 + 10.0, ax0 + 60.0 + 0.3 * W / 8, ext[2] + 0.30 * H, ext[2] + 0.55 * H)
+    ids = [2, 4, 5, 9]
+    adjust = [-3.00, 1.25, -7.50, 2.00]
+    feats = []
+    for k, (rings, fid, adj) in enumerate(zip([a, b, c, d], ids, adjust)):
+        feats.append(
+            {
+                "feature_id": k,
+                "kind": "polygon",
+                "rings": rings,
+                "id": fid,
+                "adjust_val": adj,
+            }
+        )
+    return feats
+
+
+def zones_table(scheme: TileScheme) -> pa.Table:
+    """Rect-zone features flattened to (feature_id, id, adjust_val, xmin,
+    xmax, ymin, ymax) — the shape DuckDB SQL joins against."""
+    feats = rect_zone_features(scheme)
+    rows = {
+        "feature_id": [],
+        "id": [],
+        "adjust_val": [],
+        "xmin": [],
+        "xmax": [],
+        "ymin": [],
+        "ymax": [],
+    }
+    for f in feats:
+        ring = np.asarray(f["rings"][0])
+        rows["feature_id"].append(f["feature_id"])
+        rows["id"].append(f["id"])
+        rows["adjust_val"].append(f["adjust_val"])
+        rows["xmin"].append(float(ring[:, 0].min()))
+        rows["xmax"].append(float(ring[:, 0].max()))
+        rows["ymin"].append(float(ring[:, 1].min()))
+        rows["ymax"].append(float(ring[:, 1].max()))
+    return pa.table(
+        {
+            "feature_id": pa.array(rows["feature_id"], pa.int64()),
+            "id": pa.array(rows["id"], pa.int64()),
+            "adjust_val": pa.array(rows["adjust_val"], pa.float64()),
+            "xmin": pa.array(rows["xmin"]),
+            "xmax": pa.array(rows["xmax"]),
+            "ymin": pa.array(rows["ymin"]),
+            "ymax": pa.array(rows["ymax"]),
+        }
+    )
+
+
+def poly_features(scheme: TileScheme) -> list[dict]:
+    """Four skewed quadrilaterals (non-axis-aligned) for the pytest-only
+    general point-in-polygon path — same attribute values as the sample DBF."""
+    g = scheme.grid
+    ext = g.extent
+    W = ext[1] - ext[0]
+    H = ext[3] - ext[2]
+
+    def quad(cx, cy, rx, ry, skew):
+        return [
+            [
+                [cx - rx, cy - ry + skew],
+                [cx + rx, cy - ry - skew],
+                [cx + rx - skew, cy + ry],
+                [cx - rx + skew, cy + ry - skew / 2],
+                [cx - rx, cy - ry + skew],
+            ]
+        ]
+
+    quads = [
+        quad(ext[0] + 0.30 * W, ext[2] + 0.60 * H, 0.08 * W, 0.07 * H, 11.0),
+        quad(ext[0] + 0.62 * W, ext[2] + 0.33 * H, 0.05 * W, 0.09 * H, -7.0),
+        quad(ext[0] + 0.50 * W, ext[2] + 0.52 * H, 0.12 * W, 0.05 * H, 23.0),
+        quad(ext[0] + 0.36 * W, ext[2] + 0.58 * H, 0.06 * W, 0.06 * H, 5.0),
+    ]
+    ids = [2, 4, 5, 9]
+    adjust = [-3.00, 1.25, -7.50, 2.00]
+    return [
+        {
+            "feature_id": k,
+            "kind": "polygon",
+            "rings": q,
+            "id": fid,
+            "adjust_val": adj,
+        }
+        for k, (q, fid, adj) in enumerate(zip(quads, ids, adjust))
+    ]
+
+
+def mosaic_schemes(tile_h: int = 64, tile_w: int = 64) -> list[TileScheme]:
+    """Three partially-overlapping equal-cellsize inputs (FIXTURES.md §5,
+    equal-cellsize variant; offsets are whole cells so grids are aligned)."""
+    return [
+        make_scheme(2, 2, tile_h, tile_w, ragged=False, xll=XLL, yll=YLL),
+        make_scheme(2, 2, tile_h, tile_w, ragged=False, xll=XLL + 640.0, yll=YLL),
+        make_scheme(2, 2, tile_h, tile_w, ragged=False, xll=XLL + 320.0, yll=YLL + 320.0),
+    ]
+
+
+def _write_atomic(table: pa.Table, path: str) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+# tag → (n_tile_rows, n_tile_cols): scale ladder matching the driver's sf dirs
+SCALES = {"sf0.001": (4, 4), "sf0.01": (8, 8), "sf0.1": (16, 16)}
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+
+
+def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
+    """Idempotently materialize the fixture Parquet set for a scale tag.
+
+    Files: tiles.parquet (input_hint schema), tiles_dup.parquet (exact-dup
+    rows), pixels.parquet (decoded truth), gauges.parquet, zones.parquet,
+    mosaic{0,1,2}.parquet + mosaic{0,1,2}_pixels.parquet. Returns the dir.
+    """
+    tr, tc = SCALES.get(tag, SCALES["sf0.01"])
+    out = os.path.join(root, tag)
+    done = os.path.join(out, "_COMPLETE")
+    if os.path.exists(done):
+        return out
+    scheme = make_scheme(tr, tc)
+    _write_atomic(tiles_table(scheme), os.path.join(out, "tiles.parquet"))
+    _write_atomic(tiles_table(scheme, dup_mod=7), os.path.join(out, "tiles_dup.parquet"))
+    _write_atomic(pixels_table(scheme), os.path.join(out, "pixels.parquet"))
+    _write_atomic(gauges_table(scheme, 25), os.path.join(out, "gauges.parquet"))
+    _write_atomic(zones_table(scheme), os.path.join(out, "zones.parquet"))
+    for i, ms in enumerate(mosaic_schemes()):
+        _write_atomic(tiles_table(ms), os.path.join(out, f"mosaic{i}.parquet"))
+        _write_atomic(pixels_table(ms), os.path.join(out, f"mosaic{i}_pixels.parquet"))
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out

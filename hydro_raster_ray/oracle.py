@@ -1,0 +1,274 @@
+"""Single-process pure-numpy oracle replaying the reference's semantics.
+
+This module is the conformance witness (SURVEY.md §5): a tiny whole-array
+reimplementation of the reference's ``Raster`` operators. The distributed
+engine's output — assembled back into a small mosaic — must match the oracle
+exactly (lossless ``fmt``) or within PSNR ≥ 40 dB (lossy ``fmt``).
+
+Each function cites the reference behavior it mirrors. Unlike the engine, the
+oracle deliberately materializes whole grids (that is the reference's own
+execution model, ``SURVEY.md §4``) — it is only ever run on test-scale data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import points_in_polygon, polygon_bbox
+from .grid import GridSpec, header2extent, map2sub, sub2map
+
+__all__ = [
+    "rect_clip",
+    "rasterize",
+    "polygon_clip",
+    "merge",
+    "paste_on",
+    "assign_to",
+    "grid_resample_nearest",
+    "nearest_interpolate",
+    "idw_interpolate",
+    "zonal_stats",
+    "classify",
+]
+
+
+def _to_points(spec: GridSpec):
+    """Full cell-centre meshgrid (``Raster.to_points``, ``Raster.py:553-567``)."""
+    rows = np.arange(spec.nrows)
+    cols = np.arange(spec.ncols)
+    X, Y = sub2map(rows, cols, spec)
+    return np.meshgrid(X, Y)
+
+
+def rect_clip(array: np.ndarray, spec: GridSpec, clip_extent):
+    """``Raster.rect_clip`` (``Raster.py:185-233``): clamp the window to the
+    grid extent, snap to cell centres via map2sub/sub2map, slice."""
+    extent = header2extent(spec)
+    new_extent = list(clip_extent)
+    if clip_extent[0] < extent[0]:
+        new_extent[0] = extent[0]
+    if clip_extent[1] > extent[1]:
+        new_extent[1] = extent[1]
+    if clip_extent[2] < extent[2]:
+        new_extent[2] = extent[2]
+    if clip_extent[3] > extent[3]:
+        new_extent[3] = extent[3]
+    X = np.array(new_extent[0:2])
+    Y = np.array(new_extent[2:4])
+    cellsize = spec.cellsize
+    X_centre = np.array([X.min() + cellsize / 2, X.max() - cellsize / 2])
+    Y_centre = np.array([Y.min() + cellsize / 2, Y.max() - cellsize / 2])
+    rows, cols = map2sub(X_centre, Y_centre, spec)
+    x_centre, y_centre = sub2map(rows, cols, spec)
+    xllcorner = float(np.min(x_centre) - cellsize / 2)
+    yllcorner = float(np.min(y_centre) - cellsize / 2)
+    loc = (slice(int(rows.min()), int(rows.max()) + 1),
+           slice(int(cols.min()), int(cols.max()) + 1))
+    array_new = array[loc]
+    spec_new = GridSpec(
+        ncols=array_new.shape[1],
+        nrows=array_new.shape[0],
+        xllcorner=xllcorner,
+        yllcorner=yllcorner,
+        cellsize=cellsize,
+        nodata=spec.nodata,
+        crs=spec.crs,
+    )
+    return array_new.copy(), spec_new, loc
+
+
+def rasterize(spec: GridSpec, features, attribute=None, include_nan=False):
+    """``Raster.rasterize`` (``Raster.py:277-338``): burn features onto an
+    NaN-prefilled plane; value = feature index (enumerate) or attribute;
+    fill=0 for untouched cells; later features overwrite earlier; cells in
+    and on the polygon are burned; burned == nodata → NaN.
+
+    Args:
+        features: sequence of dicts with 'rings': list of (n,2) arrays.
+        attribute: None (burn enumerate index), a str key into the feature
+            dicts, or a list of values parallel to features.
+    """
+    if isinstance(attribute, str):
+        values = [f[attribute] for f in features]
+    elif attribute is None:
+        values = list(range(len(features)))
+    else:
+        values = list(attribute)
+    X, Y = _to_points(spec)
+    px, py = X.ravel(), Y.ravel()
+    # the reference prefills NaN and passes `out=` to rasterio, so `fill=0`
+    # never fires: untouched cells stay NaN (Raster.py:330-333)
+    out = np.full(px.shape[0], np.nan)
+    for feat, val in zip(features, values):
+        mask = np.zeros(px.shape[0], dtype=bool)
+        for ring in feat["rings"]:
+            mask |= points_in_polygon(px, py, np.asarray(ring))
+        out[mask] = val  # later features overwrite earlier (burn order)
+    burned = out
+    if include_nan:
+        burned[np.isnan(burned)] = 1.0
+    burned[burned == spec.nodata] = np.nan
+    return burned.reshape(spec.nrows, spec.ncols)
+
+
+def polygon_clip(array: np.ndarray, spec: GridSpec, rings):
+    """``Raster.clip`` (``Raster.py:235-275``): cells outside the polygon →
+    NaN, extent cropped to the polygon's bbox (rasterio ``crop=True``
+    behavior: crop window = shape bbox snapped outward to the grid)."""
+    xmin, xmax, ymin, ymax = polygon_bbox(rings)
+    clipped, cspec, _ = rect_clip(array, spec, (xmin, xmax, ymin, ymax))
+    X, Y = _to_points(cspec)
+    inside = np.zeros(X.size, dtype=bool)
+    for ring in rings:
+        inside |= points_in_polygon(X.ravel(), Y.ravel(), np.asarray(ring))
+    out = clipped.copy()
+    out.ravel()[~inside] = np.nan
+    return out, cspec
+
+
+def merge(origin_array, origin_spec, target_array, target_spec):
+    """``hydro_raster.Raster.merge`` (``Raster.py:873-895``), equal-cellsize
+    path: scatter origin cell values into target cells via map2sub of origin
+    centres; skip NaN and out-of-range; origin overwrites target."""
+    grid_x, grid_y = _to_points(origin_spec)
+    rows, cols = map2sub(grid_x, grid_y, target_spec)
+    ind = (
+        (rows >= 0)
+        & (rows <= target_spec.nrows - 1)
+        & (cols >= 0)
+        & (cols <= target_spec.ncols - 1)
+        & ~np.isnan(origin_array)
+    )
+    out = target_array.copy()
+    out[rows[ind], cols[ind]] = origin_array[ind]
+    return out
+
+
+def paste_on(small_array, small_spec, large_array, large_spec, ignore_nan=True):
+    """``Raster.paste_on`` (``Raster.py:517-551``) including the boundary
+    quirk: rows/cols are kept where ``> 0`` (not >= 0) and ``<= n-1``."""
+    extent_s = header2extent(small_spec)
+    r0, c0 = map2sub(
+        extent_s[0] + small_spec.cellsize / 2,
+        extent_s[3] - small_spec.cellsize / 2,
+        large_spec,
+    )
+    rows = np.arange(r0, r0 + small_spec.nrows)
+    cols = np.arange(c0, c0 + small_spec.ncols)
+    ind_r = (rows > 0) & (rows <= large_spec.nrows - 1)
+    ind_c = (cols > 0) & (cols <= large_spec.ncols - 1)
+    rows = rows[ind_r]
+    cols = cols[ind_c]
+    array_small = small_array[ind_r, :][:, ind_c].copy()
+    rows_grid, cols_grid = np.meshgrid(rows, cols, indexing="ij")
+    out = large_array.copy()
+    if ignore_nan:
+        array_large = out[rows_grid, cols_grid]
+        ind_nan = np.isnan(array_small)
+        array_small[ind_nan] = array_large[ind_nan]
+    out[rows_grid, cols_grid] = array_small
+    return out
+
+
+def assign_to(array, spec: GridSpec, new_spec: GridSpec):
+    """``Raster.assign_to`` (``Raster.py:489-515``): nearest-neighbour gather
+    of source values at target cell centres, CLAMPED to the source borders
+    (border values extend outward); nodata → NaN after."""
+    rows = np.arange(new_spec.nrows)
+    cols = np.arange(new_spec.ncols)
+    X, Y = sub2map(rows, cols, new_spec)
+    grid_x, grid_y = np.meshgrid(X, Y)
+    r, c = map2sub(grid_x, grid_y, spec)
+    r = np.clip(r, 0, spec.nrows - 1)
+    c = np.clip(c, 0, spec.ncols - 1)
+    new_array = array[r, c] + 0.0
+    new_array[new_array == spec.nodata] = np.nan
+    return new_array
+
+
+def grid_resample_nearest(array, spec: GridSpec, newsize):
+    """``Raster.grid_resample_nearest`` (``Raster.py:457-487``): floor'd new
+    dims, nearest gather, dtype preserved."""
+    if isinstance(newsize, GridSpec):
+        new_spec = newsize
+    else:
+        ncols = int(np.floor(spec.cellsize * spec.ncols / newsize))
+        nrows = int(np.floor(spec.cellsize * spec.nrows / newsize))
+        new_spec = GridSpec(
+            ncols=ncols,
+            nrows=nrows,
+            xllcorner=spec.xllcorner,
+            yllcorner=spec.yllcorner,
+            cellsize=float(newsize),
+            nodata=spec.nodata,
+            crs=spec.crs,
+        )
+    x11 = new_spec.xllcorner + 0.5 * new_spec.cellsize
+    y11 = new_spec.yllcorner + (new_spec.nrows - 0.5) * new_spec.cellsize
+    x_all = np.linspace(
+        x11, x11 + (new_spec.ncols - 1) * new_spec.cellsize, new_spec.ncols
+    )
+    y_all = np.linspace(
+        y11, y11 - (new_spec.nrows - 1) * new_spec.cellsize, new_spec.nrows
+    )
+    row_all, col_all = map2sub(x_all, y_all, spec)
+    rows, cols = np.meshgrid(row_all, col_all)
+    out = array[rows, cols].transpose().astype(array.dtype)
+    return out, new_spec
+
+
+def nearest_interpolate(spec: GridSpec, points: np.ndarray, values: np.ndarray):
+    """``Raster.point_interpolate(method='nearest')`` (``Raster.py:409-429``):
+    scipy ``griddata`` nearest == Euclidean-nearest gauge value at each cell
+    centre (Voronoi assignment). Brute-force; oracle-scale only."""
+    X, Y = _to_points(spec)
+    px = X.ravel()
+    py = Y.ravel()
+    d2 = (px[:, None] - points[None, :, 0]) ** 2 + (py[:, None] - points[None, :, 1]) ** 2
+    idx = np.argmin(d2, axis=1)
+    return values[idx].reshape(spec.nrows, spec.ncols), idx.reshape(
+        spec.nrows, spec.ncols
+    )
+
+
+def idw_interpolate(spec: GridSpec, points, values, power=2.0, eps=1e-12):
+    """Inverse-distance weighting over ALL gauges (the engine's documented
+    extension of the reference's interpolation family, SURVEY.md §2.7)."""
+    X, Y = _to_points(spec)
+    px = X.ravel()
+    py = Y.ravel()
+    d2 = (px[:, None] - points[None, :, 0]) ** 2 + (py[:, None] - points[None, :, 1]) ** 2
+    w = 1.0 / np.power(np.maximum(d2, eps), power / 2.0)
+    out = (w * values[None, :]).sum(axis=1) / w.sum(axis=1)
+    # exact hit → gauge value
+    hit = d2.min(axis=1) <= eps
+    if hit.any():
+        out[hit] = values[np.argmin(d2[hit], axis=1)]
+    return out.reshape(spec.nrows, spec.ncols)
+
+
+def zonal_stats(array, zone_plane):
+    """Per-zone (count, sum, min, max, mean) over valid cells; zones are the
+    rasterized attribute plane (NaN = outside all zones)."""
+    valid = ~np.isnan(array) & ~np.isnan(zone_plane)
+    zones = zone_plane[valid]
+    vals = array[valid]
+    out = {}
+    for z in np.unique(zones):
+        v = vals[zones == z]
+        out[float(z)] = {
+            "n": int(v.size),
+            "sum": float(v.sum()),
+            "min": float(v.min()),
+            "max": float(v.max()),
+            "mean": float(v.mean()),
+        }
+    return out
+
+
+def classify(array, breaks):
+    """``rankshow`` value-binning (``grid_show.py:323-331``): np.digitize by
+    break values; NaN stays NaN (encoded as -1 bin)."""
+    out = np.digitize(array, breaks).astype(np.float64)
+    out[np.isnan(array)] = np.nan
+    return out
