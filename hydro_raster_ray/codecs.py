@@ -11,9 +11,9 @@ Codecs (all little-endian, vectorized via ``np.frombuffer``):
 
 - ``raw-f32``  — float32 pixels, NaN = nodata. Lossless for f32 data.
 - ``raw-u16``  — 16-byte header (offset:f64, scale:f64) then uint16 pixels;
-  65535 = nodata; value = offset + scale*u. Lossless for data produced by
-  ``quantize_u16`` (the fixture quantizes at generation time so goldens stay
-  exact).
+  65535 = nodata; value = offset + scale*u, cast to float32 precision (the
+  decoded-value contract: any decoded payload re-encodes as ``raw-f32``
+  bit-exactly, so value-preserving ops can switch fmt losslessly).
 - ``qlossy``   — same layout with uint8 pixels (255 = nodata); scale spans the
   tile's min..max over 254 levels ⇒ PSNR ≥ 40 dB for the fixture surface
   (quantization step ≈ range/254, RMSE ≈ step/√12).
@@ -32,7 +32,7 @@ __all__ = [
     "FORMATS",
     "decode",
     "encode",
-    "quantize_u16",
+    "roundtrip",
     "payload_nbytes",
     "phash64",
     "psnr",
@@ -67,13 +67,16 @@ def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
     if fmt == "raw-u16":
         offset, scale = _HDR.unpack_from(buf, 0)
         u = np.frombuffer(buf, dtype="<u2", count=n, offset=_HDR.size)
-        a = offset + scale * u.astype(np.float64)
+        # decoded values are float32-precision by contract: any codec's
+        # decoded payload re-encodes as raw-f32 bit-exactly, so trims/masks
+        # (value-preserving ops) stay lossless across fmt switches
+        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(np.float64)
         a[u == _U16_NODATA] = np.nan
         return a.reshape(int(h), int(w))
     if fmt == "qlossy":
         offset, scale = _HDR.unpack_from(buf, 0)
         u = np.frombuffer(buf, dtype="u1", count=n, offset=_HDR.size)
-        a = offset + scale * u.astype(np.float64)
+        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(np.float64)
         a[u == _U8_NODATA] = np.nan
         return a.reshape(int(h), int(w))
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -116,14 +119,12 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def quantize_u16(a: np.ndarray) -> np.ndarray:
-    """decode(encode(a, 'raw-u16')) without the byte round-trip — used by the
-    fixture generator so that raw-u16 tiles are lossless by construction."""
-    offset, scale = _u16_params(a)
-    q = np.clip(np.round((a - offset) / scale), 0, 65534)
-    out = offset + scale * q
-    out[np.isnan(a)] = np.nan
-    return out
+def roundtrip(a: np.ndarray, fmt: str) -> np.ndarray:
+    """decode(encode(a, fmt)) — the decoded truth of a payload generated
+    from ``a``. The fixture generator defines tile ground truth this way so
+    engine-vs-oracle comparisons are exact for every codec."""
+    h, w = a.shape
+    return decode(encode(a, fmt), h, w, fmt)
 
 
 def phash64(a: np.ndarray) -> int:

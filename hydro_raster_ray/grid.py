@@ -206,6 +206,47 @@ def extent2shape_points(extent) -> np.ndarray:
     )
 
 
+def snap_window(spec, clip_extent):
+    """Reference rect-clip snap math (``Raster.py:185-233``): clamp the
+    requested window to the grid extent, snap to cell centres via
+    map2sub/sub2map, return the global pixel window + the clipped header.
+
+    Returns: (r0, r1_excl, c0, c1_excl, new_spec).
+    """
+    g = _spec_of(spec)
+    extent = header2extent(g)
+    new_extent = list(clip_extent)
+    if clip_extent[0] < extent[0]:
+        new_extent[0] = extent[0]
+    if clip_extent[1] > extent[1]:
+        new_extent[1] = extent[1]
+    if clip_extent[2] < extent[2]:
+        new_extent[2] = extent[2]
+    if clip_extent[3] > extent[3]:
+        new_extent[3] = extent[3]
+    X = np.array(new_extent[0:2])
+    Y = np.array(new_extent[2:4])
+    cs = g.cellsize
+    X_centre = np.array([X.min() + cs / 2, X.max() - cs / 2])
+    Y_centre = np.array([Y.min() + cs / 2, Y.max() - cs / 2])
+    rows, cols = map2sub(X_centre, Y_centre, g)
+    x_centre, y_centre = sub2map(rows, cols, g)
+    xllcorner = float(np.min(x_centre) - cs / 2)
+    yllcorner = float(np.min(y_centre) - cs / 2)
+    r0, r1 = int(rows.min()), int(rows.max()) + 1
+    c0, c1 = int(cols.min()), int(cols.max()) + 1
+    new_spec = GridSpec(
+        ncols=c1 - c0,
+        nrows=r1 - r0,
+        xllcorner=xllcorner,
+        yllcorner=yllcorner,
+        cellsize=cs,
+        nodata=g.nodata,
+        crs=g.crs,
+    )
+    return r0, r1, c0, c1, new_spec
+
+
 # ---------------------------------------------------------------------------
 # Morton (Z-order) cell keys — the engine's spatial partition key. Pure numpy,
 # stands in for an H3/S2 hierarchical index over tile footprints.

@@ -1,0 +1,223 @@
+"""Decode/encode plumbing + the per-tile UDF hook (SURVEY.md §2.10).
+
+The reference's extension surface is direct numpy math on ``Raster.array``
+(tutorial cells 8/12, ``README.md:60-63``). The engine formalizes it as
+``map_tiles(ts, fn)``: ``fn(array, info) -> array`` runs inside
+``map_batches`` over Arrow blocks with all decode / encode / NODATA / phash
+plumbing handled here. Pass a callable CLASS to get an actor pool (state
+built once per actor in ``__init__``); a plain function runs as stateless
+tasks. Every built-in per-tile operator goes through this hook.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode, encode, phash64
+from ..grid import GridSpec
+from ..sources.tiles import TileSet
+
+__all__ = ["TileInfo", "iter_tiles", "rows_to_table", "map_tiles"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TileInfo:
+    """Per-tile georeference handed to tile UDFs — the sharded header."""
+
+    image_id: str
+    h: int
+    w: int
+    fmt: str
+    caption: str
+    gr0: int  # global pixel row of the tile's top (north) edge
+    gc0: int
+    tile_row: int
+    tile_col: int
+    cell: int
+    grid: GridSpec  # the GLOBAL mosaic header
+
+    @property
+    def spec(self) -> GridSpec:
+        """This tile's own 6-key header."""
+        g = self.grid
+        top = g.yllcorner + g.nrows * g.cellsize - self.gr0 * g.cellsize
+        return GridSpec(
+            ncols=self.w,
+            nrows=self.h,
+            xllcorner=g.xllcorner + self.gc0 * g.cellsize,
+            yllcorner=top - self.h * g.cellsize,
+            cellsize=g.cellsize,
+            nodata=g.nodata,
+            crs=g.crs,
+        )
+
+    def cell_centres(self):
+        """Meshgrid of this tile's cell-centre (X, Y) — lazy per-tile analog
+        of ``Raster.to_points`` (``Raster.py:553-567``)."""
+        g = self.grid
+        rows = np.arange(self.gr0, self.gr0 + self.h)
+        cols = np.arange(self.gc0, self.gc0 + self.w)
+        X = g.xllcorner + (cols + 0.5) * g.cellsize
+        top = g.yllcorner + g.nrows * g.cellsize
+        Y = top - (rows + 0.5) * g.cellsize
+        return np.meshgrid(X, Y)
+
+
+def iter_tiles(batch: pa.Table, grid: GridSpec):
+    """Yield (TileInfo, decoded float64 array) per row of an Arrow batch."""
+    ids = batch["image_id"].to_pylist()
+    bufs = batch["bytes"].to_pylist()
+    hs = batch["h"].to_pylist()
+    ws = batch["w"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    caps = batch["caption"].to_pylist()
+    gr0s = batch["gr0"].to_pylist()
+    gc0s = batch["gc0"].to_pylist()
+    trs = batch["tile_row"].to_pylist()
+    tcs = batch["tile_col"].to_pylist()
+    cells = batch["cell"].to_pylist()
+    for i in range(batch.num_rows):
+        info = TileInfo(
+            image_id=ids[i],
+            h=hs[i],
+            w=ws[i],
+            fmt=fmts[i],
+            caption=caps[i],
+            gr0=gr0s[i],
+            gc0=gc0s[i],
+            tile_row=trs[i],
+            tile_col=tcs[i],
+            cell=cells[i],
+            grid=grid,
+        )
+        yield info, decode(bufs[i], info.h, info.w, info.fmt)
+
+
+def rows_to_table(
+    rows: list[tuple[TileInfo, np.ndarray]], lossless: bool = False
+) -> pa.Table:
+    """Encode (info, array) rows back to the working tiles schema.
+
+    Re-encodes with the tile's own ``fmt`` (NaN→sentinel written back —
+    ``spatial_analysis.py:169`` semantics) and recomputes ``phash`` from the
+    decoded payload. ``caption`` is carried through verbatim (per-row gate).
+
+    ``lossless=True`` switches the output fmt to ``raw-f32``: since decoded
+    values are float32-precision by codec contract, this preserves pixels
+    bit-exactly — required by value-preserving ops (trims, masks) whose
+    outputs must equal a slice of the source.
+    """
+    cols = {
+        "image_id": [],
+        "bytes": [],
+        "w": [],
+        "h": [],
+        "fmt": [],
+        "caption": [],
+        "phash": [],
+        "tile_row": [],
+        "tile_col": [],
+        "gr0": [],
+        "gc0": [],
+        "cell": [],
+    }
+    for info, arr in rows:
+        h, w = arr.shape
+        fmt = "raw-f32" if lossless else info.fmt
+        buf = encode(arr, fmt)
+        truth = decode(buf, h, w, fmt)
+        cols["image_id"].append(info.image_id)
+        cols["bytes"].append(buf)
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append(fmt)
+        cols["caption"].append(info.caption)
+        cols["phash"].append(phash64(truth))
+        cols["tile_row"].append(info.tile_row)
+        cols["tile_col"].append(info.tile_col)
+        cols["gr0"].append(info.gr0)
+        cols["gc0"].append(info.gc0)
+        cols["cell"].append(info.cell)
+    return pa.table(
+        {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
+            "tile_row": pa.array(cols["tile_row"], pa.int32()),
+            "tile_col": pa.array(cols["tile_col"], pa.int32()),
+            "gr0": pa.array(cols["gr0"], pa.int32()),
+            "gc0": pa.array(cols["gc0"], pa.int32()),
+            "cell": pa.array(cols["cell"], pa.int64()),
+        }
+    )
+
+
+def map_tiles(
+    ts: TileSet,
+    fn: Callable[[np.ndarray, TileInfo], np.ndarray] | type,
+    *,
+    batch_size: int | None = 64,
+    concurrency=None,
+    num_cpus: float = 1,
+    fn_constructor_kwargs: dict | None = None,
+) -> TileSet:
+    """Per-tile UDF over the mosaic — the single plugin API.
+
+    ``fn`` may be:
+      * a function ``(array, info) -> array`` → stateless ``map_batches`` tasks;
+      * a class whose instances are ``(array, info) -> array`` callables →
+        actor pool (``__init__`` once per actor; size with ``concurrency``).
+
+    The returned array may have a different shape (e.g. trims); georef stays
+    that of the input tile unless the UDF also returns a new info via the
+    ``(array, info)`` tuple form.
+    """
+    grid = ts.grid
+
+    def apply(udf, batch: pa.Table) -> pa.Table:
+        rows = []
+        for info, arr in iter_tiles(batch, grid):
+            out = udf(arr, info)
+            if isinstance(out, tuple):
+                arr2, info2 = out
+            else:
+                arr2, info2 = out, info
+            if arr2 is None:
+                continue  # UDF may drop tiles
+            rows.append((info2, np.asarray(arr2, dtype=np.float64)))
+        if not rows:
+            return rows_to_table([]).slice(0, 0)
+        return rows_to_table(rows)
+
+    if isinstance(fn, type):
+        class _Actor:
+            def __init__(self, **kwargs):
+                self.udf = fn(**kwargs)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return apply(self.udf, batch)
+
+        ds = ts.ds.map_batches(
+            _Actor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or 4,
+            num_cpus=num_cpus,
+            fn_constructor_kwargs=fn_constructor_kwargs or {},
+        )
+    else:
+        ds = ts.ds.map_batches(
+            lambda b: apply(fn, b),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    return TileSet(ds=ds, grid=grid)

@@ -1,0 +1,265 @@
+"""Aggregations over the mosaic: summary, global stats, exact median,
+zonal statistics, classification.
+
+The reference has only whole-array NaN stats (``Raster.py:844-854``) and the
+header summary (``Raster.py:134-150``). The engine computes them as per-tile
+PARTIALS inside ``map_batches`` (one tiny row per batch) followed by a small
+``Dataset.aggregate`` / ``groupby`` — the partial/combiner pattern, so the
+shuffle moves kilobytes, not pixels.
+
+``exact_median`` is the custom wide operator the Dataset API lacks: an
+iterative histogram-refinement (binary search on value) that finds the exact
+NaN-ignoring median (``np.nanmedian`` semantics, ``Raster.py:852-854``) in
+O(log) full passes without ever materializing the value multiset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.tiles import TileSet
+from .decode import iter_tiles, rows_to_table
+from .rasterize import _features_ref, _resolve_values, burn_features
+
+__all__ = [
+    "global_stats",
+    "summary",
+    "exact_median",
+    "zonal_stats",
+    "classify",
+]
+
+
+def _partials(ts: TileSet):
+    grid = ts.grid
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n_tiles = batch.num_rows
+        n_cells = 0
+        n_valid = 0
+        s = 0.0
+        mn = np.inf
+        mx = -np.inf
+        for _info, arr in iter_tiles(batch, grid):
+            n_cells += arr.size
+            m = np.isfinite(arr)
+            k = int(m.sum())
+            n_valid += k
+            if k:
+                v = arr[m]
+                s += float(v.sum())
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
+        return pa.table(
+            {
+                "n_tiles": [n_tiles],
+                "n_cells": [n_cells],
+                "n_valid": [n_valid],
+                "sum": [s],
+                "min": [mn],
+                "max": [mx],
+            }
+        )
+
+    return ts.ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def global_stats(ts: TileSet) -> dict:
+    """NaN-ignoring global count/sum/min/max/mean (``Raster.py:844-851``)."""
+    agg = _partials(ts).aggregate(
+        Sum("n_tiles", alias_name="n_tiles"),
+        Sum("n_cells", alias_name="n_cells"),
+        Sum("n_valid", alias_name="n_valid"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+    out = dict(agg)
+    out["mean"] = out["sum"] / out["n_valid"] if out["n_valid"] else float("nan")
+    return out
+
+
+def summary(ts: TileSet) -> dict:
+    """``Raster.get_summary`` (``Raster.py:134-150``): header + valid-cell
+    count + crs, plus the global stats."""
+    st = global_stats(ts)
+    g = ts.grid
+    return {**g.to_header(), "crs": g.crs, "num_valid_cells": st["n_valid"], **st}
+
+
+def exact_median(ts: TileSet, bins: int = 1024, leaf_size: int = 200_000) -> float:
+    """Exact NaN-ignoring median via distributed histogram refinement.
+
+    Pass 0 gets (count, min, max); each subsequent pass histograms the
+    current value interval into ``bins`` buckets (a tiny per-batch partial →
+    driver merge) and descends into the bucket holding the k-th order
+    statistic; when ≤ ``leaf_size`` values remain they are pulled and the
+    exact median taken. Deterministic; ~3 passes for float64 DEMs.
+    """
+    st = global_stats(ts)
+    n = int(st["n_valid"])
+    if n == 0:
+        return float("nan")
+    lo, hi = float(st["min"]), float(st["max"])
+    if lo == hi:
+        return lo
+    # ranks of the median element(s), 0-based
+    k1 = (n - 1) // 2
+    k2 = n // 2
+    grid = ts.grid
+    below = 0  # values < lo so far
+
+    def hist_pass(lo, hi):
+        edges = np.linspace(lo, hi, bins + 1)
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            counts = np.zeros(bins + 1, dtype=np.int64)  # +1: values == hi
+            for _info, arr in iter_tiles(batch, grid):
+                v = arr[np.isfinite(arr)]
+                v = v[(v >= lo) & (v <= hi)]
+                idx = np.searchsorted(edges, v, side="right") - 1
+                np.add.at(counts, np.clip(idx, 0, bins), 1)
+            return pa.table({"counts": [counts.tolist()]})
+
+        total = np.zeros(bins + 1, dtype=np.int64)
+        for b in ts.ds.map_batches(per_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for row in b["counts"].to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+        return edges, total
+
+    def collect_leaf(lo, hi):
+        def per_batch(batch: pa.Table) -> pa.Table:
+            vals = []
+            for _info, arr in iter_tiles(batch, grid):
+                v = arr[np.isfinite(arr)]
+                vals.append(v[(v >= lo) & (v <= hi)])
+            v = np.concatenate(vals) if vals else np.empty(0)
+            return pa.table({"v": pa.array(v)})
+
+        chunks = [
+            b["v"].to_numpy(zero_copy_only=False)
+            for b in ts.ds.map_batches(per_batch, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        return np.sort(np.concatenate(chunks)) if chunks else np.empty(0)
+
+    for _ in range(64):  # far more than float64 ever needs
+        # count of values in [lo, hi]
+        in_range = n - below  # values >= lo (all remaining are <= hi)
+        if in_range <= leaf_size:
+            vals = collect_leaf(lo, hi)
+            i1 = k1 - below
+            i2 = k2 - below
+            return float((vals[i1] + vals[i2]) / 2.0)
+        edges, counts = hist_pass(lo, hi)
+        # cumulative counts; find the buckets holding ranks k1 and k2
+        cum = below + np.cumsum(counts)
+        b1 = int(np.searchsorted(cum, k1 + 1, side="left"))
+        b2 = int(np.searchsorted(cum, k2 + 1, side="left"))
+        if b1 != b2:
+            # the two middle elements straddle buckets — collect their span
+            span_hi = float(edges[b2 + 1]) if b2 < bins else hi
+            vals = collect_leaf(float(edges[b1]), span_hi)
+            off = below + int(counts[:b1].sum())
+            vals = np.sort(vals)
+            return float((vals[k1 - off] + vals[k2 - off]) / 2.0)
+        new_lo = float(edges[b1])
+        new_hi = float(edges[b1 + 1]) if b1 < bins else hi
+        below = below + int(counts[:b1].sum())
+        if new_lo == lo and new_hi == hi:
+            # interval no longer narrows (ties): collect and finish exactly
+            vals = collect_leaf(lo, hi)
+            return float((vals[k1 - below] + vals[k2 - below]) / 2.0)
+        lo, hi = new_lo, new_hi
+    raise RuntimeError("median refinement failed to converge")
+
+
+def zonal_stats(ts: TileSet, features, attribute="id"):
+    """Per-zone aggregate of pixel values: rasterize the zone plane per tile
+    (broadcast features, §rasterize), reduce within the batch to one partial
+    row per zone, then a tiny ``groupby('zone')`` shuffle.
+
+    Returns a Ray Dataset with columns zone, n, sum_z, min_z, max_z, mean_z
+    (zone = burned attribute; cells outside all zones are excluded)."""
+    ref = _features_ref(features)
+    grid = ts.grid
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        feats = _ray.get(ref)
+        values = _resolve_values(feats, attribute)
+        acc: dict[float, list] = {}
+        for info, arr in iter_tiles(batch, grid):
+            plane = burn_features(info, feats, values)
+            m = np.isfinite(arr) & np.isfinite(plane)
+            if not m.any():
+                continue
+            z = plane[m]
+            v = arr[m]
+            for zone in np.unique(z):
+                sel = v[z == zone]
+                a = acc.setdefault(float(zone), [0, 0.0, np.inf, -np.inf])
+                a[0] += int(sel.size)
+                a[1] += float(sel.sum())
+                a[2] = min(a[2], float(sel.min()))
+                a[3] = max(a[3], float(sel.max()))
+        if not acc:
+            return pa.table(
+                {
+                    "zone": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_z": pa.array([], pa.float64()),
+                    "min_z": pa.array([], pa.float64()),
+                    "max_z": pa.array([], pa.float64()),
+                }
+            )
+        zones = sorted(acc)
+        return pa.table(
+            {
+                "zone": pa.array([float(z) for z in zones]),
+                "n": pa.array([acc[z][0] for z in zones], pa.int64()),
+                "sum_z": pa.array([acc[z][1] for z in zones]),
+                "min_z": pa.array([acc[z][2] for z in zones]),
+                "max_z": pa.array([acc[z][3] for z in zones]),
+            }
+        )
+
+    partial = ts.ds.map_batches(per_batch, batch_format="pyarrow")
+    agg = partial.groupby("zone").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_z", alias_name="sum_z"),
+        Min("min_z", alias_name="min_z"),
+        Max("max_z", alias_name="max_z"),
+    )
+
+    def add_mean(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mean_z"] = df["sum_z"] / df["n"]
+        return df
+
+    return agg.map_batches(add_mean, batch_format="pandas")
+
+
+def classify(ts: TileSet, breaks) -> TileSet:
+    """``rankshow`` value-binning (``grid_show.py:323-331``) as a data
+    transform: per-cell ``np.digitize`` by break values; NaN stays NaN."""
+    grid = ts.grid
+    breaks = list(breaks)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for info, arr in iter_tiles(batch, grid):
+            out = np.digitize(arr, breaks).astype(np.float64)
+            out[np.isnan(arr)] = np.nan
+            rows.append((info, out))
+        return rows_to_table(rows, lossless=True) if rows else rows_to_table([])
+
+    return TileSet(ds=ts.ds.map_batches(per_batch, batch_format="pyarrow"), grid=grid)
