@@ -168,6 +168,7 @@ def map_tiles(
     concurrency=None,
     num_cpus: float = 1,
     fn_constructor_kwargs: dict | None = None,
+    lossless: bool = False,
 ) -> TileSet:
     """Per-tile UDF over the mosaic — the single plugin API.
 
@@ -178,7 +179,9 @@ def map_tiles(
 
     The returned array may have a different shape (e.g. trims); georef stays
     that of the input tile unless the UDF also returns a new info via the
-    ``(array, info)`` tuple form.
+    ``(array, info)`` tuple form. ``lossless=True`` stores results as
+    ``raw-f32`` (exact) instead of re-encoding with each tile's own fmt —
+    use it when the UDF's output values must survive bit-exactly.
     """
     grid = ts.grid
 
@@ -195,7 +198,7 @@ def map_tiles(
             rows.append((info2, np.asarray(arr2, dtype=np.float64)))
         if not rows:
             return rows_to_table([]).slice(0, 0)
-        return rows_to_table(rows)
+        return rows_to_table(rows, lossless=lossless)
 
     if isinstance(fn, type):
         class _Actor:

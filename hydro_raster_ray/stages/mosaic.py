@@ -1,0 +1,530 @@
+"""Mosaic / regrid shuffles — the wide operators of the engine.
+
+Two kernels cover the reference's whole multi-grid family (SURVEY.md §2.6):
+
+**Scatter** (``merge_into``): origin tiles are re-keyed to the target tiling
+by a ``flat_map``-style fragment emission, then one hash-partitioned
+``groupby(target cell).map_groups(paste)`` assembles each target tile.
+Implements ``merge`` (``Raster.py:873-895``: NaN-skip scatter, origin
+overwrites target), ``combine_raster`` (``spatial_analysis.py:244-298``:
+union-extent canvas, whole-block paste INCLUDING NaN, later files overwrite
+earlier) and ``paste_on`` (``Raster.py:517-551``, including its ``> 0``
+boundary quirk at ``Raster.py:539-541``).
+
+**Gather** (``regrid_nearest``): each target tile pulls its
+nearest-neighbour source pixels. Source tiles emit exactly the sub-rectangle
+each target tile needs (a range join on tile indices computed arithmetically
+— no driver-side tile map), the same groupby assembles a source window, and
+the reference's ``map2sub`` rounding picks the pixel. Implements
+``assign_to`` (``Raster.py:489-515``, border-clamped) and
+``grid_resample_nearest`` (``Raster.py:457-487``, floor'd dims).
+
+Scale notes: the shuffle key is the target tile's Morton cell, so
+neighbouring tiles hash to nearby partitions; overwrite order is a
+``prio`` column sorted inside each group — deterministic under any task
+order/retry. Uncovered target tiles are simply absent (sparse mosaic): a
+NaN tile is never materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode, encode, phash64
+from ..grid import GridSpec, TileScheme, map2sub, morton_encode, tile_id
+from ..sources.tiles import TileSet
+from .decode import iter_tiles
+
+__all__ = [
+    "merge_into",
+    "combine_mosaic",
+    "paste_on",
+    "regrid_nearest",
+    "grid_resample_nearest",
+    "assign_to",
+    "dedup_exact",
+    "top_k_tiles",
+]
+
+_FRAG_FIELDS = [
+    ("tkey", pa.int64()),
+    ("t_tr", pa.int32()),
+    ("t_tc", pa.int32()),
+    ("prio", pa.int64()),
+    ("fr0", pa.int32()),  # fragment origin row within the TARGET tile
+    ("fc0", pa.int32()),
+    ("fh", pa.int32()),
+    ("fw", pa.int32()),
+    ("payload", pa.binary()),  # raw-f32 fragment pixels
+    ("src_r0", pa.int32()),  # fragment origin in SOURCE global pixels (gather)
+    ("src_c0", pa.int32()),
+]
+_FRAG_SCHEMA = pa.schema(_FRAG_FIELDS)
+
+
+def _empty_frags() -> pa.Table:
+    return pa.table(
+        {name: pa.array([], type=t) for name, t in _FRAG_FIELDS}, schema=_FRAG_SCHEMA
+    )
+
+
+def _frag_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return _empty_frags()
+    return pa.table(
+        {name: pa.array([r[name] for r in rows], type=t) for name, t in _FRAG_FIELDS},
+        schema=_FRAG_SCHEMA,
+    )
+
+
+def _scatter_batch(
+    batch: pa.Table,
+    grid: GridSpec,
+    target: TileScheme,
+    prio: int,
+    quirk_gt0: bool,
+) -> pa.Table:
+    """Origin tiles → fragments keyed by target tile (equal-cellsize paste).
+
+    The target row of origin row k is R0 + k where R0 comes from the
+    reference's ``map2sub`` of the origin tile's top-left cell centre
+    (constant offset — exact because the cellsizes are equal)."""
+    tg = target.grid
+    if abs(grid.cellsize - tg.cellsize) > 1e-12:
+        raise ValueError(
+            "scatter paste requires equal cellsize; resample first "
+            "(Raster.py:884-886 / spatial_analysis.py:248-249 semantics)"
+        )
+    out: list[dict] = []
+    for info, arr in iter_tiles(batch, grid):
+        spec = info.spec
+        x0 = spec.xllcorner + 0.5 * spec.cellsize
+        y0 = spec.yllcorner + (spec.nrows - 0.5) * spec.cellsize
+        R0a, C0a = map2sub(np.array([x0]), np.array([y0]), tg)
+        R0, C0 = int(R0a[0]), int(C0a[0])
+        # origin rows k ∈ [0, h): keep those landing inside the target
+        lo = 1 if quirk_gt0 else 0
+        k_r = np.arange(info.h)
+        k_c = np.arange(info.w)
+        ok_r = (R0 + k_r >= lo) & (R0 + k_r <= tg.nrows - 1)
+        ok_c = (C0 + k_c >= lo) & (C0 + k_c <= tg.ncols - 1)
+        if not ok_r.any() or not ok_c.any():
+            continue
+        kr0, kr1 = int(k_r[ok_r][0]), int(k_r[ok_r][-1]) + 1
+        kc0, kc1 = int(k_c[ok_c][0]), int(k_c[ok_c][-1]) + 1
+        sub = arr[kr0:kr1, kc0:kc1]
+        gr0_t = R0 + kr0  # target global pixel origin of the kept block
+        gc0_t = C0 + kc0
+        for t_tr, t_tc in target.tiles_overlapping_rc(
+            gr0_t, gr0_t + sub.shape[0], gc0_t, gc0_t + sub.shape[1]
+        ):
+            tr0_px, tc0_px = target.tile_origin_rc(t_tr, t_tc)
+            th, tw = target.tile_shape(t_tr, t_tc)
+            a0 = max(gr0_t, tr0_px)
+            a1 = min(gr0_t + sub.shape[0], tr0_px + th)
+            b0 = max(gc0_t, tc0_px)
+            b1 = min(gc0_t + sub.shape[1], tc0_px + tw)
+            frag = sub[a0 - gr0_t : a1 - gr0_t, b0 - gc0_t : b1 - gc0_t]
+            out.append(
+                {
+                    "tkey": int(morton_encode(t_tr, t_tc)),
+                    "t_tr": t_tr,
+                    "t_tc": t_tc,
+                    "prio": prio,
+                    "fr0": a0 - tr0_px,
+                    "fc0": b0 - tc0_px,
+                    "fh": frag.shape[0],
+                    "fw": frag.shape[1],
+                    "payload": encode(frag, "raw-f32"),
+                    "src_r0": 0,
+                    "src_c0": 0,
+                }
+            )
+    return _frag_table(out)
+
+
+def _tile_row_from_group(g: pa.Table, target: TileScheme, ignore_nan: bool):
+    """Paste one target tile's fragments in prio order → (h, w) canvas."""
+    order = np.argsort(g["prio"].to_numpy(zero_copy_only=False), kind="stable")
+    t_tr = int(g["t_tr"][0].as_py())
+    t_tc = int(g["t_tc"][0].as_py())
+    th, tw = target.tile_shape(t_tr, t_tc)
+    canvas = np.full((th, tw), np.nan)
+    for i in order:
+        i = int(i)
+        fr0 = g["fr0"][i].as_py()
+        fc0 = g["fc0"][i].as_py()
+        fh = g["fh"][i].as_py()
+        fw = g["fw"][i].as_py()
+        frag = decode(g["payload"][i].as_py(), fh, fw, "raw-f32")
+        if ignore_nan:
+            dest = canvas[fr0 : fr0 + fh, fc0 : fc0 + fw]
+            m = ~np.isnan(frag)
+            dest[m] = frag[m]
+        else:
+            canvas[fr0 : fr0 + fh, fc0 : fc0 + fw] = frag
+    return t_tr, t_tc, canvas
+
+
+def _tiles_from_groups(target: TileScheme, ignore_nan: bool):
+    tg = target.grid
+
+    def build(g: pa.Table) -> pa.Table:
+        t_tr, t_tc, canvas = _tile_row_from_group(g, target, ignore_nan)
+        img = tile_id(t_tr, t_tc)
+        buf = encode(canvas, "raw-f32")
+        truth = decode(buf, *canvas.shape, "raw-f32")
+        return pa.table(
+            {
+                "image_id": pa.array([img], pa.string()),
+                "bytes": pa.array([buf], pa.binary()),
+                "w": pa.array([canvas.shape[1]], pa.int32()),
+                "h": pa.array([canvas.shape[0]], pa.int32()),
+                "fmt": pa.array(["raw-f32"], pa.string()),
+                "caption": pa.array(
+                    [f"DEM tile {img} cellsize={tg.cellsize} crs={tg.crs}"],
+                    pa.string(),
+                ),
+                "phash": pa.array([phash64(truth)], pa.int64()),
+                "tile_row": pa.array([t_tr], pa.int32()),
+                "tile_col": pa.array([t_tc], pa.int32()),
+                "gr0": pa.array([t_tr * target.tile_h], pa.int32()),
+                "gc0": pa.array([t_tc * target.tile_w], pa.int32()),
+                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+            }
+        )
+
+    return build
+
+
+def merge_into(
+    origins: list[TileSet],
+    target: TileSet | TileScheme,
+    ignore_nan: bool = True,
+    paste_blocks: bool = False,
+    quirk_gt0: bool = False,
+) -> TileSet:
+    """The scatter-shuffle paste. Origins are pasted in list order (later
+    overwrites earlier); an existing target TileSet forms the base layer
+    (prio −1). ``ignore_nan=True`` skips NaN origin cells (``merge``);
+    ``paste_blocks=True`` forces whole-block overwrite including NaN
+    (``combine_raster``); ``quirk_gt0`` mirrors ``paste_on``'s ``> 0``
+    boundary filter."""
+    if isinstance(target, TileSet):
+        # the existing target is the base layer: scatter it onto its own
+        # tiling at prio −1 (identity fragments), origins overwrite it
+        t_scheme = TileScheme(grid=target.grid, tile_h=64, tile_w=64)
+        layers = [(target, -1, False)]
+    else:
+        t_scheme = target
+        layers = []
+    layers += [(o, i, quirk_gt0 and not paste_blocks) for i, o in enumerate(origins)]
+
+    frag_sets = []
+    for o, prio, quirk in layers:
+        def scatter(batch, _g=o.grid, _p=prio, _q=quirk):
+            return _scatter_batch(batch, _g, t_scheme, _p, _q)
+
+        frag_sets.append(o.ds.map_batches(scatter, batch_format="pyarrow"))
+    frags = frag_sets[0]
+    for f in frag_sets[1:]:
+        frags = frags.union(f)
+    built = frags.groupby("tkey").map_groups(
+        _tiles_from_groups(t_scheme, ignore_nan and not paste_blocks),
+        batch_format="pyarrow",
+    )
+    return TileSet(ds=built, grid=t_scheme.grid)
+
+
+def paste_on(small: TileSet, large: TileSet, ignore_nan: bool = True) -> TileSet:
+    """``Raster.paste_on`` (``Raster.py:517-551``): paste the small mosaic
+    onto the large one (equal cellsize required), preserving the reference's
+    ``rows > 0`` / ``cols > 0`` boundary quirk (``Raster.py:539-541``)."""
+    return merge_into([small], large, ignore_nan=ignore_nan, quirk_gt0=True)
+
+
+def combine_mosaic(
+    inputs: list[TileSet], tile_h: int = 64, tile_w: int = 64
+) -> TileSet:
+    """``combine_raster`` (``spatial_analysis.py:244-298``): union-extent
+    canvas; each input block-pasted IN ORDER (later files overwrite earlier,
+    NaN included — the reference's whole-block assignment at
+    ``spatial_analysis.py:288-295``); NODATA canvas → NaN at the end (here:
+    uncovered tiles are simply absent — sparse NaN)."""
+    cs = inputs[0].grid.cellsize
+    for ts in inputs[1:]:
+        if abs(ts.grid.cellsize - cs) > 1e-12:
+            raise ValueError("combine_mosaic requires equal cellsize inputs")
+    extents = [ts.grid.extent for ts in inputs]
+    x_min = min(e[0] for e in extents)
+    x_max = max(e[1] for e in extents)
+    y_min = min(e[2] for e in extents)
+    y_max = max(e[3] for e in extents)
+    # reference dims use int() truncation (spatial_analysis.py:276-277)
+    union = GridSpec(
+        ncols=int((x_max - x_min) / cs),
+        nrows=int((y_max - y_min) / cs),
+        xllcorner=x_min,
+        yllcorner=y_min,
+        cellsize=cs,
+        nodata=inputs[0].grid.nodata,
+        crs=inputs[0].grid.crs,
+    )
+    scheme = TileScheme(grid=union, tile_h=tile_h, tile_w=tile_w)
+    return merge_into(inputs, scheme, paste_blocks=True)
+
+
+# ---------------------------------------------------------------------------
+# Gather shuffle: nearest-neighbour regrid
+# ---------------------------------------------------------------------------
+
+
+def _axis_map(src: GridSpec, tg: GridSpec, axis: str, t_idx: np.ndarray) -> np.ndarray:
+    """Reference map2sub of the target cell centres along one axis."""
+    if axis == "row":
+        top_t = tg.yllcorner + tg.nrows * tg.cellsize
+        Y = top_t - (t_idx + 0.5) * tg.cellsize
+        X = np.full_like(Y, src.xllcorner + 0.5 * src.cellsize)
+        r, _ = map2sub(X, Y, src)
+        return r
+    left_t = tg.xllcorner
+    X = left_t + (t_idx + 0.5) * tg.cellsize
+    Y = np.full_like(X, src.yllcorner + 0.5 * src.cellsize)
+    _, c = map2sub(X, Y, src)
+    return c
+
+
+def _candidate_targets(src: GridSpec, tg: GridSpec, axis: str, g0: int, g1: int,
+                       at_low_border: bool, at_high_border: bool, clamp: bool):
+    """Target indices t whose (optionally clamped) nearest source index lies
+    in [g0, g1). Solved arithmetically with a ±2 margin then exact-filtered
+    with the reference rounding itself."""
+    if axis == "row":
+        y0s = src.yllcorner + (src.nrows - 0.5) * src.cellsize
+        top_t = tg.yllcorner + tg.nrows * tg.cellsize
+        alpha = (y0s - top_t + 0.5 * tg.cellsize) / src.cellsize
+        n_t = tg.nrows
+    else:
+        x0s = src.xllcorner + 0.5 * src.cellsize
+        alpha = (tg.xllcorner + 0.5 * tg.cellsize - x0s) / src.cellsize
+        n_t = tg.ncols
+    beta = tg.cellsize / src.cellsize
+    t_lo = int(np.floor((g0 - 0.5 - alpha) / beta)) - 2
+    t_hi = int(np.ceil((g1 - 0.5 - alpha) / beta)) + 2
+    if clamp and at_low_border:
+        t_lo = 0
+    if clamp and at_high_border:
+        t_hi = n_t - 1
+    t_lo = max(t_lo, 0)
+    t_hi = min(t_hi, n_t - 1)
+    if t_hi < t_lo:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    t = np.arange(t_lo, t_hi + 1, dtype=np.int64)
+    s = _axis_map(src, tg, axis, t)
+    if clamp:
+        n_s = src.nrows if axis == "row" else src.ncols
+        s = np.clip(s, 0, n_s - 1)
+    keep = (s >= g0) & (s < g1)
+    return t[keep], s[keep]
+
+
+def _gather_from_groups(target: TileScheme, src: GridSpec, clamp: bool):
+    tg = target.grid
+
+    def build(g: pa.Table) -> pa.Table:
+        t_tr = int(g["t_tr"][0].as_py())
+        t_tc = int(g["t_tc"][0].as_py())
+        th, tw = target.tile_shape(t_tr, t_tc)
+        tr0, tc0 = target.tile_origin_rc(t_tr, t_tc)
+        # source indices this target tile gathers (reference rounding)
+        sr = _axis_map(src, tg, "row", np.arange(tr0, tr0 + th, dtype=np.int64))
+        sc = _axis_map(src, tg, "col", np.arange(tc0, tc0 + tw, dtype=np.int64))
+        if clamp:
+            sr = np.clip(sr, 0, src.nrows - 1)
+            sc = np.clip(sc, 0, src.ncols - 1)
+        # assemble the source window from fragments
+        r0s = g["src_r0"].to_numpy(zero_copy_only=False)
+        c0s = g["src_c0"].to_numpy(zero_copy_only=False)
+        fhs = g["fh"].to_numpy(zero_copy_only=False)
+        fws = g["fw"].to_numpy(zero_copy_only=False)
+        win_r0 = int(r0s.min())
+        win_c0 = int(c0s.min())
+        win_r1 = int((r0s + fhs).max())
+        win_c1 = int((c0s + fws).max())
+        win = np.full((win_r1 - win_r0, win_c1 - win_c0), np.nan)
+        for i in range(g.num_rows):
+            frag = decode(g["payload"][i].as_py(), int(fhs[i]), int(fws[i]), "raw-f32")
+            rr = int(r0s[i]) - win_r0
+            cc = int(c0s[i]) - win_c0
+            win[rr : rr + int(fhs[i]), cc : cc + int(fws[i])] = frag
+        ri = np.clip(sr - win_r0, 0, win.shape[0] - 1)
+        ci = np.clip(sc - win_c0, 0, win.shape[1] - 1)
+        canvas = win[np.ix_(ri, ci)]
+        img = tile_id(t_tr, t_tc)
+        buf = encode(canvas, "raw-f32")
+        truth = decode(buf, *canvas.shape, "raw-f32")
+        return pa.table(
+            {
+                "image_id": pa.array([img], pa.string()),
+                "bytes": pa.array([buf], pa.binary()),
+                "w": pa.array([canvas.shape[1]], pa.int32()),
+                "h": pa.array([canvas.shape[0]], pa.int32()),
+                "fmt": pa.array(["raw-f32"], pa.string()),
+                "caption": pa.array(
+                    [f"DEM tile {img} cellsize={tg.cellsize} crs={tg.crs}"],
+                    pa.string(),
+                ),
+                "phash": pa.array([phash64(truth)], pa.int64()),
+                "tile_row": pa.array([t_tr], pa.int32()),
+                "tile_col": pa.array([t_tc], pa.int32()),
+                "gr0": pa.array([t_tr * target.tile_h], pa.int32()),
+                "gc0": pa.array([t_tc * target.tile_w], pa.int32()),
+                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+            }
+        )
+
+    return build
+
+
+def regrid_nearest(
+    ts: TileSet,
+    new_spec: GridSpec,
+    tile_h: int = 64,
+    tile_w: int = 64,
+    clamp: bool = True,
+) -> TileSet:
+    """Nearest-neighbour regrid onto an arbitrary new header — the gather
+    shuffle shared by ``assign_to`` (clamp=True: border values extend
+    outward, ``Raster.py:505-508``) and ``grid_resample_nearest``. Each
+    source tile ships only the sub-rectangles the target tiles actually
+    gather (a few KB per (source, target) pair)."""
+    src = ts.grid
+    target = TileScheme(grid=new_spec, tile_h=tile_h, tile_w=tile_w)
+    grid = ts.grid
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for info, arr in iter_tiles(batch, grid):
+            g0r, g1r = info.gr0, info.gr0 + info.h
+            g0c, g1c = info.gc0, info.gc0 + info.w
+            t_rows, s_rows = _candidate_targets(
+                src, new_spec, "row", g0r, g1r,
+                at_low_border=(g0r == 0), at_high_border=(g1r == src.nrows),
+                clamp=clamp,
+            )
+            t_cols, s_cols = _candidate_targets(
+                src, new_spec, "col", g0c, g1c,
+                at_low_border=(g0c == 0), at_high_border=(g1c == src.ncols),
+                clamp=clamp,
+            )
+            if t_rows.size == 0 or t_cols.size == 0:
+                continue
+            # group the needed target indices by target tile
+            tt_r = t_rows // target.tile_h
+            tt_c = t_cols // target.tile_w
+            for utr in np.unique(tt_r):
+                sel_r = s_rows[tt_r == utr]
+                fr0, fr1 = int(sel_r.min()), int(sel_r.max()) + 1
+                for utc in np.unique(tt_c):
+                    sel_c = s_cols[tt_c == utc]
+                    fc0, fc1 = int(sel_c.min()), int(sel_c.max()) + 1
+                    frag = arr[fr0 - g0r : fr1 - g0r, fc0 - g0c : fc1 - g0c]
+                    out.append(
+                        {
+                            "tkey": int(morton_encode(int(utr), int(utc))),
+                            "t_tr": int(utr),
+                            "t_tc": int(utc),
+                            "prio": 0,
+                            "fr0": 0,
+                            "fc0": 0,
+                            "fh": frag.shape[0],
+                            "fw": frag.shape[1],
+                            "payload": encode(frag, "raw-f32"),
+                            "src_r0": fr0,
+                            "src_c0": fc0,
+                        }
+                    )
+        return _frag_table(out)
+
+    frags = ts.ds.map_batches(emit, batch_format="pyarrow")
+    built = frags.groupby("tkey").map_groups(
+        _gather_from_groups(target, src, clamp), batch_format="pyarrow"
+    )
+    return TileSet(ds=built, grid=new_spec)
+
+
+def assign_to(ts: TileSet, new_spec: GridSpec, **kw) -> TileSet:
+    """``Raster.assign_to`` (``Raster.py:489-515``): nearest gather onto an
+    arbitrary header, clamped at the source borders."""
+    return regrid_nearest(ts, new_spec, clamp=True, **kw)
+
+
+def grid_resample_nearest(ts: TileSet, newsize, **kw) -> TileSet:
+    """``Raster.grid_resample_nearest`` (``Raster.py:457-487``): new dims by
+    ``floor`` of the size ratio, nearest gather."""
+    if isinstance(newsize, GridSpec):
+        new_spec = newsize
+    else:
+        g = ts.grid
+        new_spec = GridSpec(
+            ncols=int(np.floor(g.cellsize * g.ncols / newsize)),
+            nrows=int(np.floor(g.cellsize * g.nrows / newsize)),
+            xllcorner=g.xllcorner,
+            yllcorner=g.yllcorner,
+            cellsize=float(newsize),
+            nodata=g.nodata,
+            crs=g.crs,
+        )
+    return regrid_nearest(ts, new_spec, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Set-style utilities over the tiles table (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(ts: TileSet) -> TileSet:
+    """Exact tile dedup by content key: hash-partition on ``phash``, keep the
+    lexicographically-first ``image_id`` per group (deterministic under any
+    task order)."""
+
+    def first(g: pa.Table) -> pa.Table:
+        i = int(np.argmin(np.asarray(g["image_id"].to_pylist(), dtype=object)))
+        return g.slice(i, 1)
+
+    return TileSet(
+        ds=ts.ds.groupby("phash").map_groups(first, batch_format="pyarrow"),
+        grid=ts.grid,
+    )
+
+
+def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
+    """Top-k tiles by a per-tile NaN-ignoring statistic: per-tile partials in
+    ``map_batches`` (only image_id + the scalar leave the task), then a small
+    ``sort().limit(k)``. Returns a Ray Dataset (image_id, stat)."""
+    grid = ts.grid
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, vals = [], []
+        for info, arr in iter_tiles(batch, grid):
+            v = arr[np.isfinite(arr)]
+            if v.size == 0:
+                continue
+            ids.append(info.image_id)
+            if stat == "max":
+                vals.append(float(v.max()))
+            elif stat == "min":
+                vals.append(float(v.min()))
+            elif stat == "mean":
+                vals.append(float(v.mean()))
+            else:
+                raise ValueError(f"unknown stat {stat!r}")
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "stat": pa.array(vals, pa.float64())})
+
+    return (
+        ts.ds.map_batches(per_batch, batch_format="pyarrow")
+        .sort("stat", descending=(stat != "min"))
+        .limit(k)
+    )
