@@ -1,44 +1,318 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship edit-DEM pipeline (EP1) on the sf0.001-scale
+tiles fixture. ``queries()`` exposes every implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible one. Tile queries run over the
+deterministic Lance-shaped fixture tables under /tmp/graft_fixtures/<sf>/
+(generated at import so the oracle side can read them too); the oracle reads
+the exploded ``pixels.parquet`` decoded-truth witness — an independent
+reproduction of each operator's semantics in SQL.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import hydro_raster_ray  # noqa: E402
+from ray import cloudpickle as _cp  # noqa: E402
+
+# Ray workers don't inherit the driver's sys.path: ship the package by value
+# inside pickled closures so pipelines run regardless of the driver's cwd.
+_cp.register_pickle_by_value(hydro_raster_ray)
+
+from hydro_raster_ray import fixtures  # noqa: E402
+from hydro_raster_ray.pipelines import relational  # noqa: E402
+from hydro_raster_ray.pipelines.tile_queries import TILE_QUERIES  # noqa: E402
+from hydro_raster_ray.text import ann, ops  # noqa: E402
+
+# materialize fixtures for the smoke (sf0.001) and correctness (sf0.01)
+# scales up front — the driver may run oracle SQL before the Ray query
+for _tag in ("sf0.001", "sf0.01"):
+    fixtures.ensure_fixture_dir(_tag)
+
+F = os.path.join(fixtures.FIXTURE_ROOT, "sf0.01")  # driver correctness scale
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship EP1 pipeline at sf0.001: read tiles → rect-clip → rasterize
+    landcover zones → apply adjust_val edit → zonal stats."""
+    import numpy as np
+
+    from hydro_raster_ray.pipelines.tile_queries import tiles_for
+    from hydro_raster_ray.stages.clip import rect_clip
+    from hydro_raster_ray.stages.rasterize import apply_features
+    from hydro_raster_ray.stages.stats import zonal_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    ts, scheme = tiles_for(sf_dir)
+    clipped = rect_clip(ts, fixtures.CLIP_WINDOW)
+    feats = fixtures.rect_zone_features(scheme)
+    edited = apply_features(
+        clipped,
+        feats,
+        lambda arr, plane, info: np.where(np.isnan(plane), arr, arr + plane),
+        attribute="adjust_val",
+    )
+    return zonal_stats(edited, feats, attribute="id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
+    q.update(TILE_QUERIES)
+    q["doc_exact_dedup"] = ops.exact_dedup
+    q["doc_token_stats"] = ops.token_stats
+    q["doc_quality_by_source"] = ops.quality_by_source
+    q["doc_lang_id"] = ops.lang_id
+    q["doc_jaccard_query"] = ops.jaccard_to_query
+    q["doc_minhash_near_dups"] = ops.minhash_near_dups
+    q["doc_simhash"] = ops.simhash_docs
+    q["doc_fingerprint"] = ops.fingerprint_docs
+    q["ann_topk"] = ann.brute_force_topk
+    q["ann_ivf_assign"] = ann.ivf_assign
+    q["ann_ivf_topk"] = ann.ivf_topk
+    q["events_hourly"] = relational.events_hourly
+    q["pricing_summary"] = relational.pricing_summary
+    q["revenue_by_brand"] = relational.revenue_by_brand
+    q["segment_orders"] = relational.segment_orders
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Tile grid constants for the sf0.01 fixture (8x8 tiles,
+# ragged): nrows=472, ncols=488, xll=340000, yll=554000, cs=5, ytop=556360.
+# CLIP_WINDOW=(340261, 341028, 554168, 554882) is interior, so the reference
+# clamp is a no-op and the centre-snap reduces to the round() arithmetic
+# below (never half-cell, so np.round and SQL round agree).
+# ---------------------------------------------------------------------------
+
+_PX = f"read_parquet('{F}/pixels.parquet')"
+_TI = f"read_parquet('{F}/tiles.parquet')"
+_TD = f"read_parquet('{F}/tiles_dup.parquet')"
+_GA = f"read_parquet('{F}/gauges.parquet')"
+_ZO = f"read_parquet('{F}/zones.parquet')"
+_M = [f"read_parquet('{F}/mosaic{i}_pixels.parquet')" for i in range(3)]
+
+_STOP_SQL = "['" + "','".join(ops.STOPWORDS) + "']"
+
+
+def _lang_sql() -> str:
+    hits = []
+    for code, words in ops.LANG_MARKERS.items():
+        lst = "['" + "','".join(sorted(words)) + "']"
+        hits.append(
+            f"len(list_filter(toks, x -> list_contains({lst}, x))) AS {code}"
+        )
+    langs = list(ops.LANG_MARKERS)
+    cases = []
+    for code in langs:
+        others = " AND ".join(
+            f"{code} > {o}" for o in langs if o != code
+        )
+        cases.append(f"WHEN {others} AND {code} > 0 THEN '{code}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+        list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)) toks
+      FROM documents),
+ h AS (SELECT doc_id, lang, {', '.join(hits)} FROM t)
+SELECT doc_id, {case_sql} AS pred_lang, lang FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # ---- tile engine ----
+        "tile_fmt_summary": f"""
+SELECT t.fmt, CAST(count(DISTINCT t.image_id) AS BIGINT) n_tiles,
+       CAST(count(*) AS BIGINT) n_px, CAST(count(p.z) AS BIGINT) n_valid
+FROM {_TI} t JOIN {_PX} p ON p.tile_id = t.image_id GROUP BY t.fmt
+""",
+        "grid_global_stats": f"""
+SELECT CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(sum(z), 2) AS DOUBLE) sum_z, min(z) min_z, max(z) max_z,
+       CAST(round(avg(z), 6) AS DOUBLE) mean_z
+FROM {_PX}
+""",
+        "rect_clip_stats": f"""
+WITH win AS (SELECT CAST(round((340261.0 - 340000.0)/5.0) AS BIGINT) c0,
+                    CAST(round((341028.0 - 340000.0)/5.0 - 1) AS BIGINT) c1,
+                    CAST(round((556360.0 - 554882.0)/5.0) AS BIGINT) r0,
+                    CAST(round((556360.0 - 554168.0)/5.0 - 1) AS BIGINT) r1)
+SELECT p.tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
+       CAST(count(p.z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(p.z), 0), 2) AS DOUBLE) sum_z
+FROM {_PX} p, win
+WHERE p.gr BETWEEN win.r0 AND win.r1 AND p.gc BETWEEN win.c0 AND win.c1
+GROUP BY p.tile_id
+""",
+        "zonal_stats": f"""
+WITH px AS (
+  SELECT p.gr, p.gc, p.z, max(zz.feature_id) f
+  FROM {_PX} p JOIN {_ZO} zz
+    ON p.x >= zz.xmin AND p.x <= zz.xmax AND p.y >= zz.ymin AND p.y <= zz.ymax
+  WHERE p.z IS NOT NULL
+  GROUP BY p.gr, p.gc, p.z)
+SELECT z3.id AS zone, CAST(count(*) AS BIGINT) n,
+       CAST(round(sum(px.z), 2) AS DOUBLE) sum_z,
+       min(px.z) min_z, max(px.z) max_z
+FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f
+GROUP BY z3.id
+""",
+        "voronoi_counts": f"""
+WITH a AS (
+  SELECT p.gr, p.gc, p.z,
+         arg_min(g.gauge_id, (p.x-g.x)*(p.x-g.x) + (p.y-g.y)*(p.y-g.y)) gid
+  FROM {_PX} p CROSS JOIN {_GA} g GROUP BY p.gr, p.gc, p.z)
+SELECT gid AS gauge_id, CAST(count(*) AS BIGINT) n_cells,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM a GROUP BY gid
+""",
+        "idw_mean": f"""
+WITH w AS (
+  SELECT p.gr, p.gc,
+    sum(g.value / ((p.x-g.x)*(p.x-g.x) + (p.y-g.y)*(p.y-g.y)))
+      / sum(1.0 / ((p.x-g.x)*(p.x-g.x) + (p.y-g.y)*(p.y-g.y))) v
+  FROM {_PX} p CROSS JOIN {_GA} g GROUP BY p.gr, p.gc)
+SELECT CAST(count(*) AS BIGINT) n_cells, CAST(round(avg(v), 6) AS DOUBLE) mean_idw
+FROM w
+""",
+        # resample to 7.5 m: nrows_new=floor(472*5/7.5)=314, ncols_new=325;
+        # src row of target i = round(1.25+1.5i), src col of j = round(0.25+1.5j)
+        # (same arithmetic as map2sub; never lands on .5)
+        "resample_stats": f"""
+WITH m AS (
+  SELECT CAST(round(1.25 + 1.5*i.range) AS BIGINT) sr,
+         CAST(round(0.25 + 1.5*j.range) AS BIGINT) sc
+  FROM range(314) i, range(325) j)
+SELECT CAST(count(*) AS BIGINT) n_px, CAST(count(p.z) AS BIGINT) n_valid,
+       CAST(round(sum(p.z), 2) AS DOUBLE) sum_z, min(p.z) min_z, max(p.z) max_z
+FROM m JOIN {_PX} p ON p.gr = m.sr AND p.gc = m.sc
+""",
+        "phash_dedup": f"""
+SELECT phash, min(image_id) image_id FROM {_TD} GROUP BY phash
+""",
+        "classify_hist": f"""
+SELECT CAST((z >= -30.0)::INT + (z >= -10.0)::INT + (z >= 0.0)::INT
+          + (z >= 10.0)::INT + (z >= 30.0)::INT AS BIGINT) bin,
+       CAST(count(*) AS BIGINT) n
+FROM {_PX} WHERE z IS NOT NULL GROUP BY 1
+""",
+        "tile_topk": f"""
+SELECT tile_id AS image_id, max(z) stat FROM {_PX}
+GROUP BY tile_id ORDER BY stat DESC, image_id LIMIT 5
+""",
+        "mosaic_combine_stats": f"""
+WITH u AS (
+  SELECT x, y, z, 0 AS rnk FROM {_M[0]}
+  UNION ALL SELECT x, y, z, 1 FROM {_M[1]}
+  UNION ALL SELECT x, y, z, 2 FROM {_M[2]}),
+ m AS (SELECT x, y, max(rnk) mr FROM u GROUP BY x, y)
+SELECT CAST(count(u.z) AS BIGINT) n_valid,
+       CAST(round(sum(u.z), 2) AS DOUBLE) sum_z, min(u.z) min_z, max(u.z) max_z
+FROM u JOIN m ON u.x = m.x AND u.y = m.y AND u.rnk = m.mr
+""",
+        "merge_stats": f"""
+SELECT CAST(count(v) AS BIGINT) n_valid, CAST(round(sum(v), 2) AS DOUBLE) sum_z,
+       min(v) min_z, max(v) max_z
+FROM (SELECT coalesce(m2.z, m0.z) v
+      FROM {_M[0]} m0 LEFT JOIN {_M[2]} m2 ON m0.x = m2.x AND m0.y = m2.y)
+""",
+        # ---- documents / embeddings / events ----
+        "doc_exact_dedup": """
+SELECT md5(text) h, CAST(min(doc_id) AS BIGINT) keep_id,
+       CAST(count(*) AS BIGINT) n
+FROM documents GROUP BY md5(text)
+""",
+        "doc_token_stats": """
+SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) n_tokens,
+       CAST(sum(n_chars) AS BIGINT) n_chars
+FROM documents GROUP BY lang
+""",
+        "doc_quality_by_source": f"""
+WITH t AS (SELECT source, regexp_extract_all(text, '\\S+') toks FROM documents),
+ q AS (SELECT source, len(toks) wc,
+        len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) stop_n,
+        len(list_distinct(toks)) uniq_n FROM t)
+SELECT source, CAST(count(*) AS BIGINT) n,
+  CAST(round(avg(0.4*least(wc/100.0, 1.0)
+      + 0.3*(1.0 - stop_n::DOUBLE/greatest(wc, 1))
+      + 0.3*(uniq_n::DOUBLE/greatest(wc, 1))), 4) AS DOUBLE) avg_quality
+FROM q GROUP BY source
+""",
+        "doc_lang_id": _lang_sql(),
+        "doc_jaccard_query": """
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') toks FROM documents),
+ s AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+       FROM d),
+ q AS (SELECT sh qsh FROM s WHERE doc_id = 0)
+SELECT s.doc_id,
+  CAST(round(len(list_intersect(s.sh, q.qsh))::DOUBLE
+       / len(list_distinct(list_concat(s.sh, q.qsh))), 4) AS DOUBLE) sim
+FROM s, q ORDER BY sim DESC, s.doc_id LIMIT 20
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT q.qid, e.vec_id,
+  CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS DOUBLE) sim,
+  CAST(row_number() OVER (PARTITION BY q.qid
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) DESC,
+                 e.vec_id) AS BIGINT) rank
+FROM embeddings e, q WHERE e.vec_id <> q.qid
+QUALIFY rank <= 10
+""",
+        "ann_ivf_assign": """
+WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+ a AS (SELECT e.vec_id,
+        arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[])) centroid
+       FROM embeddings e, c GROUP BY e.vec_id)
+SELECT CAST(centroid AS BIGINT) centroid, CAST(count(*) AS BIGINT) n
+FROM a GROUP BY centroid
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) win_start, event_type,
+       CAST(round(sum(value), 2) AS DOUBLE) sum_value, CAST(count(*) AS BIGINT) n
+FROM events GROUP BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) sum_base,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) sum_rev,
+       CAST(count(*) AS BIGINT) n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_brand": """
+SELECT p.p_brand,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) revenue,
+       CAST(count(*) AS BIGINT) n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+        "segment_orders": """
+SELECT c.c_mktsegment,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) total,
+       CAST(count(*) AS BIGINT) n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        # line_cells, knn_idw_surface, doc_minhash_near_dups, doc_simhash,
+        # doc_fingerprint, ann_ivf_topk: non-SQL-expressible (linspace walk,
+        # kNN truncation, blake2b hashing, bucketed ANN) → rows-only checks;
+        # exactness covered by pytest goldens instead.
+    }

@@ -40,7 +40,8 @@ __all__ = [
 
 _U16_NODATA = np.uint16(65535)
 _U8_NODATA = np.uint8(255)
-_HDR = struct.Struct("<dd")  # offset, scale
+_HDR_FMT = "<dd"  # offset, scale
+_HDR_SIZE = struct.calcsize(_HDR_FMT)
 
 FORMATS = ("raw-f32", "raw-u16", "qlossy")
 
@@ -52,9 +53,9 @@ def payload_nbytes(fmt: str, h: int, w: int) -> int:
     if fmt == "raw-f32":
         return 4 * n
     if fmt == "raw-u16":
-        return _HDR.size + 2 * n
+        return _HDR_SIZE + 2 * n
     if fmt == "qlossy":
-        return _HDR.size + n
+        return _HDR_SIZE + n
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -65,8 +66,8 @@ def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
         a = np.frombuffer(buf, dtype="<f4", count=n).astype(np.float64)
         return a.reshape(int(h), int(w))
     if fmt == "raw-u16":
-        offset, scale = _HDR.unpack_from(buf, 0)
-        u = np.frombuffer(buf, dtype="<u2", count=n, offset=_HDR.size)
+        offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
+        u = np.frombuffer(buf, dtype="<u2", count=n, offset=_HDR_SIZE)
         # decoded values are float32-precision by contract: any codec's
         # decoded payload re-encodes as raw-f32 bit-exactly, so trims/masks
         # (value-preserving ops) stay lossless across fmt switches
@@ -74,8 +75,8 @@ def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
         a[u == _U16_NODATA] = np.nan
         return a.reshape(int(h), int(w))
     if fmt == "qlossy":
-        offset, scale = _HDR.unpack_from(buf, 0)
-        u = np.frombuffer(buf, dtype="u1", count=n, offset=_HDR.size)
+        offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
+        u = np.frombuffer(buf, dtype="u1", count=n, offset=_HDR_SIZE)
         a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(np.float64)
         a[u == _U8_NODATA] = np.nan
         return a.reshape(int(h), int(w))
@@ -110,12 +111,12 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         offset, scale = _u16_params(a)
         q = np.clip(np.round((a - offset) / scale), 0, 65534)
         u = np.where(np.isnan(a), _U16_NODATA, np.nan_to_num(q).astype(np.uint16))
-        return _HDR.pack(offset, scale) + u.astype("<u2").tobytes()
+        return struct.pack(_HDR_FMT, offset, scale) + u.astype("<u2").tobytes()
     if fmt == "qlossy":
         offset, scale = _u8_params(a)
         q = np.clip(np.round((a - offset) / scale), 0, 254)
         u = np.where(np.isnan(a), _U8_NODATA, np.nan_to_num(q).astype(np.uint8))
-        return _HDR.pack(offset, scale) + u.astype("u1").tobytes()
+        return struct.pack(_HDR_FMT, offset, scale) + u.astype("u1").tobytes()
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

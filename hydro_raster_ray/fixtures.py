@@ -424,3 +424,104 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     with open(done, "w") as f:
         f.write("ok\n")
     return out
+
+
+def write_bench_tiles(
+    path: str,
+    n_tile_rows: int = 36,
+    n_tile_cols: int = 36,
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> TileScheme:
+    """Generate the bench-scale tiles Parquet DISTRIBUTED (a Ray pipeline:
+    range over tile ids → build rows per batch → write_parquet), idempotent
+    via a _COMPLETE marker. Deterministic: same formulas as the test fixture,
+    square tiles (no ragged edge) for clean throughput accounting."""
+    import ray.data
+
+    scheme = make_scheme(
+        n_tile_rows, n_tile_cols, tile_h, tile_w, ragged=False
+    )
+    done = os.path.join(path, "_COMPLETE")
+    if os.path.exists(done):
+        return scheme
+
+    n_cols_t = scheme.n_tile_cols
+
+    def build(batch):
+        import pyarrow as pa
+
+        ids, bufs, ws, hs, fmts, caps, hashes = [], [], [], [], [], [], []
+        for k in batch["id"].to_pylist():
+            tr, tc = int(k) // n_cols_t, int(k) % n_cols_t
+            fmt = tile_fmt(tr)
+            z = _raw_tile(scheme, tr, tc)
+            buf = codecs.encode(z, fmt)
+            h, w = z.shape
+            truth = codecs.decode(buf, h, w, fmt)
+            img_id = tile_id(tr, tc)
+            ids.append(img_id)
+            bufs.append(buf)
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+            caps.append(_caption(img_id, scheme.grid.cellsize))
+            hashes.append(codecs.phash64(truth))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            },
+            schema=TILES_SCHEMA,
+        )
+
+    (
+        ray.data.range(scheme.n_tiles, override_num_blocks=max(32, scheme.n_tiles // 16))
+        .map_batches(build, batch_format="pyarrow", batch_size=16)
+        .write_parquet(path)
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return scheme
+
+
+def bench_zone_features(scheme: TileScheme, n: int = 64) -> list[dict]:
+    """A denser landcover layer for benchmarking: n deterministic skewed
+    quadrilaterals scattered over the extent (Halton placement), ids cycling
+    over the sample values. Exercises the bbox-pruned multi-feature burn at a
+    realistic feature density."""
+    ext = scheme.grid.extent
+    W = ext[1] - ext[0]
+    H = ext[3] - ext[2]
+    hx = _halton(n, 2)
+    hy = _halton(n, 3)
+    hw = _halton(n, 5)
+    feats = []
+    for k in range(n):
+        cx = ext[0] + (0.05 + 0.9 * hx[k]) * W
+        cy = ext[2] + (0.05 + 0.9 * hy[k]) * H
+        rx = (0.01 + 0.06 * hw[k]) * W
+        ry = (0.01 + 0.06 * hw[(k * 7 + 3) % n]) * H
+        skew = (hw[k] - 0.5) * rx * 0.5
+        ring = [
+            [cx - rx, cy - ry + skew],
+            [cx + rx, cy - ry - skew],
+            [cx + rx - skew, cy + ry],
+            [cx - rx + skew, cy + ry - skew / 2],
+            [cx - rx, cy - ry + skew],
+        ]
+        feats.append(
+            {
+                "feature_id": k,
+                "kind": "polygon",
+                "rings": [ring],
+                "id": (2, 4, 5, 9)[k % 4],
+                "adjust_val": (-3.0, 1.25, -7.5, 2.0)[k % 4],
+            }
+        )
+    return feats

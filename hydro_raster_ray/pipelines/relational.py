@@ -1,0 +1,163 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+General-engine infrastructure the tile workloads lean on (SURVEY.md §2.8):
+grouped aggregation with per-batch partials, broadcast hash join (small
+side via ``ray.put``), and event-time tumbling windows. Each has an exact
+DuckDB oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+__all__ = ["pricing_summary", "revenue_by_brand", "segment_orders", "events_hourly"]
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style pricing summary on lineitem (date-filtered, grouped by
+    returnflag/linestatus). Vectorized pyarrow filter + per-batch partials."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_rev=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base", alias_name="sum_base"),
+            Sum("sum_rev", alias_name="sum_rev"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base", "sum_rev"):
+            df[c] = df[c].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join: part (small side, ray.put once) into lineitem,
+    revenue per brand. No shuffle of the big side — the partial groupby
+    reduces to one row per (batch, brand)."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    lookup_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        brand = df["l_partkey"].map(lookup)
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        out = pd.DataFrame({"p_brand": brand, "revenue": rev, "n": 1})
+        return out.groupby("p_brand", as_index=False).agg(
+            revenue=("revenue", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def segment_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast join customer→orders: order count + total price per market
+    segment (customer is the small side)."""
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(ray.get(ref))
+        out = pd.DataFrame({"c_mktsegment": seg, "total": df["o_totalprice"], "n": 1})
+        return out.groupby("c_mktsegment", as_index=False).agg(
+            total=("total", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["total"] = df["total"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour event-time window per event_type: n events, sum value
+    (2-dec). The stream-shaped workload expressed as floor(ts)→groupby."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h")
+        out = pd.DataFrame({"win_start": hour, "event_type": df["event_type"],
+                            "value": df["value"], "n": 1})
+        return out.groupby(["win_start", "event_type"], as_index=False).agg(
+            value=("value", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["win_start", "event_type"])
+        .aggregate(Sum("value", alias_name="sum_value"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        # DuckDB timestamps are microsecond precision; match it for the
+        # value-hash comparison
+        df["win_start"] = df["win_start"].astype("datetime64[us]")
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")

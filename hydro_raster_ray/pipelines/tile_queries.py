@@ -1,0 +1,290 @@
+"""Driver-facing tile queries: each runs a distributed pipeline over the
+deterministic tiles fixture for the given scale and returns a small result
+table that a DuckDB oracle (over the exploded ``pixels.parquet`` witness)
+reproduces exactly — the correctness gate of `__ray_entry__`.
+
+Float outputs are rounded (sums: 2 dec, means: 6 dec) so the order-
+insensitive value-hash comparison is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import fixtures
+from ..sources.tiles import TileSet, read_tiles
+from ..stages import mosaic, stats
+from ..stages.clip import rect_clip
+from ..stages.decode import iter_tiles
+from ..stages.interpolate import idw_stats, point_interpolate, voronoi_counts
+from ..stages.lines import line_cells
+
+__all__ = ["TILE_QUERIES", "fixture_dir_for", "tiles_for"]
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return fixtures.ensure_fixture_dir(tag)
+
+
+def tiles_for(sf_dir: str, name: str = "tiles") -> tuple[TileSet, "fixtures.TileScheme"]:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = fixtures.ensure_fixture_dir(tag)
+    scheme = fixtures.make_scheme(*fixtures.SCALES.get(tag, fixtures.SCALES["sf0.01"]))
+    return read_tiles(f"{d}/{name}.parquet", scheme, validate=(name == "tiles")), scheme
+
+
+def _gauges(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{fixture_dir_for(sf_dir)}/gauges.parquet")
+    return {
+        "x": t["x"].to_numpy(),
+        "y": t["y"].to_numpy(),
+        "value": t["value"].to_numpy(),
+        "gauge_id": t["gauge_id"].to_pylist(),
+    }
+
+
+def per_tile_stats(ts: TileSet):
+    """Per-tile (image_id, n_px, n_valid, sum_z[2dec]) — the join-row /
+    cell-assignment witness rows."""
+    grid = ts.grid
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, npx, nva, sums = [], [], [], []
+        for info, arr in iter_tiles(batch, grid):
+            ids.append(info.image_id)
+            npx.append(arr.size)
+            m = np.isfinite(arr)
+            nva.append(int(m.sum()))
+            sums.append(round(float(arr[m].sum()), 2) if m.any() else 0.0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(npx, pa.int64()),
+                "n_valid": pa.array(nva, pa.int64()),
+                "sum_z": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return ts.ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- individual queries -----------------------------------------------------
+
+
+def q_tile_fmt_summary(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    grid = ts.grid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list] = {}
+        for info, arr in iter_tiles(batch, grid):
+            a = acc.setdefault(info.fmt, [0, 0, 0])
+            a[0] += 1
+            a[1] += arr.size
+            a[2] += int(np.isfinite(arr).sum())
+        fmts = sorted(acc)
+        return pa.table(
+            {
+                "fmt": pa.array(fmts, pa.string()),
+                "n_tiles": pa.array([acc[f][0] for f in fmts], pa.int64()),
+                "n_px": pa.array([acc[f][1] for f in fmts], pa.int64()),
+                "n_valid": pa.array([acc[f][2] for f in fmts], pa.int64()),
+            }
+        )
+
+    return (
+        ts.ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_tiles", alias_name="n_tiles"),
+            Sum("n_px", alias_name="n_px"),
+            Sum("n_valid", alias_name="n_valid"),
+        )
+    )
+
+
+def q_grid_global_stats(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    st = stats.global_stats(ts)
+    return pd.DataFrame(
+        {
+            "n_px": [int(st["n_cells"])],
+            "n_valid": [int(st["n_valid"])],
+            "sum_z": [round(st["sum"], 2)],
+            "min_z": [st["min"]],
+            "max_z": [st["max"]],
+            "mean_z": [round(st["mean"], 6)],
+        }
+    )
+
+
+def q_rect_clip_stats(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(rect_clip(ts, fixtures.CLIP_WINDOW))
+
+
+def q_zonal_stats(sf_dir: str):
+    ts, scheme = tiles_for(sf_dir)
+    feats = fixtures.rect_zone_features(scheme)
+    zs = stats.zonal_stats(ts, feats, attribute="id")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone": df["zone"].astype(np.int64),
+                "n": df["n"].astype(np.int64),
+                "sum_z": df["sum_z"].round(2),
+                "min_z": df["min_z"],
+                "max_z": df["max_z"],
+            }
+        )
+
+    return zs.map_batches(final, batch_format="pandas")
+
+
+def q_voronoi_counts(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    vc = voronoi_counts(ts, _gauges(sf_dir))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_cells"] = df["n_cells"].astype(np.int64)
+        df["sum_z"] = df["sum_z"].round(2)
+        return df
+
+    return vc.map_batches(final, batch_format="pandas")
+
+
+def q_idw_mean(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    return idw_stats(ts, _gauges(sf_dir))
+
+
+def q_resample_stats(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    rs = mosaic.grid_resample_nearest(ts, 7.5)
+    st = stats.global_stats(rs)
+    return pd.DataFrame(
+        {
+            "n_px": [int(st["n_cells"])],
+            "n_valid": [int(st["n_valid"])],
+            "sum_z": [round(st["sum"], 2)],
+            "min_z": [st["min"]],
+            "max_z": [st["max"]],
+        }
+    )
+
+
+def q_phash_dedup(sf_dir: str):
+    ts, _ = tiles_for(sf_dir, "tiles_dup")
+    kept = mosaic.dedup_exact(ts)
+    return kept.ds.select_columns(["phash", "image_id"])
+
+
+def q_classify_hist(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    classified = stats.classify(ts, fixtures.CLASSIFY_BREAKS)
+    grid = classified.grid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(len(fixtures.CLASSIFY_BREAKS) + 1, dtype=np.int64)
+        for _info, arr in iter_tiles(batch, grid):
+            v = arr[np.isfinite(arr)].astype(np.int64)
+            counts += np.bincount(v, minlength=counts.size)
+        bins = np.arange(counts.size, dtype=np.int64)
+        return pa.table({"bin": pa.array(bins), "n": pa.array(counts)})
+
+    return (
+        classified.ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_tile_topk(sf_dir: str):
+    ts, _ = tiles_for(sf_dir)
+    return mosaic.top_k_tiles(ts, 5, stat="max")
+
+
+def _mosaic_inputs(sf_dir: str):
+    d = fixture_dir_for(sf_dir)
+    schemes = fixtures.mosaic_schemes()
+    return [
+        read_tiles(f"{d}/mosaic{i}.parquet", s) for i, s in enumerate(schemes)
+    ]
+
+
+def q_mosaic_combine_stats(sf_dir: str):
+    combined = mosaic.combine_mosaic(_mosaic_inputs(sf_dir))
+    st = stats.global_stats(combined)
+    return pd.DataFrame(
+        {
+            "n_valid": [int(st["n_valid"])],
+            "sum_z": [round(st["sum"], 2)],
+            "min_z": [st["min"]],
+            "max_z": [st["max"]],
+        }
+    )
+
+
+def q_merge_stats(sf_dir: str):
+    inputs = _mosaic_inputs(sf_dir)
+    # input 2 overlaps input 0 (inputs 0/1 merely abut) → real overwrite path
+    merged = mosaic.merge_into([inputs[2]], inputs[0])
+    st = stats.global_stats(merged)
+    return pd.DataFrame(
+        {
+            "n_valid": [int(st["n_valid"])],
+            "sum_z": [round(st["sum"], 2)],
+            "min_z": [st["min"]],
+            "max_z": [st["max"]],
+        }
+    )
+
+
+def q_line_cells(sf_dir: str):
+    """Polyline walk + value extraction (no SQL oracle: the linspace walk is
+    the operator; exactness covered by unit tests vs the reference math)."""
+    ts, scheme = tiles_for(sf_dir)
+    ext = scheme.grid.extent
+    line = [
+        [ext[0] + 12.0, ext[2] + 17.0],
+        [ext[0] + 0.55 * (ext[1] - ext[0]), ext[2] + 0.81 * (ext[3] - ext[2])],
+        [ext[1] - 23.0, ext[2] + 0.3 * (ext[3] - ext[2])],
+    ]
+    return line_cells(ts, line)
+
+
+def q_knn_idw_surface(sf_dir: str):
+    """kNN-IDW interpolated surface summary (approximate scale path; no SQL
+    oracle — rows-only check)."""
+    ts, _ = tiles_for(sf_dir)
+    surf = point_interpolate(ts, _gauges(sf_dir), method="idw", k=8, concurrency=4)
+    return per_tile_stats(surf)
+
+
+TILE_QUERIES = {
+    "tile_fmt_summary": q_tile_fmt_summary,
+    "grid_global_stats": q_grid_global_stats,
+    "rect_clip_stats": q_rect_clip_stats,
+    "zonal_stats": q_zonal_stats,
+    "voronoi_counts": q_voronoi_counts,
+    "idw_mean": q_idw_mean,
+    "resample_stats": q_resample_stats,
+    "phash_dedup": q_phash_dedup,
+    "classify_hist": q_classify_hist,
+    "tile_topk": q_tile_topk,
+    "mosaic_combine_stats": q_mosaic_combine_stats,
+    "merge_stats": q_merge_stats,
+    "line_cells": q_line_cells,
+    "knn_idw_surface": q_knn_idw_surface,
+}

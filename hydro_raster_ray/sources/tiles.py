@@ -120,6 +120,7 @@ def read_tiles(
     ds = ds.map_batches(
         lambda b: _derive_meta(b, scheme, validate),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return TileSet(ds=ds, grid=scheme.grid)
 
@@ -128,7 +129,9 @@ def from_arrow_tiles(table: pa.Table, scheme: TileScheme, validate: bool = True)
     """Test/ingest constructor: in-memory Arrow tiles → TileSet."""
     ds = ray.data.from_arrow(table)
     ds = ds.map_batches(
-        lambda b: _derive_meta(b, scheme, validate), batch_format="pyarrow"
+        lambda b: _derive_meta(b, scheme, validate),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     return TileSet(ds=ds, grid=scheme.grid)
 

@@ -43,7 +43,7 @@ def filter_tiles_rc(ts: TileSet, r0: int, r1: int, c0: int, c1: int) -> TileSet:
         )
         return batch.filter(keep)
 
-    return TileSet(ds=ts.ds.map_batches(pred, batch_format="pyarrow"), grid=ts.grid)
+    return TileSet(ds=ts.ds.map_batches(pred, batch_format="pyarrow", batch_size=None), grid=ts.grid)
 
 
 def rect_clip(ts: TileSet, clip_extent) -> TileSet:
@@ -113,7 +113,7 @@ def rect_clip(ts: TileSet, clip_extent) -> TileSet:
         return int_batch
 
     return TileSet(
-        ds=ts.ds.map_batches(clip_batch, batch_format="pyarrow"), grid=new_spec
+        ds=ts.ds.map_batches(clip_batch, batch_format="pyarrow", batch_size=None), grid=new_spec
     )
 
 
@@ -142,5 +142,5 @@ def polygon_clip(ts: TileSet, rings, drop_empty: bool = True) -> TileSet:
         return rows_to_table(rows, lossless=True) if rows else rows_to_table([]).slice(0, 0)
 
     return TileSet(
-        ds=clipped.ds.map_batches(mask_batch, batch_format="pyarrow"), grid=grid
+        ds=clipped.ds.map_batches(mask_batch, batch_format="pyarrow", batch_size=None), grid=grid
     )

@@ -67,10 +67,28 @@ class TileInfo:
         return np.meshgrid(X, Y)
 
 
+def _payload_views(batch: pa.Table):
+    """Zero-copy memoryview per row of the ``bytes`` column (no per-payload
+    bytes materialization — the Arrow buffer is read in place)."""
+    col = batch["bytes"]
+    views: list[memoryview] = []
+    for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+        bufs = chunk.buffers()
+        # [validity, offsets, data] for (large_)binary arrays
+        width = 8 if pa.types.is_large_binary(chunk.type) else 4
+        offsets = np.frombuffer(
+            bufs[1], dtype=np.int64 if width == 8 else np.int32
+        )[chunk.offset : chunk.offset + len(chunk) + 1]
+        data = memoryview(bufs[2])
+        for i in range(len(chunk)):
+            views.append(data[offsets[i] : offsets[i + 1]])
+    return views
+
+
 def iter_tiles(batch: pa.Table, grid: GridSpec):
     """Yield (TileInfo, decoded float64 array) per row of an Arrow batch."""
     ids = batch["image_id"].to_pylist()
-    bufs = batch["bytes"].to_pylist()
+    bufs = _payload_views(batch)
     hs = batch["h"].to_pylist()
     ws = batch["w"].to_pylist()
     fmts = batch["fmt"].to_pylist()
@@ -176,6 +194,9 @@ def map_tiles(
       * a function ``(array, info) -> array`` → stateless ``map_batches`` tasks;
       * a class whose instances are ``(array, info) -> array`` callables →
         actor pool (``__init__`` once per actor; size with ``concurrency``).
+        NEVER size ``concurrency`` to the full CPU count: the pool reserves
+        ``concurrency × num_cpus`` CPUs and a pool holding every CPU starves
+        the upstream read stage (observed deadlock, not just slowdown).
 
     The returned array may have a different shape (e.g. trims); georef stays
     that of the input tile unless the UDF also returns a new info via the

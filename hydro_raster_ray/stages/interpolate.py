@@ -243,7 +243,41 @@ def voronoi_counts(ts: TileSet, gauges, concurrency: int = 4):
 
     from ray.data.aggregate import Sum
 
-    partial = ts.ds.map_batches(Counter, batch_format="pyarrow", concurrency=concurrency)
+    partial = ts.ds.map_batches(Counter, batch_format="pyarrow", batch_size=None, concurrency=concurrency)
     return partial.groupby("gauge_id").aggregate(
         Sum("n_cells", alias_name="n_cells"), Sum("sum_z", alias_name="sum_z")
+    )
+
+
+def idw_stats(ts: TileSet, gauges, power: float = 2.0, concurrency: int = 4):
+    """Global (n, mean) of the IDW surface computed in FULL float64 (no
+    storage rounding) — the value the DuckDB cross-join oracle reproduces
+    exactly. Returns a Ray Dataset with one row (n_cells, mean_idw)."""
+    g = {k: np.asarray(gauges[k], dtype=np.float64) for k in ("x", "y", "value")}
+    ref = ray.put(g)
+    grid = ts.grid
+
+    class Partial:
+        def __init__(self):
+            self.interp = GaugeInterpolator(ref, method="idw", power=power)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = 0
+            s = 0.0
+            for info, _arr in iter_tiles(batch, grid):
+                X, Y = info.cell_centres()
+                vals = self.interp._idw(X.ravel(), Y.ravel())
+                n += vals.size
+                s += float(vals.sum())
+            return pa.table({"n": [n], "s": [s]})
+
+    from ray.data.aggregate import Sum
+
+    agg = ts.ds.map_batches(
+        Partial, batch_format="pyarrow", batch_size=None, concurrency=concurrency
+    ).aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n_cells": [int(agg["n"])], "mean_idw": [round(agg["s"] / agg["n"], 6)]}
     )

@@ -1,0 +1,163 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Generalizes the tile pipeline to arbitrary media: image / audio / video
+payloads travel as ``binary`` columns with typed metadata (w, h, fmt /
+sample_rate / n_frames), and decode / feature-extract / resize /
+frame-sample run as actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries (Pillow, opencv, ffmpeg) are NOT in this
+container, so the codec boundary is isolated in ``MediaCodec``: real formats
+raise ``NotImplementedError`` unless the optional library import succeeds,
+while the engine's own ``raw-*``/``qlossy`` formats and the deterministic
+``fake-*`` formats decode for real — the Ray-side plumbing (schema, batch
+size, actor signature, output layout) is fully real and tested either way.
+
+Scale notes: media rows are fat — stages default to small ``batch_size`` and
+pyarrow batches (zero-copy payload views); feature extraction emits thin
+rows (drop the payload as early as possible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+from ..sources.tiles import TileSet
+from .decode import _payload_views
+
+__all__ = ["MediaCodec", "image_features", "resize_images", "sample_frames"]
+
+
+class MediaCodec:
+    """Codec boundary. ``decode(buf, meta) -> (h, w[, c]) float array``.
+
+    - ``raw-f32`` / ``raw-u16`` / ``qlossy``: the engine's own codecs (real).
+    - ``fake-rgb8``: deterministic stand-in "image" format — blake2b-seeded
+      gradient, reproducible per payload (used to exercise pipelines without
+      Pillow); decoding is real numpy work with the declared (h, w, 3) shape.
+    - ``png`` / ``jpeg``: require Pillow → NotImplementedError here.
+    """
+
+    def __init__(self):
+        try:  # pragma: no cover - not installable in this sandbox
+            from PIL import Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def decode(self, buf, h: int, w: int, fmt: str) -> np.ndarray:
+        if fmt in codecs.FORMATS:
+            return codecs.decode(buf, h, w, fmt)
+        if fmt == "fake-rgb8":
+            seed = int.from_bytes(
+                hashlib.blake2b(bytes(buf[:64]), digest_size=8).digest(), "little"
+            )
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((xx * 3 + yy * 7 + seed) % 256).astype(np.float64)
+            return np.stack([base, (base * 2) % 256, (base * 5) % 256], axis=-1)
+        if fmt in ("png", "jpeg"):
+            if not self._pil:
+                raise NotImplementedError(
+                    f"{fmt} decode requires Pillow, which is not available in "
+                    "this environment; plug a real codec into MediaCodec"
+                )
+            raise NotImplementedError("real image codec path not wired yet")
+        raise ValueError(f"unknown media fmt {fmt!r}")
+
+
+class _ImageFeatures:
+    """Actor: decode once per row, emit thin feature rows (payload dropped)."""
+
+    def __init__(self):
+        self.codec = MediaCodec()  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = _payload_views(batch)
+        ids = batch["image_id"].to_pylist()
+        hs = batch["h"].to_pylist()
+        ws = batch["w"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out = {"image_id": [], "mean": [], "std": [], "p_low": [], "p_high": [],
+               "edge_energy": []}
+        for i in range(batch.num_rows):
+            a = self.codec.decode(views[i], hs[i], ws[i], fmts[i])
+            v = a[np.isfinite(a)]
+            if v.size == 0:
+                continue
+            out["image_id"].append(ids[i])
+            out["mean"].append(float(v.mean()))
+            out["std"].append(float(v.std()))
+            out["p_low"].append(float(np.percentile(v, 5)))
+            out["p_high"].append(float(np.percentile(v, 95)))
+            plane = a if a.ndim == 2 else a[..., 0]
+            gx = np.diff(plane, axis=1)
+            gy = np.diff(plane, axis=0)
+            out["edge_energy"].append(
+                float(np.nansum(gx * gx) + np.nansum(gy * gy))
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "mean": pa.array(out["mean"], pa.float64()),
+                "std": pa.array(out["std"], pa.float64()),
+                "p_low": pa.array(out["p_low"], pa.float64()),
+                "p_high": pa.array(out["p_high"], pa.float64()),
+                "edge_energy": pa.array(out["edge_energy"], pa.float64()),
+            }
+        )
+
+
+def image_features(ts: TileSet, concurrency: int = 4, batch_size: int = 32):
+    """Per-image statistical features via an actor pool (codec built once
+    per actor; small batches because rows are fat)."""
+    return ts.ds.map_batches(
+        _ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(ts: TileSet, factor: int, concurrency: int = 4):
+    """Integer-factor nearest resize of every payload (decode → stride →
+    re-encode raw-f32). The multimodal cousin of grid_resample_nearest."""
+    from .decode import map_tiles
+
+    class Resize:
+        def __init__(self):
+            self.codec = MediaCodec()
+
+        def __call__(self, arr, info):
+            return arr[::factor, ::factor]
+
+    return map_tiles(
+        ts, Resize, concurrency=concurrency, lossless=True, batch_size=32
+    )
+
+
+def sample_frames(ds, every_n: int = 10):
+    """Video frame sampling STUB: rows are (video_id, bytes, n_frames, fmt);
+    emits (video_id, frame_idx) plan rows — the decode itself is behind
+    MediaCodec (NotImplementedError for real containers). Demonstrates the
+    flat_map-style expansion layout for frame pipelines."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        vids, idxs = [], []
+        for vid, n in zip(
+            batch["video_id"].to_pylist(), batch["n_frames"].to_pylist()
+        ):
+            ks = list(range(0, int(n), every_n))
+            vids.extend([vid] * len(ks))
+            idxs.extend(ks)
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=64)

@@ -123,7 +123,7 @@ def rasterize_plane(
         return rows_to_table(rows, lossless=True) if rows else rows_to_table([])
 
     return TileSet(
-        ds=ts.ds.map_batches(burn_batch, batch_format="pyarrow"), grid=grid
+        ds=ts.ds.map_batches(burn_batch, batch_format="pyarrow", batch_size=None), grid=grid
     )
 
 
@@ -154,5 +154,5 @@ def apply_features(
         return rows_to_table(rows, lossless=True) if rows else rows_to_table([])
 
     return TileSet(
-        ds=ts.ds.map_batches(fuse_batch, batch_format="pyarrow"), grid=grid
+        ds=ts.ds.map_batches(fuse_batch, batch_format="pyarrow", batch_size=None), grid=grid
     )

@@ -1,0 +1,154 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``brute_force_topk``: exact cosine top-k of every row against a broadcast
+  query matrix — the baseline. Per batch: one numpy matmul against the
+  queries (zero-copy Arrow → numpy), then a per-batch partial top-k so only
+  k rows per (query, batch) reach the final merge.
+- ``ivf_assign`` / ``ivf_topk``: the scale path — IVF-style bucketing by
+  nearest centroid (deterministic centroids = the first C vectors), search
+  restricted to the query's bucket.
+
+All math is float64 with the plain sum formula so the DuckDB oracle
+(``list_cosine_similarity`` over DOUBLE[]) agrees to rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+__all__ = ["read_embeddings", "brute_force_topk", "ivf_assign", "ivf_topk"]
+
+
+def read_embeddings(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _batch_matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id IN ({','.join(str(int(q)) for q in query_ids)}) ORDER BY vec_id"
+    ).fetchall()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, qm
+
+
+def brute_force_topk(
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10
+) -> "ray.data.Dataset":
+    """Exact cosine top-k per query (self excluded). Columns: qid, vec_id,
+    sim (6-dec), rank (1-based; ties broken by vec_id asc)."""
+    qids, qm = _load_queries(sf_dir, query_ids)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ qmat.T  # (batch, nq)
+        out = []
+        vec_ids = df["vec_id"].to_numpy()
+        for j, qid in enumerate(ids):
+            s = sims[:, j]
+            keep = vec_ids != qid  # exclude self
+            vv, ss = vec_ids[keep], s[keep]
+            if ss.size > k:
+                top = np.argpartition(-ss, k)[:k]
+                vv, ss = vv[top], ss[top]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sim"] = df["sim"].round(6)
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return cand.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def ivf_assign(sf_dir: str, n_centroids: int = 8) -> "ray.data.Dataset":
+    """IVF bucket assignment: nearest (max-cosine) of the first C vectors
+    (deterministic centroids). Columns: vec_id, centroid, then aggregated to
+    (centroid, n) bucket sizes."""
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ref = ray.put((cids, cn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ cmat.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"], "centroid": ids[best].astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("centroid")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def ivf_topk(
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8
+) -> "ray.data.Dataset":
+    """Bucketed ANN: per query, search only vectors sharing the query's
+    centroid bucket (plus the exact brute-force fallback is
+    ``brute_force_topk``). Approximate by design; columns like brute force
+    plus the bucket id."""
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qids, qm = _load_queries(sf_dir, query_ids)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_bucket = cids[np.argmax(qn @ cn.T, axis=1)]
+    ref = ray.put((qids, qn, q_bucket, cids, cn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat, qb, ccids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bucket = ccids[np.argmax(mn @ cmat.T, axis=1)]
+        sims = mn @ qmat.T
+        vec_ids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids):
+            keep = (bucket == qb[j]) & (vec_ids != qid)
+            vv, ss = vec_ids[keep], sims[keep, j]
+            if ss.size > k:
+                top = np.argpartition(-ss, k)[:k]
+                vv, ss = vv[top], ss[top]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sim"] = df["sim"].round(6)
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return cand.groupby("qid").map_groups(final, batch_format="pandas")

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Driver-style side-by-side check: run every queries() entry at a given sf
+and compare against oracle_sql() via DuckDB (row-count + schema-name +
+order-insensitive value hash). Mirrors the graft driver's correctness gate.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            df[c] = col.round(9)
+        elif pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]").astype("int64")
+    rows = sorted(tuple(r) for r in df.itertuples(index=False, name=None))
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: ray query raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows={len(mine)} ({dt:.1f}s) [rows-only, no oracle]")
+            continue
+        try:
+            theirs = con.sql(sqls[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(mine) != len(theirs):
+            problems.append(f"rows {len(mine)} != {len(theirs)}")
+        if sorted(mine.columns) != sorted(theirs.columns):
+            problems.append(f"cols {sorted(mine.columns)} != {sorted(theirs.columns)}")
+        elif value_hash(mine) != value_hash(theirs):
+            problems.append("value-hash mismatch")
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
+            m = mine[sorted(mine.columns)].sort_values(sorted(mine.columns)[:2])
+            t = (
+                theirs[sorted(theirs.columns)].sort_values(sorted(theirs.columns)[:2])
+                if sorted(mine.columns) == sorted(theirs.columns)
+                else theirs
+            )
+            print("  mine:\n", m.head(8).to_string(), sep="")
+            print("  oracle:\n", t.head(8).to_string(), sep="")
+        else:
+            print(f"ok   {name}: rows={len(mine)} hash match ({dt:.1f}s)")
+    ray.shutdown()
+    print("FAILURES:", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
