@@ -525,3 +525,34 @@ def bench_zone_features(scheme: TileScheme, n: int = 64) -> list[dict]:
             }
         )
     return feats
+
+
+def sections_fixture(scheme: TileScheme):
+    """Bankline / cross-section polylines replaying sample_data.pkl's shape
+    envelope (FIXTURES.md §4): two sinusoidal banks ~21 samples apart with
+    parabolic depth profiles across 4 stations. Returns
+    (bankline0 (40,2), bankline1 (50,2), crosslines [4 x (21,3)])."""
+    ext = scheme.grid.extent
+    W = ext[1] - ext[0]
+    H = ext[3] - ext[2]
+    xc = ext[0] + 0.5 * W
+    amp = 0.06 * H
+    half_w = 0.05 * H
+
+    def bank(n, sign):
+        t = np.linspace(0.1, 0.9, n)
+        x = ext[0] + t * W
+        y = ext[2] + 0.5 * H + amp * np.sin(t * 4 * np.pi) + sign * half_w
+        return np.c_[x, y]
+
+    bank0 = bank(40, +1.0)
+    bank1 = bank(50, -1.0)
+    crosslines = []
+    for k, t in enumerate(np.linspace(0.2, 0.8, 4)):
+        x = ext[0] + t * W
+        yc = ext[2] + 0.5 * H + amp * np.sin(t * 4 * np.pi)
+        s = np.linspace(-1.0, 1.0, 21)
+        y = yc + s * half_w
+        z = analytic_z(np.full(21, x), y, scheme.grid) - 8.0 * (1 - s**2)
+        crosslines.append(np.c_[np.full(21, x), y, z])
+    return bank0, bank1, crosslines

@@ -272,3 +272,31 @@ def classify(array, breaks):
     out = np.digitize(array, breaks).astype(np.float64)
     out[np.isnan(array)] = np.nan
     return out
+
+
+def resample(array, spec: GridSpec, new_cellsize: float, method: str = "bilinear"):
+    """Whole-array reference for ``stages.resample`` (``Raster.resample``
+    header math, ``Raster.py:387-403``; kernel semantics documented in
+    stages/resample.py since rasterio cannot run in this sandbox)."""
+    from .stages.resample import _axis_fractional, resample_kernel
+
+    factor = spec.cellsize / new_cellsize
+    new_nrows = int(np.round(spec.nrows * factor))
+    new_ncols = int(np.round(spec.ncols * factor))
+    top = spec.yllcorner + spec.nrows * spec.cellsize
+    new_spec = GridSpec(
+        ncols=new_ncols,
+        nrows=new_nrows,
+        xllcorner=spec.xllcorner,
+        yllcorner=top - new_nrows * new_cellsize,
+        cellsize=float(new_cellsize),
+        nodata=spec.nodata,
+        crs=spec.crs,
+    )
+    fy = _axis_fractional(spec.nrows, new_nrows, np.arange(new_nrows))
+    fx = _axis_fractional(spec.ncols, new_ncols, np.arange(new_ncols))
+    out = resample_kernel(
+        array, 0, 0, fy, fx, method,
+        spec.nrows / new_nrows, spec.ncols / new_ncols, spec.nrows, spec.ncols,
+    )
+    return out, new_spec

@@ -264,6 +264,68 @@ def q_line_cells(sf_dir: str):
     return line_cells(ts, line)
 
 
+def q_resample_bilinear(sf_dir: str):
+    """Halo-exchange bilinear resample summary (engine-defined kernel; no
+    SQL oracle — exactness covered by the whole-array oracle in pytest)."""
+    from .resample_shim import resample_stats_bilinear
+
+    return resample_stats_bilinear(sf_dir)
+
+
+def q_channel_surface(sf_dir: str):
+    """Line-to-surface bathymetry composition (rows-only check)."""
+    from .. import fixtures as fx
+    from .channel import line_to_surface
+
+    ts, scheme = tiles_for(sf_dir)
+    b0, b1, xs = fx.sections_fixture(scheme)
+    surf = line_to_surface(ts, xs, b0, b1, method="idw")
+    return per_tile_stats(surf)
+
+
+def q_remove_block(sf_dir: str):
+    """Overhead-block removal composition (rows-only check)."""
+    from .. import fixtures as fx
+    from .channel import remove_block
+
+    ts, scheme = tiles_for(sf_dir)
+    feats = [fx.rect_zone_features(scheme)[1]]
+    return per_tile_stats(remove_block(ts, feats))
+
+
+def q_to_int_hist(sf_dir: str):
+    """to_int rounding: histogram of rounded values by sign bucket. SQL
+    oracle: DuckDB round() (half-away) vs np.round (half-even) differ ONLY
+    at exact .5 values, which the continuous fixture never hits."""
+    from ..stages.decode import to_int_tiles
+
+    ts, _ = tiles_for(sf_dir)
+    rounded = to_int_tiles(ts)
+    grid = rounded.grid
+
+    def partial(batch):
+        import pyarrow as _pa
+
+        neg = pos = zero = 0
+        s = 0.0
+        for _info, arr in iter_tiles(batch, grid):
+            v = arr[np.isfinite(arr)]
+            neg += int((v < 0).sum())
+            pos += int((v > 0).sum())
+            zero += int((v == 0).sum())
+            s += float(v.sum())
+        return _pa.table({"neg": [neg], "pos": [pos], "zero": [zero], "s": [s]})
+
+    agg = (
+        rounded.ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("neg", alias_name="neg"), Sum("pos", alias_name="pos"),
+                   Sum("zero", alias_name="zero"), Sum("s", alias_name="s"))
+    )
+    return pd.DataFrame({"neg": [int(agg["neg"])], "pos": [int(agg["pos"])],
+                         "zero": [int(agg["zero"])],
+                         "sum_round": [round(agg["s"], 1)]})
+
+
 def q_knn_idw_surface(sf_dir: str):
     """kNN-IDW interpolated surface summary (approximate scale path; no SQL
     oracle — rows-only check)."""
@@ -287,4 +349,8 @@ TILE_QUERIES = {
     "merge_stats": q_merge_stats,
     "line_cells": q_line_cells,
     "knn_idw_surface": q_knn_idw_surface,
+    "channel_surface": q_channel_surface,
+    "remove_block": q_remove_block,
+    "to_int_hist": q_to_int_hist,
+    "resample_bilinear": q_resample_bilinear,
 }

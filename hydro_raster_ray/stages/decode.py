@@ -245,3 +245,19 @@ def map_tiles(
             concurrency=concurrency,
         )
     return TileSet(ds=ds, grid=grid)
+
+
+def to_int_tiles(ts: TileSet) -> TileSet:
+    """``Raster.to_int`` (``Raster.py:152-165``): round cell values to
+    integers (NaN holes preserved; the NaN→sentinel write-back happens at
+    encode, as in the reference's save path)."""
+    return map_tiles(ts, lambda a, info: np.round(a), lossless=True)
+
+
+def set_nodata(ts: TileSet, value: float) -> TileSet:
+    """``Raster.set_nodata`` (``Raster.py:683-692``): metadata-only change of
+    the NODATA sentinel — pixels are NaN-coded internally, so only the grid
+    header changes."""
+    import dataclasses
+
+    return TileSet(ds=ts.ds, grid=dataclasses.replace(ts.grid, nodata=float(value)))
