@@ -326,6 +326,16 @@ def q_to_int_hist(sf_dir: str):
                          "sum_round": [round(agg["s"], 1)]})
 
 
+def q_vectorize(sf_dir: str):
+    """Raster→vector: classified mosaic → stitched connected components
+    (rows-only check; exactness vs an independent BFS oracle in pytest)."""
+    from ..stages.stats import classify
+    from ..stages.vectorize import vectorize_components
+
+    ts, _ = tiles_for(sf_dir)
+    return vectorize_components(classify(ts, [0.0]))
+
+
 def q_knn_idw_surface(sf_dir: str):
     """kNN-IDW interpolated surface summary (approximate scale path; no SQL
     oracle — rows-only check)."""
@@ -353,4 +363,5 @@ TILE_QUERIES = {
     "remove_block": q_remove_block,
     "to_int_hist": q_to_int_hist,
     "resample_bilinear": q_resample_bilinear,
+    "vectorize": q_vectorize,
 }
