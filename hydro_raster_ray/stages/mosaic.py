@@ -45,6 +45,8 @@ __all__ = [
     "assign_to",
     "dedup_exact",
     "top_k_tiles",
+    "intersect_tiles",
+    "except_tiles",
 ]
 
 _FRAG_FIELDS = [
@@ -534,4 +536,57 @@ def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
         ts.ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
         .sort("stat", descending=(stat != "min"))
         .limit(k)
+    )
+
+
+def _key_set_ref(other: TileSet):
+    """Collect the other side's image_id KEYS (keys only — kilobytes per
+    million tiles) and broadcast them once. For key sets too large to
+    broadcast, the documented alternative is the tagged-union groupby
+    (hash-partitioned semi join) — same pattern as dedup_exact."""
+    import pyarrow as pa
+    import ray as _ray
+
+    keys = set()
+    for b in other.ds.select_columns(["image_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        keys.update(b["image_id"].to_pylist())
+    return _ray.put(frozenset(keys))
+
+
+def intersect_tiles(a: TileSet, b: TileSet) -> TileSet:
+    """Tiles of ``a`` whose image_id also appears in ``b`` (semi join,
+    broadcast key set — SURVEY.md §2.8)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    ref = _key_set_ref(b)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        sel = [i in ks for i in batch["image_id"].to_pylist()]
+        return batch.filter(pa.array(sel))
+
+    return TileSet(
+        ds=a.ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
+        grid=a.grid,
+    )
+
+
+def except_tiles(a: TileSet, b: TileSet) -> TileSet:
+    """Tiles of ``a`` NOT present in ``b`` (anti join, broadcast key set)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    ref = _key_set_ref(b)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        sel = [i not in ks for i in batch["image_id"].to_pylist()]
+        return batch.filter(pa.array(sel))
+
+    return TileSet(
+        ds=a.ds.map_batches(drop, batch_format="pyarrow", batch_size=None),
+        grid=a.grid,
     )

@@ -132,3 +132,22 @@ def test_top_k_tiles(ray_session, small_scheme):
     want = sorted(per_tile.items(), key=lambda kv: -kv[1])[:3]
     assert [r["image_id"] for r in got] == [k for k, _ in want]
     np.testing.assert_allclose([r["stat"] for r in got], [v for _, v in want])
+
+
+def test_intersect_except_tiles(ray_session, small_scheme):
+    table = fixtures.tiles_table(small_scheme)
+    ts_all = from_arrow_tiles(table, small_scheme)
+    # window clip keeps a strict subset of tiles
+    from hydro_raster_ray.stages.clip import filter_tiles_rc
+
+    subset = filter_tiles_rc(ts_all, 0, 100, 0, 100)
+    n_sub = subset.ds.count()
+    assert 0 < n_sub < small_scheme.n_tiles
+    inter = mosaic.intersect_tiles(ts_all, subset)
+    assert sorted(r["image_id"] for r in inter.ds.select_columns(["image_id"]).take_all()) == sorted(
+        r["image_id"] for r in subset.ds.select_columns(["image_id"]).take_all()
+    )
+    exc = mosaic.except_tiles(ts_all, subset)
+    assert exc.ds.count() == small_scheme.n_tiles - n_sub
+    # disjoint union restores the full set
+    assert inter.ds.count() + exc.ds.count() == small_scheme.n_tiles
