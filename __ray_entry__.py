@@ -43,6 +43,12 @@ for _tag in ("sf0.001", "sf0.01"):
 
 F = os.path.join(fixtures.FIXTURE_ROOT, "sf0.01")  # driver correctness scale
 
+# expected-value witnesses for the non-SQL-expressible ops (single-process
+# scalar implementations → parquet; the oracle SQL just SELECTs them)
+from hydro_raster_ray.text.witness import ensure_doc_witnesses  # noqa: E402
+
+ensure_doc_witnesses("sf0.01", F)
+
 
 def entry() -> Any:
     """Flagship EP1 pipeline at sf0.001: read tiles → rect-clip → rasterize
@@ -311,8 +317,20 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
-        # line_cells, knn_idw_surface, doc_minhash_near_dups, doc_simhash,
-        # doc_fingerprint, ann_ivf_topk: non-SQL-expressible (linspace walk,
-        # kNN truncation, blake2b hashing, bucketed ANN) → rows-only checks;
-        # exactness covered by pytest goldens instead.
+        # ---- witness-parquet oracles: the op is not SQL-expressible, so a
+        # single-process scalar implementation (text/witness.py) writes the
+        # expected rows at fixture time and the oracle just reads them.
+        "doc_minhash_near_dups": f"""
+SELECT doc_id, group_id FROM read_parquet('{F}/witness_minhash_groups.parquet')
+""",
+        "doc_simhash": f"""
+SELECT doc_id, simhash FROM read_parquet('{F}/witness_simhash.parquet')
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, fingerprint FROM read_parquet('{F}/witness_fingerprint.parquet')
+""",
+        "ann_ivf_topk": f"""
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) rank
+FROM read_parquet('{F}/witness_ivf_topk.parquet')
+""",
     }

@@ -14,13 +14,15 @@ All math is float64 with the plain sum formula so the DuckDB oracle
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["read_embeddings", "brute_force_topk", "ivf_assign", "ivf_topk"]
+__all__ = ["read_embeddings", "brute_force_topk", "ivf_assign", "ivf_build", "ivf_topk"]
 
 
 def read_embeddings(sf_dir: str, columns=None) -> "ray.data.Dataset":
@@ -110,39 +112,90 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> "ray.data.Dataset":
     )
 
 
+def ivf_build(sf_dir: str, n_centroids: int = 8, root: str = "/tmp/graft_ivf") -> str:
+    """Build the IVF index: persist the embeddings table bucket-partitioned
+    by nearest centroid (Hive layout, one directory per centroid) so that
+    queries read ONLY their probed buckets — the I/O-pruning half of IVF
+    the round-1 full-scan formulation lacked. Idempotent via a _COMPLETE
+    marker; deterministic (centroids = the first C vectors), so any retry
+    or parallelism level writes identical content."""
+    import hashlib as _hl
+
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{n_centroids}".encode()).hexdigest()[:12]
+    out = os.path.join(root, tag)
+    done = os.path.join(out, "_COMPLETE")
+    if os.path.exists(done):
+        return out
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ref = ray.put((cids, cn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        df = df.copy()
+        df["centroid"] = ids[np.argmax(mn @ cmat.T, axis=1)].astype(np.int64)
+        return df
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out, partition_cols=["centroid"]
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
 def ivf_topk(
     sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8
 ) -> "ray.data.Dataset":
-    """Bucketed ANN: per query, search only vectors sharing the query's
-    centroid bucket (plus the exact brute-force fallback is
-    ``brute_force_topk``). Approximate by design; columns like brute force
-    plus the bucket id."""
+    """Bucketed ANN over the partitioned IVF index: per query, read and scan
+    ONLY the query's centroid-bucket partition (``ivf_build`` layout). The
+    exact brute-force fallback is ``brute_force_topk``. Approximate by
+    design. Columns: qid, vec_id, sim (6-dec), rank."""
+    idx = ivf_build(sf_dir, n_centroids)
     cids, cm = _load_queries(sf_dir, range(n_centroids))
     cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
     qids, qm = _load_queries(sf_dir, query_ids)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_bucket = cids[np.argmax(qn @ cn.T, axis=1)]
-    ref = ray.put((qids, qn, q_bucket, cids, cn))
-    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids, qmat, qb, ccids, cmat = ray.get(ref)
-        m = _batch_matrix(df)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        bucket = ccids[np.argmax(mn @ cmat.T, axis=1)]
-        sims = mn @ qmat.T
-        vec_ids = df["vec_id"].to_numpy()
-        out = []
-        for j, qid in enumerate(ids):
-            keep = (bucket == qb[j]) & (vec_ids != qid)
-            vv, ss = vec_ids[keep], sims[keep, j]
-            if ss.size > k:
-                top = np.argpartition(-ss, k)[:k]
-                vv, ss = vv[top], ss[top]
-            out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
-        return pd.concat(out, ignore_index=True)
+    def make_partial(sub_qids: np.ndarray, sub_qn: np.ndarray):
+        ref = ray.put((sub_qids, sub_qn))
 
-    cand = ds.map_batches(partial, batch_format="pandas")
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            ids, qmat = ray.get(ref)
+            m = _batch_matrix(df)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ qmat.T
+            vec_ids = df["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(ids):
+                keep = vec_ids != qid
+                vv, ss = vec_ids[keep], sims[keep, j]
+                if ss.size > k:
+                    top = np.argpartition(-ss, k)[:k]
+                    vv, ss = vv[top], ss[top]
+                out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
+            return pd.concat(out, ignore_index=True)
+
+        return partial
+
+    # pruned read: one dataset per probed bucket (only that bucket's files
+    # leave storage), scanned by just the queries probing it
+    parts = []
+    for b in np.unique(q_bucket):
+        sel = q_bucket == b
+        ds_b = ray.data.read_parquet(
+            os.path.join(idx, f"centroid={int(b)}"), columns=["vec_id", "embedding"]
+        )
+        parts.append(
+            ds_b.map_batches(make_partial(qids[sel], qn[sel]), batch_format="pandas")
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.union(p)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -1,0 +1,245 @@
+"""Single-process expected-value witnesses for the text / ANN operators.
+
+The driver's correctness gate compares each Ray pipeline against DuckDB SQL.
+The hashing operators (MinHash-LSH, SimHash, fingerprints) and the bucketed
+ANN search are not SQL-expressible, so this module computes their expected
+outputs **single-process, scalar-first** (independent of the distributed
+code paths — plain dicts, Python-int modular arithmetic, a union-find) and
+writes them as parquet witnesses into the fixture dir; the oracle SQL is
+then a trivial ``SELECT * FROM read_parquet(witness)``.
+
+Everything here is deliberately oracle-style: whole-table loops, no Ray, no
+shared code with ``ops.py`` beyond the published constants (permutation
+seeds, band count, the FNV base) — those constants ARE the operator
+definition, so both sides must read them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .ops import _FP_BASE
+
+__all__ = ["ensure_doc_witnesses"]
+
+_M64 = (1 << 64) - 1
+_P61 = (1 << 61) - 1
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def _tokens(text: str) -> list[str]:
+    return text.split()
+
+
+def _shingle_strs(tokens: list[str], n: int) -> set:
+    if len(tokens) < n:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def minhash_groups_witness(
+    docs: pd.DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Expected (doc_id, group_id) rows of ``ops.minhash_near_dups``.
+
+    Same contract, scalar implementation: per-bucket STAR edges (sorted-min
+    ↔ member), exact string-shingle Jaccard per edge, union-find grouping.
+    The permutation family replicates the engine's uint64 wrap-then-mod
+    arithmetic with explicit Python-int masks.
+    """
+    r = num_perm // bands
+    # permutation constants — uint64 wrap BEFORE the mod-p, like the engine
+    A = [(((k * 0x9E3779B97F4A7C15) & _M64) | 1) % _P61 for k in range(1, num_perm + 1)]
+    B = [((k * 0xC2B2AE3D27D4EB4F) & _M64) % _P61 for k in range(1, num_perm + 1)]
+
+    buckets: dict = {}
+    shingles: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        did = int(doc_id)
+        toks = _tokens(text)
+        sh = _shingle_strs(toks, n)
+        shingles[did] = sh
+        if not sh:
+            continue
+        hs = sorted({_h64(s) % _P61 for s in _shingle_strs(toks, n)})
+        sig = []
+        for a, b in zip(A, B):
+            # engine arithmetic: ((a·h mod 2^64) + b mod 2^64) mod p, min
+            # over shingles of the already-mod-p value
+            sig.append(min(((((a * h) & _M64) + b) & _M64) % _P61 for h in hs))
+        for bd in range(bands):
+            chunk = sig[bd * r : (bd + 1) * r]
+            bts = b"".join(v.to_bytes(8, "little") for v in chunk)
+            bh = _signed64(int.from_bytes(hashlib.blake2b(bts, digest_size=8).digest(), "little"))
+            buckets.setdefault((bd, bh), []).append(did)
+
+    edges = set()
+    for members in buckets.values():
+        ids = sorted(set(members))
+        if len(ids) < 2:
+            continue
+        for other in ids[1:]:
+            edges.add((ids[0], other))
+
+    # exact-Jaccard verify on string shingle sets
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for a, b in sorted(edges):
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        if union == 0 or len(sa & sb) / union < jaccard_threshold:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        members.add(a)
+        members.add(b)
+
+    rows = sorted((m, find(m)) for m in members)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "group_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def simhash_witness(docs: pd.DataFrame) -> pd.DataFrame:
+    """Expected (doc_id, simhash): the scalar per-token definition — bit k
+    set iff Σ ±1 contributions of bit k over the doc's tokens is > 0."""
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        acc = [0] * 64
+        for w in _tokens(text):
+            h = _h64(w)
+            for k in range(64):
+                acc[k] += 1 if (h >> k) & 1 else -1
+        v = 0
+        for k in range(64):
+            if acc[k] > 0:
+                v |= 1 << k
+        out.append((int(doc_id), _signed64(v)))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([o[0] for o in out], dtype=np.int64),
+            "simhash": pd.Series([o[1] for o in out], dtype=np.int64),
+        }
+    )
+
+
+def fingerprint_witness(docs: pd.DataFrame, window: int = 8) -> pd.DataFrame:
+    """Expected (doc_id, fingerprint): min over token windows of the
+    polynomial hash Σ h_i · B^(len-1-i) mod 2^64, Python-int arithmetic."""
+    base = int(_FP_BASE)
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        hs = [_h64(w) for w in _tokens(text)]
+        if not hs:
+            out.append((int(doc_id), 0))
+            continue
+        if len(hs) < window:
+            wins = [hs]
+        else:
+            wins = [hs[j : j + window] for j in range(len(hs) - window + 1)]
+        best = min(
+            sum(h * pow(base, len(w) - 1 - i, 1 << 64) for i, h in enumerate(w)) & _M64
+            for w in wins
+        )
+        out.append((int(doc_id), _signed64(best)))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([o[0] for o in out], dtype=np.int64),
+            "fingerprint": pd.Series([o[1] for o in out], dtype=np.int64),
+        }
+    )
+
+
+def ivf_topk_witness(
+    emb: pd.DataFrame, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8
+) -> pd.DataFrame:
+    """Expected (qid, vec_id, sim, rank) of ``ann.ivf_topk``: centroids =
+    first C vectors, every vector assigned to its max-cosine centroid, each
+    query scans ONLY its own bucket; sim rounded to 6 decimals, ranked by
+    (sim desc, vec_id asc)."""
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    ids = np.sort(ids)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cn = mn[:n_centroids]
+    cids = ids[:n_centroids]
+    bucket = cids[np.argmax(mn @ cn.T, axis=1)]
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(ids, qid))
+        qb = bucket[qi]
+        keep = (bucket == qb) & (ids != qid)
+        sims = np.round(mn[keep] @ mn[qi], 6)
+        vv = ids[keep]
+        order = np.lexsort((vv, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((int(qid), int(vv[j]), float(sims[j]), rank))
+    return pd.DataFrame(
+        {
+            "qid": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "vec_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+            "sim": pd.Series([r[2] for r in rows], dtype=np.float64),
+            "rank": pd.Series([r[3] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/testdata") -> None:
+    """Idempotently write the doc/ANN witness parquets for a scale tag into
+    ``out_dir`` (the fixture dir the oracle SQL reads)."""
+    done = os.path.join(out_dir, "_DOC_WITNESS_COMPLETE")
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(
+        os.path.join(testdata_root, tag, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    emb = pq.read_table(os.path.join(testdata_root, tag, "embeddings.parquet")).to_pandas()
+    pq.write_table(
+        pa.Table.from_pandas(minhash_groups_witness(docs), preserve_index=False),
+        os.path.join(out_dir, "witness_minhash_groups.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(simhash_witness(docs), preserve_index=False),
+        os.path.join(out_dir, "witness_simhash.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(fingerprint_witness(docs), preserve_index=False),
+        os.path.join(out_dir, "witness_fingerprint.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ivf_topk_witness(emb), preserve_index=False),
+        os.path.join(out_dir, "witness_ivf_topk.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")

@@ -1,0 +1,127 @@
+"""Text-op tests: distributed CC, scale-safe MinHash-LSH, batched hashing.
+
+The witness module (``text/witness.py``) is the scalar single-process
+reference; the distributed ops must reproduce it bit-for-bit. The
+pathological-bucket test pins the round-2 contract: a degenerate LSH bucket
+(every document identical) emits O(n) star edges, not O(n²) pairs.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_connected_components_shapes():
+    import ray.data
+
+    from hydro_raster_ray.stages.cc import connected_components
+
+    # 30-hop path + triangle + isolated edge
+    a = list(range(30)) + [100, 101] + [500]
+    b = list(range(1, 31)) + [101, 102] + [501]
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    lab = connected_components(edges, num_partitions=2).to_pandas()
+    by = dict(zip(lab["node"], lab["label"]))
+    assert all(by[i] == 0 for i in range(31))
+    assert by[100] == by[101] == by[102] == 100
+    assert by[500] == by[501] == 500
+    assert len(lab) == 31 + 3 + 2
+
+
+def test_minhash_matches_scalar_witness():
+    from hydro_raster_ray.text import ops, witness
+
+    got = ops.minhash_near_dups(SF).to_pandas().reset_index(drop=True)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = witness.minhash_groups_witness(docs)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0  # the fixture does contain near-dups
+
+
+def test_minhash_pathological_identical_bucket(tmp_path):
+    """All-identical corpus: every LSH bucket is degenerate. The star-edge
+    emission is O(n) and the result is a single cluster rooted at doc 0."""
+    n = 300
+    t = "the same boilerplate sentence repeated across the entire web corpus"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array([t] * n, pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    from hydro_raster_ray.text import ops
+
+    got = ops.minhash_near_dups(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    assert (got["group_id"] == 0).all()
+    assert sorted(got["doc_id"]) == list(range(n))
+
+
+def test_simhash_matches_scalar_witness():
+    from hydro_raster_ray.text import ops, witness
+
+    got = (
+        ops.simhash_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = witness.simhash_witness(docs).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fingerprint_matches_scalar_witness():
+    from hydro_raster_ray.text import ops, witness
+
+    got = (
+        ops.fingerprint_docs(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = (
+        witness.fingerprint_witness(docs).sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ivf_topk_matches_witness_and_prunes_reads():
+    from hydro_raster_ray.text import ann, witness
+
+    got = (
+        ann.ivf_topk(SF)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)[["qid", "vec_id", "sim", "rank"]]
+    )
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    want = witness.ivf_topk_witness(emb).sort_values(["qid", "rank"]).reset_index(
+        drop=True
+    )
+    got["rank"] = got["rank"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    # the index is bucket-partitioned on disk (Hive dirs per centroid)
+    idx = ann.ivf_build(SF)
+    parts = [d for d in os.listdir(idx) if d.startswith("centroid=")]
+    assert len(parts) >= 2
