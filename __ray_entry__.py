@@ -318,8 +318,32 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
         # ---- witness-parquet oracles: the op is not SQL-expressible, so a
-        # single-process scalar implementation (text/witness.py) writes the
-        # expected rows at fixture time and the oracle just reads them.
+        # single-process whole-array/scalar implementation (text/witness.py,
+        # fixtures._ensure_tile_witnesses) writes the expected rows at
+        # fixture time and the oracle just reads them.
+        "line_cells": f"""
+SELECT ordinal, gr, gc, x, y, z FROM read_parquet('{F}/witness_line_cells.parquet')
+""",
+        "knn_idw_surface": f"""
+SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
+""",
+        "channel_surface": f"""
+SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_channel.parquet')
+""",
+        "remove_block": f"""
+SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_remove_block.parquet')
+""",
+        "to_int_hist": f"""
+SELECT neg, pos, zero, sum_round FROM read_parquet('{F}/witness_to_int.parquet')
+""",
+        "resample_bilinear": f"""
+SELECT n_px, n_valid, sum_z, min_z, max_z
+FROM read_parquet('{F}/witness_resample_bilinear.parquet')
+""",
+        "vectorize": f"""
+SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
+FROM read_parquet('{F}/witness_vectorize.parquet')
+""",
         "doc_minhash_near_dups": f"""
 SELECT doc_id, group_id FROM read_parquet('{F}/witness_minhash_groups.parquet')
 """,

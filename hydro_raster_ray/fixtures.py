@@ -40,6 +40,8 @@ __all__ = [
     "poly_features",
     "mosaic_schemes",
     "ensure_fixture_dir",
+    "line_fixture",
+    "assemble_truth",
     "CLIP_WINDOW",
     "CLASSIFY_BREAKS",
 ]
@@ -382,6 +384,218 @@ def mosaic_schemes(tile_h: int = 64, tile_w: int = 64) -> list[TileScheme]:
     ]
 
 
+def line_fixture(scheme: TileScheme) -> list[list[float]]:
+    """The 3-vertex diagonal polyline used by the line_cells query (shared
+    here so the witness generator and the query agree by construction)."""
+    ext = scheme.grid.extent
+    return [
+        [ext[0] + 12.0, ext[2] + 17.0],
+        [ext[0] + 0.55 * (ext[1] - ext[0]), ext[2] + 0.81 * (ext[3] - ext[2])],
+        [ext[1] - 23.0, ext[2] + 0.3 * (ext[3] - ext[2])],
+    ]
+
+
+def assemble_truth(scheme: TileScheme) -> np.ndarray:
+    """Whole-grid decoded truth (tile_truth tiles pasted into one array) —
+    the oracle-side execution model."""
+    g = scheme.grid
+    out = np.empty((g.nrows, g.ncols))
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            z = tile_truth(scheme, tr, tc)
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            out[r0 : r0 + z.shape[0], c0 : c0 + z.shape[1]] = z
+    return out
+
+
+def _f32(a: np.ndarray) -> np.ndarray:
+    """raw-f32 storage quantization (what lossless=True re-encode applies)."""
+    return a.astype(np.float32).astype(np.float64)
+
+
+def _per_tile_stats_table(scheme: TileScheme, full: np.ndarray) -> pa.Table:
+    """Whole-array mirror of ``pipelines.tile_queries.per_tile_stats``:
+    (image_id, n_px, n_valid, sum_z[2dec]) per tile, same C-order summation
+    so float results are bit-identical."""
+    ids, npx, nva, sums = [], [], [], []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            h, w = scheme.tile_shape(tr, tc)
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            sl = full[r0 : r0 + h, c0 : c0 + w]
+            m = np.isfinite(sl)
+            ids.append(tile_id(tr, tc))
+            npx.append(sl.size)
+            nva.append(int(m.sum()))
+            sums.append(round(float(sl[m].sum()), 2) if m.any() else 0.0)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "n_px": pa.array(npx, pa.int64()),
+            "n_valid": pa.array(nva, pa.int64()),
+            "sum_z": pa.array(sums, pa.float64()),
+        }
+    )
+
+
+def _ensure_tile_witnesses(tag: str, out: str) -> None:
+    """Expected-value witness parquets for the queries whose operators are
+    not directly SQL-expressible (VERDICT round-1 item 2). Each is computed
+    by the single-process whole-array oracle path and stored for the DuckDB
+    oracle to SELECT verbatim. Guarded by its own marker so existing fixture
+    dirs upgrade in place."""
+    done = os.path.join(out, "_TILE_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    import pandas as pd
+
+    from . import geom, oracle
+    from .grid import map2sub, sub2map
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    full = assemble_truth(scheme)
+
+    # ---- line_cells: per-segment linspace walk + value extraction ----
+    coords = np.asarray(line_fixture(scheme), dtype=np.float64)
+    vr, vc = map2sub(coords[:, 0], coords[:, 1], g)
+    rr, cc = geom.line2sub_walk(vr, vc, g.nrows, g.ncols)
+    X, Y = sub2map(rr, cc, g)
+    z = full[rr, cc]
+    _write_atomic(
+        pa.table(
+            {
+                "ordinal": pa.array(np.arange(rr.size), pa.int64()),
+                "gr": pa.array(rr.astype(np.int64)),
+                "gc": pa.array(cc.astype(np.int64)),
+                "x": pa.array(X),
+                "y": pa.array(Y),
+                "z": pa.array(z, mask=np.isnan(z)),
+            }
+        ),
+        os.path.join(out, "witness_line_cells.parquet"),
+    )
+
+    gau = gauges_table(scheme, 25)
+    pts = np.c_[gau["x"].to_numpy(), gau["y"].to_numpy()]
+    vals = gau["value"].to_numpy()
+
+    # ---- knn_idw_surface: per-tile stats of the kNN-IDW surface ----
+    knn = _f32(oracle.knn_idw_interpolate(g, pts, vals, k=8, power=2.0))
+    _write_atomic(
+        _per_tile_stats_table(scheme, knn), os.path.join(out, "witness_knn_idw.parquet")
+    )
+
+    # ---- channel_surface: IDW bathymetry inside the bankline polygon ----
+    b0, b1, xs = sections_fixture(scheme)
+    ring = np.vstack([b0, b1[::-1], b0[:1]])
+    cpts_xyz = np.vstack([np.asarray(c, dtype=np.float64) for c in xs])
+    Xall, Yall = sub2map(np.arange(g.nrows), np.arange(g.ncols), g)
+    XX, YY = np.meshgrid(Xall, Yall)
+    inside = geom.points_in_polygon(XX.ravel(), YY.ravel(), ring)
+    surf = full.copy().ravel()
+    if inside.any():
+        idw_all = oracle.idw_interpolate(
+            g, cpts_xyz[:, :2], cpts_xyz[:, 2], power=2.0
+        ).ravel()
+        surf[inside] = idw_all[inside]
+    surf = surf.reshape(g.nrows, g.ncols)
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(surf)),
+        os.path.join(out, "witness_channel.parquet"),
+    )
+
+    # ---- remove_block: footprint refill from the donor ring ------------
+    # The query removes zone (b), which is interior to tile (0, 0) incl.
+    # its ring_width=3 dilation — the per-tile refill therefore equals this
+    # whole-array computation restricted to that tile (the op's documented
+    # partitioning assumption).
+    rb = full.copy()
+    feat = rect_zone_features(scheme)[1]
+    fr = np.asarray(feat["rings"][0], dtype=np.float64)
+    mask = geom.points_in_polygon(XX.ravel(), YY.ravel(), fr).reshape(g.nrows, g.ncols)
+    if mask.any():
+        grown = mask.copy()
+        for _ in range(3):
+            gg2 = grown.copy()
+            gg2[1:, :] |= grown[:-1, :]
+            gg2[:-1, :] |= grown[1:, :]
+            gg2[:, 1:] |= grown[:, :-1]
+            gg2[:, :-1] |= grown[:, 1:]
+            grown = gg2
+        donors = grown & ~mask & np.isfinite(rb)
+        dx, dy, dv = XX[donors], YY[donors], rb[donors]
+        tx, ty = XX[mask], YY[mask]
+        d2 = (tx[:, None] - dx[None, :]) ** 2 + (ty[:, None] - dy[None, :]) ** 2
+        w = 1.0 / np.maximum(d2, 1e-12) ** 1.0
+        rb[mask] = (w * dv[None, :]).sum(axis=1) / w.sum(axis=1)
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(rb)),
+        os.path.join(out, "witness_remove_block.parquet"),
+    )
+
+    # ---- to_int_hist: rounded-value sign histogram ---------------------
+    r = np.round(full)
+    v = r[np.isfinite(r)]
+    _write_atomic(
+        pa.table(
+            {
+                "neg": pa.array([int((v < 0).sum())], pa.int64()),
+                "pos": pa.array([int((v > 0).sum())], pa.int64()),
+                "zero": pa.array([int((v == 0).sum())], pa.int64()),
+                "sum_round": pa.array([round(float(v.sum()), 1)], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_to_int.parquet"),
+    )
+
+    # ---- resample_bilinear: whole-array kernel + raw-f32 storage -------
+    rs, _spec = oracle.resample(full, g, 7.5, method="bilinear")
+    rs = _f32(rs)
+    m = np.isfinite(rs)
+    _write_atomic(
+        pa.table(
+            {
+                "n_px": pa.array([rs.size], pa.int64()),
+                "n_valid": pa.array([int(m.sum())], pa.int64()),
+                "sum_z": pa.array([round(float(rs[m].sum()), 2)], pa.float64()),
+                "min_z": pa.array([float(rs[m].min())], pa.float64()),
+                "max_z": pa.array([float(rs[m].max())], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_resample_bilinear.parquet"),
+    )
+
+    # ---- vectorize: BFS components of the classified grid --------------
+    cls = oracle.classify(full, list(CLASSIFY_BREAKS[2:3]))  # breaks=[0.0]
+    comps = oracle.components_bfs(cls)
+    dfc = (
+        pd.DataFrame(comps)
+        .sort_values(["min_gr", "min_gc", "value"])
+        .reset_index(drop=True)
+    )
+    dfc["component_id"] = np.arange(len(dfc), dtype=np.int64)
+    dfc = dfc[
+        ["component_id", "value", "n_cells", "min_gr", "max_gr", "min_gc", "max_gc"]
+    ].astype(
+        {
+            "n_cells": np.int64,
+            "min_gr": np.int64,
+            "max_gr": np.int64,
+            "min_gc": np.int64,
+            "max_gc": np.int64,
+        }
+    )
+    _write_atomic(
+        pa.Table.from_pandas(dfc, preserve_index=False),
+        os.path.join(out, "witness_vectorize.parquet"),
+    )
+
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -410,19 +624,19 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     tr, tc = SCALES.get(tag, SCALES["sf0.01"])
     out = os.path.join(root, tag)
     done = os.path.join(out, "_COMPLETE")
-    if os.path.exists(done):
-        return out
-    scheme = make_scheme(tr, tc)
-    _write_atomic(tiles_table(scheme), os.path.join(out, "tiles.parquet"))
-    _write_atomic(tiles_table(scheme, dup_mod=7), os.path.join(out, "tiles_dup.parquet"))
-    _write_atomic(pixels_table(scheme), os.path.join(out, "pixels.parquet"))
-    _write_atomic(gauges_table(scheme, 25), os.path.join(out, "gauges.parquet"))
-    _write_atomic(zones_table(scheme), os.path.join(out, "zones.parquet"))
-    for i, ms in enumerate(mosaic_schemes()):
-        _write_atomic(tiles_table(ms), os.path.join(out, f"mosaic{i}.parquet"))
-        _write_atomic(pixels_table(ms), os.path.join(out, f"mosaic{i}_pixels.parquet"))
-    with open(done, "w") as f:
-        f.write("ok\n")
+    if not os.path.exists(done):
+        scheme = make_scheme(tr, tc)
+        _write_atomic(tiles_table(scheme), os.path.join(out, "tiles.parquet"))
+        _write_atomic(tiles_table(scheme, dup_mod=7), os.path.join(out, "tiles_dup.parquet"))
+        _write_atomic(pixels_table(scheme), os.path.join(out, "pixels.parquet"))
+        _write_atomic(gauges_table(scheme, 25), os.path.join(out, "gauges.parquet"))
+        _write_atomic(zones_table(scheme), os.path.join(out, "zones.parquet"))
+        for i, ms in enumerate(mosaic_schemes()):
+            _write_atomic(tiles_table(ms), os.path.join(out, f"mosaic{i}.parquet"))
+            _write_atomic(pixels_table(ms), os.path.join(out, f"mosaic{i}_pixels.parquet"))
+        with open(done, "w") as f:
+            f.write("ok\n")
+    _ensure_tile_witnesses(tag, out)
     return out
 
 

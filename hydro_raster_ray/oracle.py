@@ -274,6 +274,86 @@ def classify(array, breaks):
     return out
 
 
+def knn_idw_interpolate(
+    spec: GridSpec, points, values, k: int = 8, power: float = 2.0, eps: float = 1e-12
+):
+    """Whole-array kNN-IDW (the engine's approximate scale path): all but
+    the k nearest gauges are masked to ∞ before weighting — replicating the
+    engine's argpartition/inf-mask arithmetic exactly so per-cell values are
+    bit-identical (Halton gauges have no distance ties by construction)."""
+    X, Y = _to_points(spec)
+    px, py = X.ravel(), Y.ravel()
+    values = np.asarray(values, dtype=np.float64)
+    out = np.empty(px.size)
+    for s in range(0, px.size, 4096):
+        e = min(s + 4096, px.size)
+        d2 = (px[s:e, None] - points[None, :, 0]) ** 2 + (
+            py[s:e, None] - points[None, :, 1]
+        ) ** 2
+        if k < values.size:
+            part = np.argpartition(d2, k, axis=1)[:, k:]
+            d2[np.arange(e - s)[:, None], part] = np.inf
+        w = 1.0 / np.power(np.maximum(d2, eps), power / 2.0)
+        w[~np.isfinite(w)] = 0.0
+        out[s:e] = (w * values[None, :]).sum(axis=1) / w.sum(axis=1)
+        hit = d2.min(axis=1) <= eps
+        if hit.any():
+            out[s:e][hit] = values[np.argmin(d2[hit], axis=1)]
+    return out.reshape(spec.nrows, spec.ncols)
+
+
+def components_bfs(arr: np.ndarray):
+    """Whole-array 4-connected components of equal finite values via plain
+    BFS — the independent witness for the distributed vectorize (same
+    contract as ``rasterio.features.shapes`` region grouping,
+    ``Raster.py:735-778``). Returns a list of dicts (value, n_cells,
+    min_gr, max_gr, min_gc, max_gc), unordered."""
+    from collections import deque
+
+    h, w = arr.shape
+    seen = np.zeros((h, w), dtype=bool)
+    finite = np.isfinite(arr)
+    comps = []
+    for r0 in range(h):
+        for c0 in range(w):
+            if not finite[r0, c0] or seen[r0, c0]:
+                continue
+            v = arr[r0, c0]
+            q = deque([(r0, c0)])
+            seen[r0, c0] = True
+            n = 0
+            mnr = mxr = r0
+            mnc = mxc = c0
+            while q:
+                r, c = q.popleft()
+                n += 1
+                mnr = min(mnr, r)
+                mxr = max(mxr, r)
+                mnc = min(mnc, c)
+                mxc = max(mxc, c)
+                for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                    if (
+                        0 <= rr < h
+                        and 0 <= cc < w
+                        and finite[rr, cc]
+                        and not seen[rr, cc]
+                        and arr[rr, cc] == v
+                    ):
+                        seen[rr, cc] = True
+                        q.append((rr, cc))
+            comps.append(
+                {
+                    "value": float(v),
+                    "n_cells": n,
+                    "min_gr": mnr,
+                    "max_gr": mxr,
+                    "min_gc": mnc,
+                    "max_gc": mxc,
+                }
+            )
+    return comps
+
+
 def resample(array, spec: GridSpec, new_cellsize: float, method: str = "bilinear"):
     """Whole-array reference for ``stages.resample`` (``Raster.resample``
     header math, ``Raster.py:387-403``; kernel semantics documented in

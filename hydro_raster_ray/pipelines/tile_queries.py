@@ -252,16 +252,10 @@ def q_merge_stats(sf_dir: str):
 
 
 def q_line_cells(sf_dir: str):
-    """Polyline walk + value extraction (no SQL oracle: the linspace walk is
-    the operator; exactness covered by unit tests vs the reference math)."""
+    """Polyline walk + value extraction (oracle: witness parquet from the
+    whole-array walk at fixture time)."""
     ts, scheme = tiles_for(sf_dir)
-    ext = scheme.grid.extent
-    line = [
-        [ext[0] + 12.0, ext[2] + 17.0],
-        [ext[0] + 0.55 * (ext[1] - ext[0]), ext[2] + 0.81 * (ext[3] - ext[2])],
-        [ext[1] - 23.0, ext[2] + 0.3 * (ext[3] - ext[2])],
-    ]
-    return line_cells(ts, line)
+    return line_cells(ts, fixtures.line_fixture(scheme))
 
 
 def q_resample_bilinear(sf_dir: str):
