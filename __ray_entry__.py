@@ -340,9 +340,17 @@ SELECT neg, pos, zero, sum_round FROM read_parquet('{F}/witness_to_int.parquet')
 SELECT n_px, n_valid, sum_z, min_z, max_z
 FROM read_parquet('{F}/witness_resample_bilinear.parquet')
 """,
+        "resample_methods": f"""
+SELECT method, n_valid, sum_z, min_z, max_z
+FROM read_parquet('{F}/witness_resample_methods.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')
+""",
+        "vectorize_rings": f"""
+SELECT component_id, value, n_cells, ring_idx, n_vertices, area_cells
+FROM read_parquet('{F}/witness_vectorize_rings.parquet')
 """,
         "doc_minhash_near_dups": f"""
 SELECT doc_id, group_id FROM read_parquet('{F}/witness_minhash_groups.parquet')

@@ -444,7 +444,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V1")
+    done = os.path.join(out, "_TILE_WITNESS_V3")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -567,6 +567,36 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
         os.path.join(out, "witness_resample_bilinear.parquet"),
     )
 
+    # ---- resample_methods: whole-array kernels, one row per method -----
+    from .pipelines.resample_shim import QUERY_METHODS
+
+    mrows = []
+    for meth in QUERY_METHODS:
+        rm, _ = oracle.resample(full, g, 7.5, method=meth)
+        rm = _f32(rm)
+        mm = np.isfinite(rm)
+        mrows.append(
+            (
+                meth,
+                int(mm.sum()),
+                round(float(rm[mm].sum()), 2),
+                round(float(rm[mm].min()), 4),
+                round(float(rm[mm].max()), 4),
+            )
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "method": pa.array([r[0] for r in mrows], pa.string()),
+                "n_valid": pa.array([r[1] for r in mrows], pa.int64()),
+                "sum_z": pa.array([r[2] for r in mrows], pa.float64()),
+                "min_z": pa.array([r[3] for r in mrows], pa.float64()),
+                "max_z": pa.array([r[4] for r in mrows], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_resample_methods.parquet"),
+    )
+
     # ---- vectorize: BFS components of the classified grid --------------
     cls = oracle.classify(full, list(CLASSIFY_BREAKS[2:3]))  # breaks=[0.0]
     comps = oracle.components_bfs(cls)
@@ -590,6 +620,69 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     _write_atomic(
         pa.Table.from_pandas(dfc, preserve_index=False),
         os.path.join(out, "witness_vectorize.parquet"),
+    )
+
+    # ---- vectorize_rings: whole-array boundary-following ---------------
+    # Single-process ring extraction: the whole grid as ONE tile, so the
+    # entire distribution layer (per-tile segments, pending-face
+    # resolution, stitch re-keying, per-component grouping) is exercised
+    # against an execution with none of it. The ring-assembly policy
+    # function is shared (it IS the operator's definition).
+    from types import SimpleNamespace
+
+    from .stages.vectorize import _boundary_segments, assemble_rings, label_tile
+
+    labels_full, n_lab = label_tile(cls)
+    ring_rows = []
+    if n_lab:
+        info0 = SimpleNamespace(tile_row=0, tile_col=0, gr0=0, gc0=0)
+        segs = _boundary_segments(info0, cls, labels_full)
+        m = labels_full >= 0
+        rr2, cc2 = np.nonzero(m)
+        lab_df = pd.DataFrame(
+            {"l": labels_full[m], "r": rr2, "c": cc2, "v": cls[m]}
+        ).groupby("l").agg(
+            value=("v", "first"),
+            n_cells=("v", "size"),
+            min_gr=("r", "min"),
+            min_gc=("c", "min"),
+        ).reset_index()
+        lab_df = lab_df.sort_values(["min_gr", "min_gc", "value"]).reset_index(drop=True)
+        lab_df["component_id"] = np.arange(len(lab_df), dtype=np.int64)
+        for _, row in lab_df.iterrows():
+            sub = segs[segs["node"] == row["l"]]
+            scored = []
+            for ring in assemble_rings(sub):
+                r = ring[:, 0].astype(np.float64)
+                c = ring[:, 1].astype(np.float64)
+                a = 0.5 * float(np.sum(c[:-1] * r[1:] - c[1:] * r[:-1]))
+                scored.append((ring, a))
+            scored.sort(key=lambda t: -abs(t[1]))
+            for k, (ring, a) in enumerate(scored):
+                ring_rows.append(
+                    (
+                        int(row["component_id"]),
+                        float(row["value"]),
+                        int(row["n_cells"]),
+                        k,
+                        len(ring) - 1,
+                        a,
+                    )
+                )
+    rdf = pd.DataFrame(
+        ring_rows,
+        columns=["component_id", "value", "n_cells", "ring_idx", "n_vertices", "area_cells"],
+    ).astype(
+        {
+            "component_id": np.int64,
+            "n_cells": np.int64,
+            "ring_idx": np.int64,
+            "n_vertices": np.int64,
+        }
+    )
+    _write_atomic(
+        pa.Table.from_pandas(rdf, preserve_index=False),
+        os.path.join(out, "witness_vectorize_rings.parquet"),
     )
 
     with open(done, "w") as f:

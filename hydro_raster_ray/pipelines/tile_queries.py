@@ -330,6 +330,27 @@ def q_vectorize(sf_dir: str):
     return vectorize_components(classify(ts, [0.0]))
 
 
+def q_resample_methods(sf_dir: str):
+    """All-methods resample summary (oracle: whole-array kernel witness)."""
+    from .resample_shim import resample_methods_summary
+
+    return resample_methods_summary(sf_dir)
+
+
+def q_vectorize_rings(sf_dir: str):
+    """Raster→polygon ring extraction (``Raster.vectorize`` parity):
+    per-ring scalar summary (vertex count, signed shoelace area) so the
+    witness comparison is hashable; coordinates covered by pytest."""
+    from ..stages.stats import classify
+    from ..stages.vectorize import vectorize_polygons
+
+    ts, _ = tiles_for(sf_dir)
+    out = vectorize_polygons(classify(ts, [0.0]))
+    return out[
+        ["component_id", "value", "n_cells", "ring_idx", "n_vertices", "area_cells"]
+    ]
+
+
 def q_knn_idw_surface(sf_dir: str):
     """kNN-IDW interpolated surface summary (approximate scale path; no SQL
     oracle — rows-only check)."""
@@ -357,5 +378,7 @@ TILE_QUERIES = {
     "remove_block": q_remove_block,
     "to_int_hist": q_to_int_hist,
     "resample_bilinear": q_resample_bilinear,
+    "resample_methods": q_resample_methods,
     "vectorize": q_vectorize,
+    "vectorize_rings": q_vectorize_rings,
 }

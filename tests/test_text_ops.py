@@ -33,12 +33,15 @@ def test_connected_components_shapes():
     edges = ray.data.from_arrow(
         pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     )
-    lab = connected_components(edges, num_partitions=2).to_pandas()
-    by = dict(zip(lab["node"], lab["label"]))
-    assert all(by[i] == 0 for i in range(31))
-    assert by[100] == by[101] == by[102] == 100
-    assert by[500] == by[501] == 500
-    assert len(lab) == 31 + 3 + 2
+    for budget in (5_000_000, 0):  # driver union-find AND distributed path
+        lab = connected_components(
+            edges, num_partitions=2, driver_budget=budget
+        ).to_pandas()
+        by = dict(zip(lab["node"], lab["label"]))
+        assert all(by[i] == 0 for i in range(31))
+        assert by[100] == by[101] == by[102] == 100
+        assert by[500] == by[501] == 500
+        assert len(lab) == 31 + 3 + 2
 
 
 def test_minhash_matches_scalar_witness():

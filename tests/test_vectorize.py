@@ -116,3 +116,36 @@ def test_components_on_fixture(ray_session, small_scheme):
         for _, r in got.iterrows()
     )
     assert got_t == want
+
+
+def test_vectorize_polygons_rings_and_holes(ray_session):
+    """Ring extraction: exterior/hole rings, signed-area = cell-count
+    invariant, cross-tile assembly."""
+    import pandas as pd
+
+    from hydro_raster_ray.grid import GridSpec
+    from hydro_raster_ray.sources.asc import from_numpy
+    from hydro_raster_ray.stages.vectorize import vectorize_polygons
+
+    spec = GridSpec(ncols=64, nrows=64, xllcorner=0.0, yllcorner=0.0, cellsize=1.0)
+    a = np.full((64, 64), np.nan)
+    a[20:44, 28:36] = 7.0
+    a[28:36, 10:54] = 7.0  # plus crossing both tile borders
+    a[2:10, 2:10] = 5.0
+    a[4:8, 4:8] = np.nan  # hole
+    a[50:60, 50:60] = 3.0
+    ts = from_numpy(a, spec, tile_h=32, tile_w=32)
+    out = vectorize_polygons(ts)
+    # signed ring areas per component sum to the cell count exactly
+    per_comp = out.groupby("component_id").agg(
+        n_cells=("n_cells", "first"), area=("area_cells", "sum"), rings=("ring_idx", "size")
+    )
+    assert (per_comp["area"] == per_comp["n_cells"]).all()
+    sq = out[(out["value"] == 5.0)]
+    assert len(sq) == 2  # exterior + hole
+    assert sq.iloc[0]["n_vertices"] == 32 and sq.iloc[1]["area_cells"] == -16.0
+    plus = out[out["value"] == 7.0]
+    assert len(plus) == 1 and plus.iloc[0]["n_cells"] == 480
+    # every ring closes: vertex coords are lists with first == last
+    for _, r in out.iterrows():
+        assert r["rs"][0] == r["rs"][-1] and r["cs"][0] == r["cs"][-1]
