@@ -51,26 +51,19 @@ ensure_doc_witnesses("sf0.01", F)
 
 
 def entry() -> Any:
-    """Flagship EP1 pipeline at sf0.001: read tiles → rect-clip → rasterize
-    landcover zones → apply adjust_val edit → zonal stats."""
-    import numpy as np
-
+    """Flagship EP1 pipeline at sf0.001: read tiles → rect-clip → FUSED
+    landcover edit + zonal stats (one decode, one burn per tile —
+    ``stats.apply_and_zonal``)."""
     from hydro_raster_ray.pipelines.tile_queries import tiles_for
     from hydro_raster_ray.stages.clip import rect_clip
-    from hydro_raster_ray.stages.rasterize import apply_features
-    from hydro_raster_ray.stages.stats import zonal_stats
+    from hydro_raster_ray.stages.stats import apply_and_zonal
 
     sf_dir = "/root/testdata/sf0.001"
     ts, scheme = tiles_for(sf_dir)
     clipped = rect_clip(ts, fixtures.CLIP_WINDOW)
     feats = fixtures.rect_zone_features(scheme)
-    edited = apply_features(
-        clipped,
-        feats,
-        lambda arr, plane, info: np.where(np.isnan(plane), arr, arr + plane),
-        attribute="adjust_val",
-    )
-    return zonal_stats(edited, feats, attribute="id")
+    return apply_and_zonal(clipped, feats, edit_attribute="adjust_val",
+                           zone_attribute="id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -208,6 +201,16 @@ FROM m JOIN {_PX} p ON p.gr = m.sr AND p.gc = m.sc
         "phash_dedup": f"""
 SELECT phash, min(image_id) image_id FROM {_TD} GROUP BY phash
 """,
+        "sample_tiles": f"""
+SELECT image_id, phash FROM {_TI}
+WHERE ('0x' || substr(md5(image_id), 1, 8))::BIGINT % 3 = 0
+""",
+        "tile_set_ops": f"""
+SELECT image_id,
+       CASE WHEN ('0x' || substr(md5(image_id), 1, 8))::BIGINT % 3 = 0
+            THEN 'intersect' ELSE 'except' END side
+FROM {_TI}
+""",
         "classify_hist": f"""
 SELECT CAST((z >= -30.0)::INT + (z >= -10.0)::INT + (z >= 0.0)::INT
           + (z >= 10.0)::INT + (z >= 30.0)::INT AS BIGINT) bin,
@@ -326,6 +329,10 @@ SELECT ordinal, gr, gc, x, y, z FROM read_parquet('{F}/witness_line_cells.parque
 """,
         "knn_idw_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
+""",
+        "linear_interp_surface": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_linear_interp.parquet')
 """,
         "channel_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_channel.parquet')

@@ -444,7 +444,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V3")
+    done = os.path.join(out, "_TILE_WITNESS_V4")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -485,6 +485,18 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     knn = _f32(oracle.knn_idw_interpolate(g, pts, vals, k=8, power=2.0))
     _write_atomic(
         _per_tile_stats_table(scheme, knn), os.path.join(out, "witness_knn_idw.parquet")
+    )
+
+    # ---- linear_interp_surface: Delaunay barycentric, NaN outside hull --
+    from .tri import TriInterpolator
+
+    interp = TriInterpolator(pts[:, 0], pts[:, 1], vals)
+    Xl, Yl = sub2map(np.arange(g.nrows), np.arange(g.ncols), g)
+    XXl, YYl = np.meshgrid(Xl, Yl)
+    lin = _f32(interp(XXl.ravel(), YYl.ravel()).reshape(g.nrows, g.ncols))
+    _write_atomic(
+        _per_tile_stats_table(scheme, lin),
+        os.path.join(out, "witness_linear_interp.parquet"),
     )
 
     # ---- channel_surface: IDW bathymetry inside the bankline polygon ----

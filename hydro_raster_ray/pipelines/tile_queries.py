@@ -330,6 +330,28 @@ def q_vectorize(sf_dir: str):
     return vectorize_components(classify(ts, [0.0]))
 
 
+def q_sample_tiles(sf_dir: str):
+    """Deterministic 1-in-3 sample by md5(image_id) (SQL-reproducible)."""
+    ts, _ = tiles_for(sf_dir)
+    return mosaic.sample_tiles(ts, m=3, k=0).ds.select_columns(["image_id", "phash"])
+
+
+def q_tile_set_ops(sf_dir: str):
+    """intersect/except over a deterministic split: sampled ∩ all and
+    all ∖ sampled row counts + ids (SQL-reproducible via the same hash)."""
+    ts, _ = tiles_for(sf_dir)
+    sampled = mosaic.sample_tiles(ts, m=3, k=0)
+    inter = mosaic.intersect_tiles(ts, sampled)
+    exc = mosaic.except_tiles(ts, sampled)
+    import pandas as pd
+
+    a = inter.ds.select_columns(["image_id"]).to_pandas()
+    a["side"] = "intersect"
+    b = exc.ds.select_columns(["image_id"]).to_pandas()
+    b["side"] = "except"
+    return pd.concat([a, b], ignore_index=True)
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -352,10 +374,17 @@ def q_vectorize_rings(sf_dir: str):
 
 
 def q_knn_idw_surface(sf_dir: str):
-    """kNN-IDW interpolated surface summary (approximate scale path; no SQL
-    oracle — rows-only check)."""
+    """kNN-IDW interpolated surface summary (oracle: whole-array witness)."""
     ts, _ = tiles_for(sf_dir)
     surf = point_interpolate(ts, _gauges(sf_dir), method="idw", k=8, concurrency=4)
+    return per_tile_stats(surf)
+
+
+def q_linear_interp_surface(sf_dir: str):
+    """griddata-linear parity: Delaunay barycentric gauge interpolation
+    (NaN outside the hull); per-tile stats vs the whole-array witness."""
+    ts, _ = tiles_for(sf_dir)
+    surf = point_interpolate(ts, _gauges(sf_dir), method="linear", concurrency=4)
     return per_tile_stats(surf)
 
 
@@ -374,11 +403,14 @@ TILE_QUERIES = {
     "merge_stats": q_merge_stats,
     "line_cells": q_line_cells,
     "knn_idw_surface": q_knn_idw_surface,
+    "linear_interp_surface": q_linear_interp_surface,
     "channel_surface": q_channel_surface,
     "remove_block": q_remove_block,
     "to_int_hist": q_to_int_hist,
     "resample_bilinear": q_resample_bilinear,
     "resample_methods": q_resample_methods,
+    "sample_tiles": q_sample_tiles,
+    "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,
     "vectorize_rings": q_vectorize_rings,
 }

@@ -142,6 +142,12 @@ class GaugeInterpolator:
         self.k = k
         self.eps = eps
         self.index = _BucketIndex(self.x, self.y) if self.x.size > BRUTE_MAX else None
+        if method == "linear":
+            # Delaunay built ONCE per actor (the scipy-griddata analog of
+            # rebuilding the triangulation per call, amortized)
+            from ..tri import TriInterpolator
+
+            self.tri = TriInterpolator(self.x, self.y, self.v)
 
     def _nearest_idx(self, px, py):
         if self.index is not None:
@@ -186,6 +192,10 @@ class GaugeInterpolator:
             out = self.v[idx]
         elif self.method == "idw":
             out = self._idw(px, py)
+        elif self.method == "linear":
+            # barycentric on the per-actor triangulation; NaN outside the
+            # hull (griddata-linear contract, Raster.py:420-421)
+            out = self.tri(px, py)
         else:
             raise ValueError(f"unknown method {self.method!r}")
         return out.reshape(info.h, info.w)

@@ -47,6 +47,7 @@ __all__ = [
     "top_k_tiles",
     "intersect_tiles",
     "except_tiles",
+    "sample_tiles",
 ]
 
 _FRAG_FIELDS = [
@@ -539,54 +540,113 @@ def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
     )
 
 
-def _key_set_ref(other: TileSet):
-    """Collect the other side's image_id KEYS (keys only — kilobytes per
-    million tiles) and broadcast them once. For key sets too large to
-    broadcast, the documented alternative is the tagged-union groupby
-    (hash-partitioned semi join) — same pattern as dedup_exact."""
+# key sets above this row count go through the hash-partitioned groupby
+# semi/anti join instead of a broadcast value set
+BROADCAST_KEY_BUDGET = 2_000_000
+
+
+def _key_array_ref(other: TileSet):
+    """Collect the other side's DISTINCT image_id keys as one Arrow array
+    (keys only — megabytes per hundred million tiles) and broadcast once."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray as _ray
 
-    keys = set()
+    chunks = []
     for b in other.ds.select_columns(["image_id"]).iter_batches(
         batch_format="pyarrow"
     ):
-        keys.update(b["image_id"].to_pylist())
-    return _ray.put(frozenset(keys))
+        chunks.append(b["image_id"].combine_chunks())
+    keys = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([], pa.string())
+    return _ray.put(keys)
+
+
+def _semi_anti_tiles(a: TileSet, b: TileSet, anti: bool) -> TileSet:
+    """Semi (anti=False) / anti (anti=True) join of ``a`` against ``b``'s
+    image_id keys. Fast path: broadcast key set + vectorized ``pc.is_in``.
+    Above ``BROADCAST_KEY_BUDGET`` keys: hash-partitioned tagged-union
+    groupby on image_id (the dedup_exact shuffle pattern) — no driver or
+    per-task key materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    if b.ds.count() <= BROADCAST_KEY_BUDGET:
+        ref = _key_array_ref(b)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["image_id"], value_set=_ray.get(ref))
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return TileSet(
+            ds=a.ds.map_batches(flt, batch_format="pyarrow", batch_size=None),
+            grid=a.grid,
+        )
+
+    # large-key fallback: tag rows, shuffle by image_id, resolve per group
+    sch = a.ds.schema()
+    names = list(sch.names)
+    types = {n: t for n, t in zip(sch.names, sch.types)}
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        return t.append_column("__tag", pa.array([0] * t.num_rows, pa.int8()))
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n == "image_id":
+                cols[n] = t["image_id"].combine_chunks().cast(types[n])
+            else:
+                cols[n] = pa.nulls(t.num_rows, types[n])
+        cols["__tag"] = pa.array([1] * t.num_rows, pa.int8())
+        return pa.table(cols)
+
+    import pandas as pd
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        present = bool((df["__tag"] == 1).any())
+        keep = df[df["__tag"] == 0]
+        if present == anti:
+            keep = keep.iloc[0:0]
+        return keep.drop(columns=["__tag"])
+
+    tagged = a.ds.map_batches(tag_a, batch_format="pyarrow").union(
+        b.ds.select_columns(["image_id"]).map_batches(tag_b, batch_format="pyarrow")
+    )
+    out = tagged.groupby("image_id").map_groups(pick, batch_format="pandas")
+    return TileSet(ds=out, grid=a.grid)
 
 
 def intersect_tiles(a: TileSet, b: TileSet) -> TileSet:
-    """Tiles of ``a`` whose image_id also appears in ``b`` (semi join,
-    broadcast key set — SURVEY.md §2.8)."""
-    import pyarrow as pa
-    import ray as _ray
-
-    ref = _key_set_ref(b)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ks = _ray.get(ref)
-        sel = [i in ks for i in batch["image_id"].to_pylist()]
-        return batch.filter(pa.array(sel))
-
-    return TileSet(
-        ds=a.ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
-        grid=a.grid,
-    )
+    """Tiles of ``a`` whose image_id also appears in ``b`` (semi join —
+    SURVEY.md §2.8)."""
+    return _semi_anti_tiles(a, b, anti=False)
 
 
 def except_tiles(a: TileSet, b: TileSet) -> TileSet:
-    """Tiles of ``a`` NOT present in ``b`` (anti join, broadcast key set)."""
+    """Tiles of ``a`` NOT present in ``b`` (anti join)."""
+    return _semi_anti_tiles(a, b, anti=True)
+
+
+def sample_tiles(ts: TileSet, m: int = 10, k: int = 0) -> TileSet:
+    """Deterministic 1-in-m sampling by content-stable hash of image_id
+    (SURVEY.md §2.8): keep tiles with ``md5(image_id)[:8 hex] % m == k``.
+    Same selection on every run, any cluster size, and reproducible in SQL
+    (``('0x' || substr(md5(image_id), 1, 8))::BIGINT % m``)."""
+    import hashlib
+
     import pyarrow as pa
-    import ray as _ray
 
-    ref = _key_set_ref(b)
-
-    def drop(batch: pa.Table) -> pa.Table:
-        ks = _ray.get(ref)
-        sel = [i not in ks for i in batch["image_id"].to_pylist()]
+    def flt(batch: pa.Table) -> pa.Table:
+        sel = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m == k
+            for s in batch["image_id"].to_pylist()
+        ]
         return batch.filter(pa.array(sel))
 
     return TileSet(
-        ds=a.ds.map_batches(drop, batch_format="pyarrow", batch_size=None),
-        grid=a.grid,
+        ds=ts.ds.map_batches(flt, batch_format="pyarrow", batch_size=None),
+        grid=ts.grid,
     )

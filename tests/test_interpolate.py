@@ -85,3 +85,51 @@ def test_knn_idw_runs(tileset, small_scheme):
     assert np.isfinite(got).all()
     assert got.min() >= min(g["value"]) - 1e-6
     assert got.max() <= max(g["value"]) + 1e-6
+
+
+def test_delaunay_linear_reproduces_affine(ray_session):
+    """An affine surface is reproduced EXACTLY inside the hull for ANY valid
+    triangulation — a triangulation-independent correctness witness."""
+    from hydro_raster_ray.tri import TriInterpolator, delaunay
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 100, 40)
+    y = rng.uniform(0, 100, 40)
+    v = 3.0 * x - 2.0 * y + 17.0
+    tri = TriInterpolator(x, y, v)
+    # triangulation sanity: Euler for planar triangulation of a point set
+    assert len(delaunay(np.c_[x, y])) >= 40 - 2
+    qx = rng.uniform(10, 90, 500)
+    qy = rng.uniform(10, 90, 500)
+    got = tri(qx, qy)
+    inside = ~np.isnan(got)
+    assert inside.sum() > 400  # interior queries resolve
+    np.testing.assert_allclose(
+        got[inside], 3.0 * qx[inside] - 2.0 * qy[inside] + 17.0, rtol=1e-9
+    )
+    # gauges themselves are reproduced exactly
+    at_g = tri(x, y)
+    np.testing.assert_allclose(at_g, v, rtol=1e-9)
+    # far outside the hull -> NaN
+    assert np.isnan(tri(np.array([1e6]), np.array([1e6]))[0])
+
+
+def test_point_interpolate_linear_matches_whole_array(ray_session, small_scheme):
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.grid import sub2map
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.interpolate import point_interpolate
+    from hydro_raster_ray.tri import TriInterpolator
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    gt = fixtures.gauges_table(small_scheme, 25)
+    g = {k: gt[k].to_numpy() for k in ("x", "y", "value")}
+    got = to_array(point_interpolate(ts, g, method="linear", concurrency=2))
+    gspec = small_scheme.grid
+    X, Y = sub2map(np.arange(gspec.nrows), np.arange(gspec.ncols), gspec)
+    XX, YY = np.meshgrid(X, Y)
+    interp = TriInterpolator(g["x"], g["y"], g["value"])
+    want = interp(XX.ravel(), YY.ravel()).reshape(gspec.nrows, gspec.ncols)
+    want = want.astype(np.float32).astype(np.float64)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got[~np.isnan(got)], want[~np.isnan(want)], rtol=0, atol=0)
