@@ -351,6 +351,10 @@ FROM read_parquet('{F}/witness_resample_bilinear.parquet')
 SELECT method, n_valid, sum_z, min_z, max_z
 FROM read_parquet('{F}/witness_resample_methods.parquet')
 """,
+        "reproject_affine": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_reproject.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

@@ -444,7 +444,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V4")
+    done = os.path.join(out, "_TILE_WITNESS_V5")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -577,6 +577,29 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
             }
         ),
         os.path.join(out, "witness_resample_bilinear.parquet"),
+    )
+
+    # ---- reproject_affine: whole-array nearest warp --------------------
+    from .stages.reproject import AffineTransform, target_grid_for
+
+    ext_g = g.extent
+    rcx = 0.5 * (ext_g[0] + ext_g[1])
+    rcy = 0.5 * (ext_g[2] + ext_g[3])
+    fwd_t = AffineTransform.rotation(15.0, rcx, rcy)
+    inv_t = fwd_t.inverse()
+    warp_spec = target_grid_for(g, fwd_t, g.cellsize, crs="rot15")
+    warp_scheme = TileScheme(grid=warp_spec, tile_h=64, tile_w=64)
+    Xw, Yw = sub2map(np.arange(warp_spec.nrows), np.arange(warp_spec.ncols), warp_spec)
+    XXw, YYw = np.meshgrid(Xw, Yw)
+    sxw, syw = inv_t(XXw.ravel(), YYw.ravel())
+    rrw, ccw = map2sub(sxw, syw, g)
+    okw = (rrw >= 0) & (rrw < g.nrows) & (ccw >= 0) & (ccw < g.ncols)
+    warped = np.full(XXw.size, np.nan)
+    warped[okw] = full[rrw[okw], ccw[okw]]
+    warped = _f32(warped.reshape(warp_spec.nrows, warp_spec.ncols))
+    _write_atomic(
+        _per_tile_stats_table(warp_scheme, warped),
+        os.path.join(out, "witness_reproject.parquet"),
     )
 
     # ---- resample_methods: whole-array kernels, one row per method -----

@@ -352,6 +352,19 @@ def q_tile_set_ops(sf_dir: str):
     return pd.concat([a, b], ignore_index=True)
 
 
+def q_reproject_affine(sf_dir: str):
+    """Nearest-resampling warp to a 15°-rotated CRS (``Raster.reproject``
+    parity path); per-tile stats vs the whole-array witness."""
+    from ..stages.reproject import AffineTransform, reproject
+
+    ts, scheme = tiles_for(sf_dir)
+    ext = scheme.grid.extent
+    cx, cy = 0.5 * (ext[0] + ext[1]), 0.5 * (ext[2] + ext[3])
+    fwd = AffineTransform.rotation(15.0, cx, cy)
+    warped = reproject(ts, fwd, fwd.inverse(), scheme.grid.cellsize, crs="rot15")
+    return per_tile_stats(warped)
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -409,6 +422,7 @@ TILE_QUERIES = {
     "to_int_hist": q_to_int_hist,
     "resample_bilinear": q_resample_bilinear,
     "resample_methods": q_resample_methods,
+    "reproject_affine": q_reproject_affine,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,

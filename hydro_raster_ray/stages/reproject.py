@@ -1,0 +1,298 @@
+"""Reproject: nearest-resampling warp to a new CRS (``Raster.py:695-733``).
+
+The reference's ``Raster.reproject`` wraps ``rasterio.warp.reproject``
+(nearest resampling) to a new EPSG. The engine formulation is the same
+gather shuffle as ``regrid_nearest``/``resample`` with a PLUGGABLE
+coordinate transform (no pyproj in this environment):
+
+- the target grid is derived once on the driver by forward-projecting a
+  boundary sample of the source extent (corners + edge midpoints capture
+  curvature) and snapping a bbox at the requested cellsize;
+- each source tile forward-projects its own boundary sample to find the
+  target tiles it can feed, then for each one BACK-projects that target
+  tile's boundary sample to slice the exact source sub-rectangle (+ a
+  curvature margin) it must ship — the same minimal-fragment discipline as
+  ``stages/resample.py``;
+- ``groupby(target cell)`` assembles the window and the nearest gather
+  runs per target tile: target cell centre → inverse transform → source
+  ``map2sub`` (the reference's nearest convention) → value; cells mapping
+  outside the source extent become NaN (the warp fill).
+
+Transforms ship as (forward, inverse) function pairs; ``AffineTransform``
+covers rotation/scale/translation (all SQL/witness-checkable), and
+``web_mercator``/``inv_web_mercator`` give one real non-linear projection
+(public spherical-Mercator formulas) for lon/lat-degree grids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode, encode, phash64
+from ..grid import GridSpec, TileScheme, map2sub, morton_encode, sub2map, tile_id
+from ..sources.tiles import TileSet
+from .decode import iter_tiles
+from .mosaic import _frag_table
+
+__all__ = ["AffineTransform", "web_mercator", "inv_web_mercator", "reproject"]
+
+_R = 6378137.0  # spherical web-mercator radius
+
+
+@dataclass(frozen=True)
+class AffineTransform:
+    """x' = a·x + b·y + c ; y' = d·x + e·y + f."""
+
+    a: float
+    b: float
+    c: float
+    d: float
+    e: float
+    f: float
+
+    def __call__(self, x, y):
+        return self.a * x + self.b * y + self.c, self.d * x + self.e * y + self.f
+
+    def inverse(self) -> "AffineTransform":
+        det = self.a * self.e - self.b * self.d
+        ia, ib = self.e / det, -self.b / det
+        id_, ie = -self.d / det, self.a / det
+        return AffineTransform(
+            ia, ib, -(ia * self.c + ib * self.f),
+            id_, ie, -(id_ * self.c + ie * self.f),
+        )
+
+    @staticmethod
+    def rotation(theta_deg: float, cx: float = 0.0, cy: float = 0.0) -> "AffineTransform":
+        t = np.deg2rad(theta_deg)
+        ct, st = float(np.cos(t)), float(np.sin(t))
+        return AffineTransform(
+            ct, -st, cx - ct * cx + st * cy, st, ct, cy - st * cx - ct * cy
+        )
+
+
+def web_mercator(lon, lat):
+    """WGS84 degrees → spherical web-mercator metres (EPSG:3857 formulas)."""
+    x = _R * np.deg2rad(lon)
+    y = _R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def inv_web_mercator(x, y):
+    lon = np.rad2deg(x / _R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def _boundary_sample(x0, x1, y0, y1, n: int = 5):
+    """n×n sample of a bbox including its boundary."""
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    X, Y = np.meshgrid(xs, ys)
+    return X.ravel(), Y.ravel()
+
+
+def target_grid_for(
+    src: GridSpec, fwd, new_cellsize: float, crs: str = "custom"
+) -> GridSpec:
+    """Destination grid: forward-project the source extent boundary, snap
+    the bbox outward at the new cellsize (``rasterio.warp`` convention of
+    covering the full reprojected footprint)."""
+    e = src.extent
+    bx, by = _boundary_sample(e[0], e[1], e[2], e[3], 9)
+    tx, ty = fwd(bx, by)
+    ncols = int(np.ceil((tx.max() - tx.min()) / new_cellsize))
+    nrows = int(np.ceil((ty.max() - ty.min()) / new_cellsize))
+    return GridSpec(
+        ncols=ncols,
+        nrows=nrows,
+        xllcorner=float(tx.min()),
+        yllcorner=float(ty.min()),
+        cellsize=float(new_cellsize),
+        nodata=src.nodata,
+        crs=crs,
+    )
+
+
+def reproject(
+    ts: TileSet,
+    fwd,
+    inv,
+    new_cellsize: float,
+    crs: str = "custom",
+    tile_h: int = 64,
+    tile_w: int = 64,
+    margin: int = 3,
+    shuffle_blocks: int = 64,
+) -> TileSet:
+    """Warp the mosaic into the CRS defined by ``fwd``/``inv`` (forward =
+    source→target coords), nearest resampling, NaN fill."""
+    src = ts.grid
+    new_spec = target_grid_for(src, fwd, new_cellsize, crs)
+    target = TileScheme(grid=new_spec, tile_h=tile_h, tile_w=tile_w)
+    grid = ts.grid
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out = []
+        for info, arr in iter_tiles(batch, grid):
+            # forward-project this tile's footprint → candidate target tiles
+            sx0 = src.xllcorner + info.gc0 * src.cellsize
+            sy1 = src.yllcorner + (src.nrows - info.gr0) * src.cellsize
+            sx1 = sx0 + info.w * src.cellsize
+            sy0 = sy1 - info.h * src.cellsize
+            bx, by = _boundary_sample(sx0, sx1, sy0, sy1, 5)
+            tx, ty = fwd(bx, by)
+            pad = margin * new_spec.cellsize
+            tr0, tc0 = map2sub(
+                np.array([tx.min() - pad, tx.max() + pad]),
+                np.array([ty.max() + pad, ty.min() - pad]),
+                new_spec,
+            )
+            t_rows = np.arange(
+                max(0, int(tr0.min()) // tile_h),
+                min((new_spec.nrows - 1) // tile_h, int(tr0.max()) // tile_h) + 1,
+            )
+            t_cols = np.arange(
+                max(0, int(tc0.min()) // tile_w),
+                min((new_spec.ncols - 1) // tile_w, int(tc0.max()) // tile_w) + 1,
+            )
+            for utr in t_rows:
+                for utc in t_cols:
+                    # back-project the target tile footprint → needed source
+                    # sub-rectangle (+ margin)
+                    th, tw = target.tile_shape(int(utr), int(utc))
+                    ttr0, ttc0 = target.tile_origin_rc(int(utr), int(utc))
+                    gx0 = new_spec.xllcorner + ttc0 * new_spec.cellsize
+                    gy1 = new_spec.yllcorner + (new_spec.nrows - ttr0) * new_spec.cellsize
+                    gx1 = gx0 + tw * new_spec.cellsize
+                    gy0 = gy1 - th * new_spec.cellsize
+                    qx, qy = _boundary_sample(gx0, gx1, gy0, gy1, 5)
+                    sxq, syq = inv(qx, qy)
+                    rr, cc = map2sub(
+                        np.array([sxq.min(), sxq.max()]),
+                        np.array([syq.max(), syq.min()]),
+                        src,
+                    )
+                    r_lo = max(int(rr.min()) - margin, info.gr0)
+                    r_hi = min(int(rr.max()) + margin + 1, info.gr0 + info.h)
+                    c_lo = max(int(cc.min()) - margin, info.gc0)
+                    c_hi = min(int(cc.max()) + margin + 1, info.gc0 + info.w)
+                    if r_hi <= r_lo or c_hi <= c_lo:
+                        continue
+                    frag = arr[
+                        r_lo - info.gr0 : r_hi - info.gr0,
+                        c_lo - info.gc0 : c_hi - info.gc0,
+                    ]
+                    out.append(
+                        {
+                            "tkey": int(morton_encode(int(utr), int(utc))),
+                            "t_tr": int(utr),
+                            "t_tc": int(utc),
+                            "prio": 0,
+                            "fr0": 0,
+                            "fc0": 0,
+                            "fh": frag.shape[0],
+                            "fw": frag.shape[1],
+                            "payload": encode(np.ascontiguousarray(frag), "raw-f32"),
+                            "src_r0": r_lo,
+                            "src_c0": c_lo,
+                        }
+                    )
+        return _frag_table(out)
+
+    def build(g: pa.Table) -> pa.Table:
+        t_tr = int(g["t_tr"][0].as_py())
+        t_tc = int(g["t_tc"][0].as_py())
+        th, tw = target.tile_shape(t_tr, t_tc)
+        tr0, tc0 = target.tile_origin_rc(t_tr, t_tc)
+        # seed rows (fh == 0) exist so every target tile is built, even ones
+        # entirely outside the warped source footprint (NaN fill)
+        real = np.nonzero(g["fh"].to_numpy(zero_copy_only=False) > 0)[0]
+        r0s = g["src_r0"].to_numpy(zero_copy_only=False)[real]
+        c0s = g["src_c0"].to_numpy(zero_copy_only=False)[real]
+        fhs = g["fh"].to_numpy(zero_copy_only=False)[real]
+        fws = g["fw"].to_numpy(zero_copy_only=False)[real]
+        if real.size:
+            win_r0 = int(r0s.min())
+            win_c0 = int(c0s.min())
+            win = np.full(
+                (int((r0s + fhs).max()) - win_r0, int((c0s + fws).max()) - win_c0),
+                np.nan,
+            )
+            for k, i in enumerate(real):
+                frag = decode(
+                    g["payload"][int(i)].as_py(), int(fhs[k]), int(fws[k]), "raw-f32"
+                )
+                win[
+                    int(r0s[k]) - win_r0 : int(r0s[k]) - win_r0 + int(fhs[k]),
+                    int(c0s[k]) - win_c0 : int(c0s[k]) - win_c0 + int(fws[k]),
+                ] = frag
+        else:
+            win_r0 = win_c0 = 0
+            win = np.full((0, 0), np.nan)
+        # nearest gather: target cell centres → inverse → source map2sub
+        X, Y = sub2map(np.arange(tr0, tr0 + th), np.arange(tc0, tc0 + tw), new_spec)
+        XX, YY = np.meshgrid(X, Y)
+        sxq, syq = inv(XX.ravel(), YY.ravel())
+        rr, cc = map2sub(sxq, syq, src)
+        valid = (rr >= 0) & (rr < src.nrows) & (cc >= 0) & (cc < src.ncols)
+        rw = rr - win_r0
+        cw = cc - win_c0
+        in_win = valid & (rw >= 0) & (rw < win.shape[0]) & (cw >= 0) & (cw < win.shape[1])
+        canvas = np.full(th * tw, np.nan)
+        canvas[in_win] = win[rw[in_win], cw[in_win]]
+        canvas = canvas.reshape(th, tw)
+        img = tile_id(t_tr, t_tc)
+        buf = encode(canvas, "raw-f32")
+        truth = decode(buf, th, tw, "raw-f32")
+        return pa.table(
+            {
+                "image_id": pa.array([img], pa.string()),
+                "bytes": pa.array([buf], pa.binary()),
+                "w": pa.array([tw], pa.int32()),
+                "h": pa.array([th], pa.int32()),
+                "fmt": pa.array(["raw-f32"], pa.string()),
+                "caption": pa.array(
+                    [f"DEM tile {img} cellsize={new_spec.cellsize} crs={new_spec.crs}"],
+                    pa.string(),
+                ),
+                "phash": pa.array([phash64(truth)], pa.int64()),
+                "tile_row": pa.array([t_tr], pa.int32()),
+                "tile_col": pa.array([t_tc], pa.int32()),
+                "gr0": pa.array([tr0], pa.int32()),
+                "gc0": pa.array([tc0], pa.int32()),
+                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+            }
+        )
+
+    # seed every target tile so empty (all-NaN) tiles are still produced
+    import ray.data
+
+    seeds = []
+    for utr in range(target.n_tile_rows):
+        for utc in range(target.n_tile_cols):
+            seeds.append(
+                {
+                    "tkey": int(morton_encode(utr, utc)),
+                    "t_tr": utr,
+                    "t_tc": utc,
+                    "prio": 0,
+                    "fr0": 0,
+                    "fc0": 0,
+                    "fh": 0,
+                    "fw": 0,
+                    "payload": b"",
+                    "src_r0": 0,
+                    "src_c0": 0,
+                }
+            )
+    seed_ds = ray.data.from_arrow(_frag_table(seeds))
+    frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None).union(
+        seed_ds
+    )
+    frags = frags.repartition(shuffle_blocks)
+    built = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
+    return TileSet(ds=built, grid=new_spec)

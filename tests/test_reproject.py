@@ -1,0 +1,74 @@
+"""Reproject: identity parity, rotated warp vs whole-array, transforms."""
+
+import numpy as np
+import pytest
+
+from hydro_raster_ray import fixtures
+from hydro_raster_ray.grid import map2sub, sub2map, TileScheme
+from hydro_raster_ray.sources import from_arrow_tiles, to_array
+from hydro_raster_ray.stages.reproject import (
+    AffineTransform,
+    inv_web_mercator,
+    reproject,
+    target_grid_for,
+    web_mercator,
+)
+
+
+def test_affine_inverse_roundtrip():
+    t = AffineTransform.rotation(37.0, 1000.0, 2000.0)
+    inv = t.inverse()
+    x = np.linspace(-5e3, 5e3, 11)
+    y = np.linspace(-3e3, 7e3, 11)
+    tx, ty = t(x, y)
+    bx, by = inv(tx, ty)
+    np.testing.assert_allclose(bx, x, atol=1e-6)
+    np.testing.assert_allclose(by, y, atol=1e-6)
+
+
+def test_web_mercator_roundtrip():
+    lon = np.linspace(-179, 179, 21)
+    lat = np.linspace(-80, 80, 21)
+    x, y = web_mercator(lon, lat)
+    lon2, lat2 = inv_web_mercator(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_reproject_identity_preserves_pixels(ray_session, small_scheme):
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    ident = AffineTransform(1, 0, 0, 0, 1, 0)
+    got_ts = reproject(
+        ts, ident, ident, small_scheme.grid.cellsize, crs=small_scheme.grid.crs
+    )
+    got = to_array(got_ts)
+    want = fixtures.assemble_truth(small_scheme)
+    # identity target grid snaps to the same lattice → exact copy where the
+    # footprints overlap (target bbox is ceil-snapped, may add 1 edge row/col)
+    h = min(got.shape[0], want.shape[0])
+    w = min(got.shape[1], want.shape[1])
+    ok = ~np.isnan(want[:h, :w])
+    np.testing.assert_allclose(got[:h, :w][ok], want[:h, :w][ok], rtol=0, atol=0)
+
+
+def test_reproject_rotation_matches_whole_array(ray_session, small_scheme):
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    g = small_scheme.grid
+    ext = g.extent
+    fwd = AffineTransform.rotation(
+        15.0, 0.5 * (ext[0] + ext[1]), 0.5 * (ext[2] + ext[3])
+    )
+    inv = fwd.inverse()
+    got = to_array(reproject(ts, fwd, inv, g.cellsize, crs="rot15"))
+    spec = target_grid_for(g, fwd, g.cellsize, crs="rot15")
+    X, Y = sub2map(np.arange(spec.nrows), np.arange(spec.ncols), spec)
+    XX, YY = np.meshgrid(X, Y)
+    sx, sy = inv(XX.ravel(), YY.ravel())
+    rr, cc = map2sub(sx, sy, g)
+    ok = (rr >= 0) & (rr < g.nrows) & (cc >= 0) & (cc < g.ncols)
+    full = fixtures.assemble_truth(small_scheme)
+    want = np.full(XX.size, np.nan)
+    want[ok] = full[rr[ok], cc[ok]]
+    want = want.reshape(spec.nrows, spec.ncols).astype(np.float32).astype(np.float64)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got[~np.isnan(got)], want[~np.isnan(want)], rtol=0, atol=0)
