@@ -30,6 +30,8 @@ __all__ = [
     "GridSpec",
     "TileScheme",
     "header2extent",
+    "meta2header",
+    "normalize_crs",
     "map2sub",
     "sub2map",
     "shape_extent_to_header",
@@ -101,6 +103,50 @@ def _spec_of(geo) -> GridSpec:
     if isinstance(geo, dict):
         return GridSpec.from_header(geo)
     raise TypeError(f"expected GridSpec or header dict, got {type(geo)}")
+
+
+def meta2header(meta: dict) -> GridSpec:
+    """Rasterio-style ``meta`` → GridSpec (``spatial_analysis.py:321-337``):
+    ``transform`` is the affine 6-tuple (a, b, c, d, e, f) with
+    ``x = a·col + c``, ``y = e·row + f`` (north-up: b = d = 0, e < 0,
+    square cells |a| == |e|); ``width``/``height`` in pixels."""
+    t = meta["transform"]
+    a, b, c, d, e, f = (float(v) for v in tuple(t)[:6])
+    if b != 0.0 or d != 0.0:
+        raise ValueError("rotated transforms are not grid-aligned headers; use reproject")
+    if not (a > 0 and e < 0 and abs(abs(a) - abs(e)) < 1e-9):
+        raise ValueError(f"expected north-up square cells, got a={a}, e={e}")
+    width = int(meta["width"])
+    height = int(meta["height"])
+    return GridSpec(
+        ncols=width,
+        nrows=height,
+        xllcorner=c,
+        yllcorner=f + e * height,
+        cellsize=a,
+        nodata=float(meta.get("nodata", -9999.0) if meta.get("nodata") is not None else -9999.0),
+        crs=normalize_crs(meta.get("crs", "EPSG:27700")),
+    )
+
+
+def normalize_crs(crs) -> str:
+    """Canonical CRS string (``Raster.py:167-183`` family): int → EPSG:n;
+    'epsg:n' case-normalized; WKT with an EPSG authority → EPSG:n; other
+    strings pass through verbatim."""
+    import re as _re
+
+    if crs is None:
+        return "EPSG:27700"
+    if isinstance(crs, int):
+        return f"EPSG:{crs}"
+    s = str(crs).strip()
+    m = _re.fullmatch(r"(?i)epsg\s*:\s*(\d+)", s)
+    if m:
+        return f"EPSG:{m.group(1)}"
+    m = _re.search(r'AUTHORITY\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]\s*\]\s*$', s)
+    if m:
+        return f"EPSG:{m.group(1)}"
+    return s
 
 
 def header2extent(geo) -> tuple[float, float, float, float]:

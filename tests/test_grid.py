@@ -136,3 +136,30 @@ def test_tile_cell_centres_match_sub2map():
     Xr, Yr = sub2map(rows, cols, s.grid)
     np.testing.assert_allclose(X, Xr)
     np.testing.assert_allclose(Y, Yr)
+
+
+def test_meta2header_and_normalize_crs():
+    from hydro_raster_ray.grid import GridSpec, meta2header, normalize_crs
+
+    spec = meta2header(
+        {
+            "transform": (5.0, 0.0, 340000.0, 0.0, -5.0, 556360.0),
+            "width": 488,
+            "height": 472,
+            "nodata": -9999.0,
+            "crs": "epsg:27700",
+        }
+    )
+    assert spec == GridSpec(
+        ncols=488, nrows=472, xllcorner=340000.0, yllcorner=554000.0,
+        cellsize=5.0, nodata=-9999.0, crs="EPSG:27700",
+    )
+    assert normalize_crs(4326) == "EPSG:4326"
+    assert normalize_crs(" epsg: 27700 ") == "EPSG:27700"
+    wkt = 'PROJCS["OSGB36",AUTHORITY["EPSG","27700"]]'
+    assert normalize_crs(wkt) == "EPSG:27700"
+    assert normalize_crs("+proj=utm +zone=30") == "+proj=utm +zone=30"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        meta2header({"transform": (5.0, 1.0, 0.0, 0.0, -5.0, 0.0), "width": 1, "height": 1})
