@@ -213,7 +213,9 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env.setdefault("GRAFT_BENCH_ONLY", "ep1_edit_dem,doc_quality")
+        # ep1 = the memory-bound headline; sched_probe = pure-compute control
+        # separating engine scheduling from the single box's DRAM ceiling
+        env.setdefault("GRAFT_BENCH_ONLY", "ep1_edit_dem,sched_probe")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
