@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
+    q["emb_near_dups"] = ann.emb_near_dups
     q["events_hourly"] = relational.events_hourly
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
@@ -375,5 +376,8 @@ SELECT doc_id, fingerprint FROM read_parquet('{F}/witness_fingerprint.parquet')
         "ann_ivf_topk": f"""
 SELECT qid, vec_id, sim, CAST(rank AS BIGINT) rank
 FROM read_parquet('{F}/witness_ivf_topk.parquet')
+""",
+        "emb_near_dups": f"""
+SELECT vec_id, group_id FROM read_parquet('{F}/witness_emb_near_dups.parquet')
 """,
     }

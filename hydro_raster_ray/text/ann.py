@@ -22,7 +22,14 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["read_embeddings", "brute_force_topk", "ivf_assign", "ivf_build", "ivf_topk"]
+__all__ = [
+    "read_embeddings",
+    "brute_force_topk",
+    "ivf_assign",
+    "ivf_build",
+    "ivf_topk",
+    "emb_near_dups",
+]
 
 
 def read_embeddings(sf_dir: str, columns=None) -> "ray.data.Dataset":
@@ -205,3 +212,76 @@ def ivf_topk(
         return df
 
     return cand.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def emb_near_dups(
+    sf_dir: str, threshold: float = 0.4, n_centroids: int = 8
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate CLUSTERS via IVF-bucket blocking.
+
+    The scalable formulation mirrors ``ops.minhash_near_dups``'s contract:
+
+    - blocking: every vector is assigned to its nearest-centroid IVF bucket
+      (``groupby(centroid)`` — bucket size is bounded by n/C on average;
+      raise ``n_centroids`` at scale). Cross-bucket near-dups are not
+      candidates, exactly as LSH banding bounds minhash candidacy.
+    - candidacy: within a bucket (rows sorted by vec_id), each row links to
+      the LOWEST-id earlier row whose rounded (6-dec) cosine ≥ threshold —
+      O(bucket) edges even when every vector matches everything (the
+      degenerate-near-dup case), never O(bucket²) rows.
+    - grouping: edges cluster via distributed connected components.
+
+    Columns: vec_id, group_id (min member id); only members of clusters of
+    size ≥ 2, sorted by vec_id. The single-process witness
+    (``witness.emb_near_dups_witness``) implements the identical contract.
+    """
+    import pandas as _pd
+
+    from ..stages.cc import connected_components, rename_cols
+
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ref = ray.put((cids, cn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def assign(df: _pd.DataFrame) -> _pd.DataFrame:
+        ids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        df = df.copy()
+        df["centroid"] = ids[np.argmax(mn @ cmat.T, axis=1)].astype(np.int64)
+        return df
+
+    def bucket_edges(df: _pd.DataFrame) -> _pd.DataFrame:
+        order = np.argsort(df["vec_id"].to_numpy())
+        ids = df["vec_id"].to_numpy()[order]
+        if ids.size < 2:
+            return _pd.DataFrame(
+                {"a": _pd.Series([], dtype=np.int64), "b": _pd.Series([], dtype=np.int64)}
+            )
+        m = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 6)
+        aa, bb = [], []
+        for i in range(1, ids.size):
+            row = sims[i, :i] >= threshold
+            j = int(np.argmax(row))
+            if row[j]:
+                aa.append(ids[j])
+                bb.append(ids[i])
+        return _pd.DataFrame(
+            {"a": np.asarray(aa, dtype=np.int64), "b": np.asarray(bb, dtype=np.int64)}
+        )
+
+    edges = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("centroid")
+        .map_groups(bucket_edges, batch_format="pandas")
+    )
+    labels = connected_components(edges)
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())}
+    )
+    if labels.count() == 0:
+        return ray.data.from_arrow(empty)
+    return rename_cols(labels, {"node": "vec_id", "label": "group_id"}).sort("vec_id")

@@ -366,30 +366,22 @@ def minhash_near_dups(
         .aggregate(Count(alias_name="n_bands"))
         .materialize()  # bounded: O(candidate edges); reused twice below
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(empty)
 
-    # candidate ids: distinct edge endpoints (for the broadcast fast path)
-    def endpoints(t: pa.Table) -> pa.Table:
-        u = pc.unique(
-            pa.concat_arrays(
-                [t["a"].combine_chunks().cast(pa.int64()),
-                 t["b"].combine_chunks().cast(pa.int64())]
-            )
-        )
-        return pa.table({"doc_id": u})
-
-    cand = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="x"))
-    )
-    n_cand = cand.count()
     docs = ds
-    if n_cand <= broadcast_budget:
-        ids_np = np.sort(
+    if n_edges <= broadcast_budget:
+        # broadcast fast path: distinct endpoints collected straight off the
+        # (already materialized, bounded) edge table — one pass, no extra
+        # distinct shuffle
+        ids_np = np.unique(
             np.concatenate(
-                [b["doc_id"].to_numpy() for b in cand.iter_batches(batch_format="pyarrow")]
+                [
+                    np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+                    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow")
+                    if b.num_rows
+                ]
             )
         )
         ref = ray.put(ids_np)
@@ -430,10 +422,10 @@ def minhash_near_dups(
             {"a": np.asarray(ka, dtype=np.int64), "b": np.asarray(kb, dtype=np.int64)}
         )
 
-    ok_edges = e2.map_batches(verify, batch_format="pandas").materialize()
-    if ok_edges.count() == 0:
-        return ray.data.from_arrow(empty)
+    ok_edges = e2.map_batches(verify, batch_format="pandas")
     labels = connected_components(ok_edges, num_partitions=num_partitions)
+    if labels.count() == 0:
+        return ray.data.from_arrow(empty)
     return rename_cols(labels, {"node": "doc_id", "label": "group_id"}).sort("doc_id")
 
 

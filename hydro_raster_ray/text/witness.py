@@ -214,10 +214,55 @@ def ivf_topk_witness(
     )
 
 
+def emb_near_dups_witness(
+    emb: pd.DataFrame, threshold: float = 0.4, n_centroids: int = 8
+) -> pd.DataFrame:
+    """Expected (vec_id, group_id) of ``ann.emb_near_dups``: IVF-bucket
+    blocking, within-bucket first-earlier-match star edges at rounded
+    cosine ≥ threshold, union-find grouping — single-process."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cn = mn[:n_centroids]
+    bucket = ids[:n_centroids][np.argmax(mn @ cn.T, axis=1)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for b in np.unique(bucket):
+        sel = np.nonzero(bucket == b)[0]  # already vec_id-sorted
+        sims = np.round(mn[sel] @ mn[sel].T, 6)
+        for i in range(1, sel.size):
+            hits = np.nonzero(sims[i, :i] >= threshold)[0]
+            if hits.size == 0:
+                continue
+            u, v = int(ids[sel[hits[0]]]), int(ids[sel[i]])
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+            members.add(u)
+            members.add(v)
+    rows = sorted((m, find(m)) for m in members)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "group_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/testdata") -> None:
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads)."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_COMPLETE")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V2")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -240,6 +285,10 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     pq.write_table(
         pa.Table.from_pandas(ivf_topk_witness(emb), preserve_index=False),
         os.path.join(out_dir, "witness_ivf_topk.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb_near_dups_witness(emb), preserve_index=False),
+        os.path.join(out_dir, "witness_emb_near_dups.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -128,3 +128,15 @@ def test_ivf_topk_matches_witness_and_prunes_reads():
     idx = ann.ivf_build(SF)
     parts = [d for d in os.listdir(idx) if d.startswith("centroid=")]
     assert len(parts) >= 2
+
+
+def test_emb_near_dups_matches_witness():
+    from hydro_raster_ray.text import ann, witness
+
+    got = ann.emb_near_dups(SF).to_pandas().reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    want = witness.emb_near_dups_witness(emb)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+    # group ids are cluster minima
+    assert (got.groupby("group_id")["vec_id"].min() == got["group_id"].unique()).all()
