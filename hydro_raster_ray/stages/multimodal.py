@@ -28,7 +28,7 @@ from .. import codecs
 from ..sources.tiles import TileSet
 from .decode import _payload_views
 
-__all__ = ["MediaCodec", "image_features", "resize_images", "sample_frames"]
+__all__ = ["MediaCodec", "image_features", "resize_images", "sample_frames", "make_fake_videos"]
 
 
 class MediaCodec:
@@ -67,6 +67,25 @@ class MediaCodec:
                 )
             raise NotImplementedError("real image codec path not wired yet")
         raise ValueError(f"unknown media fmt {fmt!r}")
+
+    def decode_frame(self, buf, h: int, w: int, fmt: str, frame_idx: int) -> np.ndarray:
+        """Decode ONE frame of a video payload (the seek-then-decode path a
+        real frame sampler performs).
+
+        - ``rawv-u8``: frames stored back-to-back as h·w uint8 planes — the
+          slice/reshape below is the REAL decode for this container.
+        - real containers (mp4/webm): require ffmpeg → NotImplementedError.
+        """
+        if fmt == "rawv-u8":
+            sz = h * w
+            view = memoryview(buf)[frame_idx * sz : (frame_idx + 1) * sz]
+            if len(view) != sz:
+                raise ValueError(f"frame {frame_idx} out of range for payload")
+            return np.frombuffer(view, dtype=np.uint8).astype(np.float64).reshape(h, w)
+        raise NotImplementedError(
+            f"{fmt} frame decode requires ffmpeg/av, not available here; "
+            "plug a real codec into MediaCodec.decode_frame"
+        )
 
 
 class _ImageFeatures:
@@ -139,25 +158,76 @@ def resize_images(ts: TileSet, factor: int, concurrency: int = 4):
     )
 
 
-def sample_frames(ds, every_n: int = 10):
-    """Video frame sampling STUB: rows are (video_id, bytes, n_frames, fmt);
-    emits (video_id, frame_idx) plan rows — the decode itself is behind
-    MediaCodec (NotImplementedError for real containers). Demonstrates the
-    flat_map-style expansion layout for frame pipelines."""
+def make_fake_videos(n_videos: int, h: int, w: int, n_frames: int) -> pa.Table:
+    """Deterministic ``rawv-u8`` video table (video_id, bytes, h, w,
+    n_frames, fmt): frame k of video v is the uint8 plane
+    ``(3·col + 7·row + 11·k + 13·v) mod 256`` — pure formula, no RNG."""
+    ids, bufs = [], []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for v in range(n_videos):
+        frames = [
+            ((3 * xx + 7 * yy + 11 * k + 13 * v) % 256).astype(np.uint8)
+            for k in range(n_frames)
+        ]
+        ids.append(f"v{v:04d}")
+        bufs.append(b"".join(f.tobytes() for f in frames))
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array([h] * n_videos, pa.int32()),
+            "w": pa.array([w] * n_videos, pa.int32()),
+            "n_frames": pa.array([n_frames] * n_videos, pa.int32()),
+            "fmt": pa.array(["rawv-u8"] * n_videos, pa.string()),
+        }
+    )
 
-    def expand(batch: pa.Table) -> pa.Table:
-        vids, idxs = [], []
-        for vid, n in zip(
-            batch["video_id"].to_pylist(), batch["n_frames"].to_pylist()
-        ):
-            ks = list(range(0, int(n), every_n))
-            vids.extend([vid] * len(ks))
-            idxs.extend(ks)
+
+class _FrameSampler:
+    """Actor: seek-decode every ``every_n``-th frame of each video payload
+    and emit thin per-frame feature rows (payload dropped immediately)."""
+
+    def __init__(self, every_n: int):
+        self.codec = MediaCodec()  # once per actor
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"video_id": [], "frame_idx": [], "mean": [], "std": []}
+        bufs = batch["bytes"]
+        for i in range(batch.num_rows):
+            vid = batch["video_id"][i].as_py()
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            n = int(batch["n_frames"][i].as_py())
+            fmt = batch["fmt"][i].as_py()
+            buf = bufs[i].as_py()
+            for k in range(0, n, self.every_n):
+                a = self.codec.decode_frame(buf, h, w, fmt, k)
+                out["video_id"].append(vid)
+                out["frame_idx"].append(k)
+                out["mean"].append(float(a.mean()))
+                out["std"].append(float(a.std()))
         return pa.table(
             {
-                "video_id": pa.array(vids, pa.string()),
-                "frame_idx": pa.array(idxs, pa.int64()),
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "mean": pa.array(out["mean"], pa.float64()),
+                "std": pa.array(out["std"], pa.float64()),
             }
         )
 
-    return ds.map_batches(expand, batch_format="pyarrow", batch_size=64)
+
+def sample_frames(ds, every_n: int = 10, concurrency: int = 4, batch_size: int = 8):
+    """Video frame sampling: rows are (video_id, bytes, h, w, n_frames,
+    fmt); every ``every_n``-th frame is seek-decoded (``MediaCodec.
+    decode_frame`` — real byte-range decode for ``rawv-u8``, pluggable
+    ffmpeg for real containers) in an actor pool and reduced to thin
+    per-frame feature rows. Video rows are the fattest payloads in the
+    engine → small batch_size."""
+    return ds.map_batches(
+        _FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"every_n": every_n},
+    )

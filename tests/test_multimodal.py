@@ -57,17 +57,38 @@ def test_resize_images(tileset, small_scheme):
             assert b["h"][i].as_py() == (64 + 1) // 2 or b["h"][i].as_py() in (12, 32)
 
 
-def test_sample_frames(ray_session):
-    ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "video_id": pa.array(["v0", "v1"], pa.string()),
-                "bytes": pa.array([b"x", b"y"], pa.binary()),
-                "n_frames": pa.array([25, 7], pa.int64()),
-                "fmt": pa.array(["mp4-stub", "mp4-stub"], pa.string()),
-            }
+def test_sample_frames_real_decode(ray_session):
+    """Frame sampling decodes the actual frame bytes (rawv-u8 byte-range
+    decode), not just plan rows: features match the numpy reference."""
+    import numpy as np
+
+    from hydro_raster_ray.stages.multimodal import MediaCodec, make_fake_videos
+
+    table = make_fake_videos(3, 16, 20, n_frames=25)
+    ds = ray.data.from_arrow(table)
+    rows = sample_frames(ds, every_n=10, concurrency=2).take_all()
+    got = {(r["video_id"], r["frame_idx"]): (r["mean"], r["std"]) for r in rows}
+    assert set(got) == {
+        (f"v{v:04d}", k) for v in range(3) for k in (0, 10, 20)
+    }
+    codec = MediaCodec()
+    yy, xx = np.mgrid[0:16, 0:20]
+    for (vid, k), (mean, std) in got.items():
+        v = int(vid[1:])
+        want = ((3 * xx + 7 * yy + 11 * k + 13 * v) % 256).astype(np.float64)
+        assert abs(mean - want.mean()) < 1e-12
+        assert abs(std - want.std()) < 1e-12
+        # direct codec path agrees
+        buf = table["bytes"][v].as_py()
+        np.testing.assert_array_equal(
+            codec.decode_frame(buf, 16, 20, "rawv-u8", k), want
         )
-    )
-    rows = sample_frames(ds, every_n=10).take_all()
-    got = {(r["video_id"], r["frame_idx"]) for r in rows}
-    assert got == {("v0", 0), ("v0", 10), ("v0", 20), ("v1", 0)}
+
+
+def test_sample_frames_real_container_raises():
+    from hydro_raster_ray.stages.multimodal import MediaCodec
+
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        MediaCodec().decode_frame(b"\x00" * 100, 5, 5, "mp4", 0)
