@@ -244,9 +244,10 @@ SELECT md5(text) h, CAST(min(doc_id) AS BIGINT) keep_id,
        CAST(count(*) AS BIGINT) n
 FROM documents GROUP BY md5(text)
 """,
-        "doc_token_stats": """
+        "doc_token_stats": f"""
 SELECT lang, CAST(count(*) AS BIGINT) n_docs,
        CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) n_tokens,
+       CAST(sum(length(regexp_extract_all(text, '{ops.BPE_PATTERN_SQL}'))) AS BIGINT) n_bpe,
        CAST(sum(n_chars) AS BIGINT) n_chars
 FROM documents GROUP BY lang
 """,

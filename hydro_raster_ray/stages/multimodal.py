@@ -28,7 +28,15 @@ from .. import codecs
 from ..sources.tiles import TileSet
 from .decode import _payload_views
 
-__all__ = ["MediaCodec", "image_features", "resize_images", "sample_frames", "make_fake_videos"]
+__all__ = [
+    "MediaCodec",
+    "image_features",
+    "resize_images",
+    "sample_frames",
+    "make_fake_videos",
+    "audio_features",
+    "make_fake_audio",
+]
 
 
 class MediaCodec:
@@ -67,6 +75,20 @@ class MediaCodec:
                 )
             raise NotImplementedError("real image codec path not wired yet")
         raise ValueError(f"unknown media fmt {fmt!r}")
+
+    def decode_audio(self, buf, fmt: str) -> np.ndarray:
+        """Decode an audio payload to a float64 sample vector in [-1, 1).
+
+        - ``pcm16le``: interleaved-free mono 16-bit little-endian PCM — the
+          frombuffer/scale below is the REAL decode for this container.
+        - real codecs (mp3/ogg/flac): require an audio lib → stub.
+        """
+        if fmt == "pcm16le":
+            return np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+        raise NotImplementedError(
+            f"{fmt} audio decode requires an audio codec lib, not available "
+            "here; plug one into MediaCodec.decode_audio"
+        )
 
     def decode_frame(self, buf, h: int, w: int, fmt: str, frame_idx: int) -> np.ndarray:
         """Decode ONE frame of a video payload (the seek-then-decode path a
@@ -230,4 +252,72 @@ def sample_frames(ds, every_n: int = 10, concurrency: int = 4, batch_size: int =
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"every_n": every_n},
+    )
+
+
+def make_fake_audio(n_clips: int, sample_rate: int = 8000, seconds: float = 0.5) -> pa.Table:
+    """Deterministic ``pcm16le`` audio table (audio_id, bytes, sample_rate,
+    n_samples, fmt): clip c is a two-tone sine mix with formula-fixed
+    frequencies — pure arithmetic, no RNG."""
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    ids, bufs = [], []
+    for c in range(n_clips):
+        f0 = 200.0 + 37.0 * c
+        f1 = 900.0 + 53.0 * c
+        x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * f1 * t)
+        ids.append(f"a{c:04d}")
+        bufs.append((x * 32767.0).astype("<i2").tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "sample_rate": pa.array([sample_rate] * n_clips, pa.int32()),
+            "n_samples": pa.array([n] * n_clips, pa.int32()),
+            "fmt": pa.array(["pcm16le"] * n_clips, pa.string()),
+        }
+    )
+
+
+class _AudioFeatures:
+    """Actor: decode each clip once, emit thin rows (rms, peak,
+    zero-crossing rate, dominant-bin frequency via numpy rfft)."""
+
+    def __init__(self):
+        self.codec = MediaCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"audio_id": [], "rms": [], "peak": [], "zcr": [], "dom_freq": []}
+        for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            sr = int(batch["sample_rate"][i].as_py())
+            x = self.codec.decode_audio(buf, batch["fmt"][i].as_py())
+            if x.size == 0:
+                continue
+            out["audio_id"].append(batch["audio_id"][i].as_py())
+            out["rms"].append(float(np.sqrt((x * x).mean())))
+            out["peak"].append(float(np.abs(x).max()))
+            out["zcr"].append(float((np.diff(np.signbit(x)) != 0).mean()))
+            spec = np.abs(np.fft.rfft(x))
+            spec[0] = 0.0  # ignore DC
+            out["dom_freq"].append(float(np.argmax(spec) * sr / x.size))
+        return pa.table(
+            {
+                "audio_id": pa.array(out["audio_id"], pa.string()),
+                "rms": pa.array(out["rms"], pa.float64()),
+                "peak": pa.array(out["peak"], pa.float64()),
+                "zcr": pa.array(out["zcr"], pa.float64()),
+                "dom_freq": pa.array(out["dom_freq"], pa.float64()),
+            }
+        )
+
+
+def audio_features(ds, concurrency: int = 4, batch_size: int = 16):
+    """Per-clip audio features via an actor pool (codec once per actor,
+    payloads dropped at the stage boundary)."""
+    return ds.map_batches(
+        _AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

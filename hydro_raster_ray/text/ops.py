@@ -73,16 +73,29 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# BPE-ish subword pre-tokenizer: letter runs, digit runs, single
+# punctuation marks — the shape GPT-style byte-pair pretokenization
+# produces before merges. Kept in sync with the SQL oracle's
+# regexp_extract_all pattern.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+BPE_PATTERN_SQL = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"
+
+
 def token_stats(sf_dir: str) -> "ray.data.Dataset":
-    """Whitespace-token counts per language: n_docs, n_tokens, n_chars.
-    Pre-aggregated per batch; the groupby moves one row per (batch, lang)."""
+    """Token counts per language: n_docs, whitespace tokens, BPE-ish
+    subword tokens, n_chars. Pre-aggregated per batch; the groupby moves
+    one row per (batch, lang)."""
     ds = read_documents(sf_dir, columns=["lang", "text", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n_tokens=df["text"].str.count(_TOKEN_RE))
+        df = df.assign(
+            n_tokens=df["text"].str.count(_TOKEN_RE),
+            n_bpe=df["text"].str.count(_BPE_RE),
+        )
         g = df.groupby("lang", as_index=False).agg(
             n_docs=("lang", "size"),
             n_tokens=("n_tokens", "sum"),
+            n_bpe=("n_bpe", "sum"),
             n_chars=("n_chars", "sum"),
         )
         return g
@@ -93,6 +106,7 @@ def token_stats(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_bpe", alias_name="n_bpe"),
             Sum("n_chars", alias_name="n_chars"),
         )
     )

@@ -92,3 +92,20 @@ def test_sample_frames_real_container_raises():
 
     with _pt.raises(NotImplementedError):
         MediaCodec().decode_frame(b"\x00" * 100, 5, 5, "mp4", 0)
+
+
+def test_audio_features_real_decode(ray_session):
+    import numpy as np
+
+    from hydro_raster_ray.stages.multimodal import audio_features, make_fake_audio
+
+    table = make_fake_audio(4, sample_rate=8000, seconds=0.25)
+    rows = audio_features(ray.data.from_arrow(table), concurrency=2).take_all()
+    assert len(rows) == 4
+    by = {r["audio_id"]: r for r in rows}
+    for c in range(4):
+        r = by[f"a{c:04d}"]
+        # two-tone mix: rms ≈ sqrt(0.5²/2 + 0.25²/2), dominant bin ≈ f0
+        assert abs(r["rms"] - np.sqrt(0.5**2 / 2 + 0.25**2 / 2)) < 0.01
+        assert abs(r["dom_freq"] - (200.0 + 37.0 * c)) < 8000 / 2000 * 2
+        assert 0.0 < r["zcr"] < 0.5
