@@ -80,8 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
+    q["ann_ivf_train"] = ann.ivf_train
     q["emb_near_dups"] = ann.emb_near_dups
     q["events_hourly"] = relational.events_hourly
+    q["events_sliding"] = relational.events_sliding
+    q["events_sessions"] = relational.events_sessions
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
     q["segment_orders"] = relational.segment_orders
@@ -299,6 +302,30 @@ SELECT date_trunc('hour', ts) win_start, event_type,
        CAST(round(sum(value), 2) AS DOUBLE) sum_value, CAST(count(*) AS BIGINT) n
 FROM events GROUP BY 1, 2
 """,
+        "events_sliding": """
+SELECT to_timestamp(floor(epoch(ts) / 900) * 900 - k.range * 900)::TIMESTAMP win_start,
+       event_type,
+       CAST(round(sum(value), 2) AS DOUBLE) sum_value, CAST(count(*) AS BIGINT) n
+FROM events, range(4) k GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL '30 minutes' THEN 1 ELSE 0 END brk
+  FROM events),
+ s AS (SELECT user_id, ts,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) sess
+       FROM d),
+ g AS (SELECT user_id, sess, count(*) n_ev,
+        epoch(max(ts) - min(ts)) dur
+       FROM s GROUP BY user_id, sess)
+SELECT user_id, CAST(count(*) AS BIGINT) n_sessions,
+       CAST(sum(n_ev) AS BIGINT) n_events,
+       CAST(max(dur) AS DOUBLE) max_session_secs
+FROM g GROUP BY user_id
+""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity), 2) AS DOUBLE) sum_qty,
@@ -380,5 +407,8 @@ FROM read_parquet('{F}/witness_ivf_topk.parquet')
 """,
         "emb_near_dups": f"""
 SELECT vec_id, group_id FROM read_parquet('{F}/witness_emb_near_dups.parquet')
+""",
+        "ann_ivf_train": f"""
+SELECT centroid, n FROM read_parquet('{F}/witness_ivf_train.parquet')
 """,
     }

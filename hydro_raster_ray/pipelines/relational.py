@@ -14,7 +14,14 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-__all__ = ["pricing_summary", "revenue_by_brand", "segment_orders", "events_hourly"]
+__all__ = [
+    "pricing_summary",
+    "revenue_by_brand",
+    "segment_orders",
+    "events_hourly",
+    "events_sliding",
+    "events_sessions",
+]
 
 
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -161,3 +168,77 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         return df
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def events_sliding(sf_dir: str) -> "ray.data.Dataset":
+    """SLIDING event-time windows: 1-hour windows advancing every 15
+    minutes (each event lands in 4 windows). Expressed as a vectorized
+    window-explosion inside ``map_batches`` (event → its 4 window starts)
+    + per-batch partials + one thin groupby — the streaming-window pattern
+    without materializing per-window event lists."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    step = pd.Timedelta(minutes=15)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        frames = []
+        for k in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "win_start": base - k * step,
+                        "event_type": df["event_type"],
+                        "value": df["value"],
+                        "n": 1,
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["win_start", "event_type"], as_index=False).agg(
+            value=("value", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["win_start", "event_type"])
+        .aggregate(Sum("value", alias_name="sum_value"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        df["win_start"] = df["win_start"].astype("datetime64[us]")
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """SESSION windows per user: a session breaks after a ``gap_minutes``
+    silence. ``groupby(user_id).map_groups`` sorts each user's events once
+    — the canonical sessionization shuffle (partitioning assumption: one
+    user's history fits a task; bucket by (user, day) with boundary merge
+    beyond that). Columns: user_id, n_sessions, n_events,
+    max_session_secs."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].sort_values().reset_index(drop=True)
+        brk = (ts.diff() > gap).cumsum()
+        by = ts.groupby(brk)
+        durs = (by.max() - by.min()).dt.total_seconds()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[:1].astype(np.int64),
+                "n_sessions": pd.Series([brk.nunique()], dtype=np.int64),
+                "n_events": pd.Series([len(ts)], dtype=np.int64),
+                "max_session_secs": pd.Series([float(durs.max())]),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

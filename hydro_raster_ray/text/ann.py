@@ -28,6 +28,7 @@ __all__ = [
     "ivf_assign",
     "ivf_build",
     "ivf_topk",
+    "ivf_train",
     "emb_near_dups",
 ]
 
@@ -285,3 +286,84 @@ def emb_near_dups(
     if labels.count() == 0:
         return ray.data.from_arrow(empty)
     return rename_cols(labels, {"node": "vec_id", "label": "group_id"}).sort("vec_id")
+
+
+def ivf_train(
+    sf_dir: str, n_centroids: int = 8, iters: int = 3
+) -> "ray.data.Dataset":
+    """Distributed Lloyd (k-means) refinement of the IVF centroids.
+
+    Round-1's IVF used the first C vectors verbatim; this trains them:
+    each iteration is one ``map_batches`` pass emitting per-batch partial
+    (centroid, vector-sum, count) rows plus a C-row ``groupby`` — the
+    classic partial/combiner mean, nothing corpus-sized moves. Centroids
+    are rounded to 9 decimals per iteration so the single-process witness
+    reproduces assignments bit-for-bit. Deterministic: init = the first C
+    vectors, fixed iteration count, empty clusters keep their centroid.
+
+    Returns bucket sizes under the TRAINED centroids: (centroid [0..C-1],
+    n), the assignment witness of the refined index.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    _, cm = _load_queries(sf_dir, range(n_centroids))
+    cents = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cents = np.round(cents, 9)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cmat = ray.get(ref)
+            m = _batch_matrix(df)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            best = np.argmax(mn @ cmat.T, axis=1)
+            rows = []
+            for c in np.unique(best):
+                sel = mn[best == c]
+                row = {"centroid": int(c), "n": int(sel.shape[0])}
+                s = sel.sum(axis=0)
+                for j in range(dim):
+                    row[f"s{j}"] = float(s[j])
+                rows.append(row)
+            return pd.DataFrame(rows)
+
+        aggs = [_Sum("n", alias_name="n")] + [
+            _Sum(f"s{j}", alias_name=f"s{j}") for j in range(dim)
+        ]
+        stats = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("centroid")
+            .aggregate(*aggs)
+            .to_pandas()
+        )  # C rows — the reduced model state, not data
+        new = cents.copy()
+        for _, r in stats.iterrows():
+            c = int(r["centroid"])
+            if r["n"] > 0:
+                v = np.array([r[f"s{j}"] for j in range(dim)])
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[c] = v / nv
+        cents = np.round(new, 9)
+
+    # final assignment histogram under the trained centroids
+    ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        best = np.argmax(mn @ cmat.T, axis=1).astype(np.int64)
+        return pd.DataFrame({"centroid": best})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("centroid")
+        .aggregate(Count(alias_name="n"))
+    )

@@ -259,10 +259,42 @@ def emb_near_dups_witness(
     )
 
 
+def ivf_train_witness(
+    emb: pd.DataFrame, n_centroids: int = 8, iters: int = 3
+) -> pd.DataFrame:
+    """Expected (centroid, n) of ``ann.ivf_train``: whole-table Lloyd with
+    the same init (first C normalized vectors), the same
+    normalize-the-sum update, and the same 9-decimal per-iteration
+    rounding that makes the float orders agree."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = np.round(mn[:n_centroids], 9)
+    for _ in range(iters):
+        best = np.argmax(mn @ cents.T, axis=1)
+        new = cents.copy()
+        for c in range(n_centroids):
+            sel = mn[best == c]
+            if sel.shape[0]:
+                v = sel.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[c] = v / nv
+        cents = np.round(new, 9)
+    best = np.argmax(mn @ cents.T, axis=1)
+    vals, counts = np.unique(best, return_counts=True)
+    return pd.DataFrame(
+        {
+            "centroid": pd.Series(vals, dtype=np.int64),
+            "n": pd.Series(counts, dtype=np.int64),
+        }
+    )
+
+
 def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/testdata") -> None:
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads)."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V2")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V3")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -289,6 +321,10 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     pq.write_table(
         pa.Table.from_pandas(emb_near_dups_witness(emb), preserve_index=False),
         os.path.join(out_dir, "witness_emb_near_dups.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ivf_train_witness(emb), preserve_index=False),
+        os.path.join(out_dir, "witness_ivf_train.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")
