@@ -113,11 +113,22 @@ def token_stats(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _doc_quality(df: pd.DataFrame) -> pd.DataFrame:
+    # vectorized via one token explosion + grouped reductions (no per-doc
+    # Python loops): same per-doc values as the scalar definition
+    df = df.reset_index(drop=True)
     toks = df["text"].str.split()
-    wc = toks.map(len).astype(np.int64)
-    stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws))
-    uniq = toks.map(lambda ws: len(set(ws)))
-    mean_len = toks.map(lambda ws: sum(len(w) for w in ws) / max(1, len(ws)))
+    idx = pd.RangeIndex(len(df))
+    toks.index = idx
+    ex = toks.explode().dropna()
+    wc = ex.groupby(level=0).size().reindex(idx, fill_value=0).astype(np.int64)
+    stop = (
+        ex.isin(STOPWORDS).groupby(level=0).sum().reindex(idx, fill_value=0)
+    ).astype(np.int64)
+    uniq = ex.groupby(level=0).nunique().reindex(idx, fill_value=0).astype(np.int64)
+    mean_len = (
+        ex.str.len().groupby(level=0).sum().reindex(idx, fill_value=0)
+        / np.maximum(wc, 1)
+    )
     score = (
         0.4 * np.minimum(wc / 100.0, 1.0)
         + 0.3 * (1.0 - stop / np.maximum(wc, 1))
@@ -178,16 +189,27 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
 
     def predict(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.split()
-
-        def best(ws):
-            scores = {k: sum(w in m for w in ws) for k, m in markers.items()}
-            top = max(scores.values())
-            hits = sorted(k for k, v in scores.items() if v == top)
-            return hits[0] if top > 0 and len(hits) == 1 else "und"
-
+        # vectorized: one token explosion, one isin per language, grouped
+        # sums; argmax with strict-winner tie rule ('und' on ties/zero)
+        df = df.reset_index(drop=True)
+        idx = pd.RangeIndex(len(df))
+        ex = df["text"].str.lower().str.split().explode().dropna()
+        hits = np.zeros((len(df), len(markers)), dtype=np.int64)
+        codes = list(markers)
+        for j, code in enumerate(codes):
+            h = ex.isin(markers[code]).groupby(level=0).sum()
+            hits[h.index.to_numpy(), j] = h.to_numpy()
+        srt = np.sort(hits, axis=1)
+        top = srt[:, -1]
+        second = srt[:, -2] if len(codes) > 1 else np.zeros(len(df), dtype=np.int64)
+        # strict winner rule of the scalar definition: a unique positive
+        # maximum names the language, ties/zero → 'und'
+        best_j = np.argmax(hits, axis=1)
+        pred = np.where(
+            (top > 0) & (second < top), np.array(codes, dtype=object)[best_j], "und"
+        )
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "pred_lang": toks.map(best), "lang": df["lang"]}
+            {"doc_id": df["doc_id"], "pred_lang": pred, "lang": df["lang"]}
         )
 
     return ds.map_batches(predict, batch_format="pandas", batch_size=256)
