@@ -140,6 +140,20 @@ def run_bench() -> dict:
         )
         stats.global_stats(surf)
 
+    # EP4: halo-exchange resample (sub-rectangle fragment shuffle)
+    def ep4_resample():
+        from hydro_raster_ray.stages.resample import resample as _resample
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(_resample(ts, 7.5, method="bilinear"))
+
+    # EP5: raster→vector with distributed cross-tile stitch
+    def ep5_vectorize():
+        from hydro_raster_ray.stages.vectorize import vectorize_components
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        vectorize_components(stats.classify(ts, [0.0]))
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -178,6 +192,7 @@ def run_bench() -> dict:
 
     stages = [
         ep1_edit_dem, ep1_write, ep2_mosaic, ep3_gauge_interp,
+        ep4_resample, ep5_vectorize,
         doc_suite, minhash_dedup, ann_topk, doc_quality, sched_probe,
     ]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
