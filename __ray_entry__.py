@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
+    q["order_priority_revenue"] = relational.order_priority_revenue
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
     q["segment_orders"] = relational.segment_orders
@@ -341,6 +342,13 @@ SELECT p.p_brand,
        CAST(count(*) AS BIGINT) n
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
+""",
+        "order_priority_revenue": """
+SELECT o.o_orderpriority,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) revenue,
+       CAST(count(*) AS BIGINT) n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """,
         "segment_orders": """
 SELECT c.c_mktsegment,

@@ -21,6 +21,7 @@ __all__ = [
     "events_hourly",
     "events_sliding",
     "events_sessions",
+    "order_priority_revenue",
 ]
 
 
@@ -242,3 +243,45 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def order_priority_revenue(sf_dir: str, num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Large × large HASH JOIN via the native ``Dataset.join``: lineitem ⋈
+    orders on the order key (neither side broadcast), revenue per order
+    priority. The shuffle-join complement of the broadcast joins above —
+    order keys are high-cardinality, so join partitions are never empty
+    (the planner failure mode documented in stages/cc.py)."""
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = li.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "revenue": rev, "n": 1})
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
