@@ -684,6 +684,20 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
         ).reset_index()
         lab_df = lab_df.sort_values(["min_gr", "min_gc", "value"]).reset_index(drop=True)
         lab_df["component_id"] = np.arange(len(lab_df), dtype=np.int64)
+        # independent per-label boundary-edge counts (pure neighbor-compare,
+        # no shared ring code): used to SELF-CHECK the assembled rings
+        pad = np.full(
+            (cls.shape[0] + 2, cls.shape[1] + 2), np.nan
+        )
+        pad[1:-1, 1:-1] = cls
+        edge_cnt = np.zeros(n_lab, dtype=np.int64)
+        core = pad[1:-1, 1:-1]
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = pad[1 + dr : pad.shape[0] - 1 + dr, 1 + dc : pad.shape[1] - 1 + dc]
+            diff = np.isfinite(core) & ~(
+                np.isfinite(nb) & (nb == core)
+            )
+            np.add.at(edge_cnt, labels_full[diff & (labels_full >= 0)], 1)
         for _, row in lab_df.iterrows():
             sub = segs[segs["node"] == row["l"]]
             scored = []
@@ -693,6 +707,15 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
                 a = 0.5 * float(np.sum(c[:-1] * r[1:] - c[1:] * r[:-1]))
                 scored.append((ring, a))
             scored.sort(key=lambda t: -abs(t[1]))
+            # self-checks against BFS/neighbor-count quantities that do NOT
+            # use the shared ring-assembly code: the signed areas must sum
+            # to the cell count and the vertex count to the boundary edges
+            assert abs(sum(a for _, a in scored) - row["n_cells"]) < 1e-6, (
+                "ring witness: area/cell-count mismatch"
+            )
+            assert sum(len(rg) - 1 for rg, _ in scored) == edge_cnt[int(row["l"])], (
+                "ring witness: vertex/boundary-edge mismatch"
+            )
             for k, (ring, a) in enumerate(scored):
                 ring_rows.append(
                     (
