@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
     q["ann_ivf_train"] = ann.ivf_train
+    q["ann_ivf_topk_p2"] = lambda sf: ann.ivf_topk(sf, nprobe=2)
     q["emb_near_dups"] = ann.emb_near_dups
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
@@ -418,5 +419,9 @@ SELECT vec_id, group_id FROM read_parquet('{F}/witness_emb_near_dups.parquet')
 """,
         "ann_ivf_train": f"""
 SELECT centroid, n FROM read_parquet('{F}/witness_ivf_train.parquet')
+""",
+        "ann_ivf_topk_p2": f"""
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) rank
+FROM read_parquet('{F}/witness_ivf_topk_p2.parquet')
 """,
     }

@@ -156,18 +156,23 @@ def ivf_build(sf_dir: str, n_centroids: int = 8, root: str = "/tmp/graft_ivf") -
 
 
 def ivf_topk(
-    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8,
+    nprobe: int = 1,
 ) -> "ray.data.Dataset":
-    """Bucketed ANN over the partitioned IVF index: per query, read and scan
-    ONLY the query's centroid-bucket partition (``ivf_build`` layout). The
-    exact brute-force fallback is ``brute_force_topk``. Approximate by
-    design. Columns: qid, vec_id, sim (6-dec), rank."""
+    """Bucketed ANN over the partitioned IVF index: per query, read and
+    scan ONLY the query's ``nprobe`` nearest centroid-bucket partitions
+    (``ivf_build`` layout) — the standard recall/IO dial. The exact
+    brute-force fallback is ``brute_force_topk``. Approximate by design.
+    Columns: qid, vec_id, sim (6-dec), rank."""
     idx = ivf_build(sf_dir, n_centroids)
     cids, cm = _load_queries(sf_dir, range(n_centroids))
     cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
     qids, qm = _load_queries(sf_dir, query_ids)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    q_bucket = cids[np.argmax(qn @ cn.T, axis=1)]
+    # (nq, nprobe) probed centroids, stable order for determinism
+    probes = cids[
+        np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, : max(1, nprobe)]
+    ]
 
     def make_partial(sub_qids: np.ndarray, sub_qn: np.ndarray):
         ref = ray.put((sub_qids, sub_qn))
@@ -193,8 +198,8 @@ def ivf_topk(
     # pruned read: one dataset per probed bucket (only that bucket's files
     # leave storage), scanned by just the queries probing it
     parts = []
-    for b in np.unique(q_bucket):
-        sel = q_bucket == b
+    for b in np.unique(probes):
+        sel = (probes == b).any(axis=1)
         ds_b = ray.data.read_parquet(
             os.path.join(idx, f"centroid={int(b)}"), columns=["vec_id", "embedding"]
         )

@@ -181,12 +181,13 @@ def fingerprint_witness(docs: pd.DataFrame, window: int = 8) -> pd.DataFrame:
 
 
 def ivf_topk_witness(
-    emb: pd.DataFrame, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8
+    emb: pd.DataFrame, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8,
+    nprobe: int = 1,
 ) -> pd.DataFrame:
     """Expected (qid, vec_id, sim, rank) of ``ann.ivf_topk``: centroids =
     first C vectors, every vector assigned to its max-cosine centroid, each
-    query scans ONLY its own bucket; sim rounded to 6 decimals, ranked by
-    (sim desc, vec_id asc)."""
+    query scans only its ``nprobe`` nearest buckets; sim rounded to 6
+    decimals, ranked by (sim desc, vec_id asc)."""
     ids = emb["vec_id"].to_numpy()
     mat = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
     ids = np.sort(ids)
@@ -197,8 +198,10 @@ def ivf_topk_witness(
     rows = []
     for qid in query_ids:
         qi = int(np.searchsorted(ids, qid))
-        qb = bucket[qi]
-        keep = (bucket == qb) & (ids != qid)
+        probed = cids[
+            np.argsort(-(mn[qi] @ cn.T), kind="stable")[: max(1, nprobe)]
+        ]
+        keep = np.isin(bucket, probed) & (ids != qid)
         sims = np.round(mn[keep] @ mn[qi], 6)
         vv = ids[keep]
         order = np.lexsort((vv, -sims))[:k]
@@ -294,7 +297,7 @@ def ivf_train_witness(
 def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/testdata") -> None:
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads)."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V3")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V4")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -325,6 +328,10 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     pq.write_table(
         pa.Table.from_pandas(ivf_train_witness(emb), preserve_index=False),
         os.path.join(out_dir, "witness_ivf_train.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ivf_topk_witness(emb, nprobe=2), preserve_index=False),
+        os.path.join(out_dir, "witness_ivf_topk_p2.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")
