@@ -147,9 +147,18 @@ def ivf_build(sf_dir: str, n_centroids: int = 8, root: str = "/tmp/graft_ivf") -
         df["centroid"] = ids[np.argmax(mn @ cmat.T, axis=1)].astype(np.int64)
         return df
 
+    # atomic build: write into a scratch dir, promote with one rename — a
+    # killed build leaves only scratch, never a partial index a rerun would
+    # APPEND duplicates into
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     ds.map_batches(assign, batch_format="pandas").write_parquet(
-        out, partition_cols=["centroid"]
+        tmp, partition_cols=["centroid"]
     )
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
     with open(done, "w") as f:
         f.write("ok\n")
     return out
