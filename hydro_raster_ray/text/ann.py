@@ -73,9 +73,13 @@ def brute_force_topk(
         for j, qid in enumerate(ids):
             s = sims[:, j]
             keep = vec_ids != qid  # exclude self
-            vv, ss = vec_ids[keep], s[keep]
+            # round BEFORE pruning and tie-break by vec_id so the per-batch
+            # partial top-k keeps exactly the rows the rounded final
+            # ordering keeps (raw-sim argpartition could drop a row that
+            # ties at the k boundary after rounding)
+            vv, ss = vec_ids[keep], np.round(s[keep], 6)
             if ss.size > k:
-                top = np.argpartition(-ss, k)[:k]
+                top = np.lexsort((vv, -ss))[:k]
                 vv, ss = vv[top], ss[top]
             out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
         return pd.concat(out, ignore_index=True)
@@ -195,9 +199,12 @@ def ivf_topk(
             out = []
             for j, qid in enumerate(ids):
                 keep = vec_ids != qid
-                vv, ss = vec_ids[keep], sims[keep, j]
+                # rounded + vec_id tie-break pruning: consistent with the
+                # final/witness (sim desc, vec_id asc) order at the k
+                # boundary (see brute_force_topk)
+                vv, ss = vec_ids[keep], np.round(sims[keep, j], 6)
                 if ss.size > k:
-                    top = np.argpartition(-ss, k)[:k]
+                    top = np.lexsort((vv, -ss))[:k]
                     vv, ss = vv[top], ss[top]
                 out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
             return pd.concat(out, ignore_index=True)
@@ -230,7 +237,8 @@ def ivf_topk(
 
 
 def emb_near_dups(
-    sf_dir: str, threshold: float = 0.4, n_centroids: int = 8
+    sf_dir: str, threshold: float = 0.4, n_centroids: int = 8,
+    block_rows: int = 1024,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate CLUSTERS via IVF-bucket blocking.
 
@@ -243,7 +251,13 @@ def emb_near_dups(
     - candidacy: within a bucket (rows sorted by vec_id), each row links to
       the LOWEST-id earlier row whose rounded (6-dec) cosine ≥ threshold —
       O(bucket) edges even when every vector matches everything (the
-      degenerate-near-dup case), never O(bucket²) rows.
+      degenerate-near-dup case), never O(bucket²) rows. The scan itself is
+      CHUNKED (``block_rows`` × ``block_rows`` similarity blocks, earlier
+      rows scanned left-to-right, each row stops at its first hit), so task
+      memory is O(bucket·dim + block²), never the O(bucket²) dense matrix a
+      single ``mn @ mn.T`` would materialize — in the degenerate
+      all-near-dup bucket every row resolves in its FIRST block, making the
+      whole bucket O(bucket · block) work.
     - grouping: edges cluster via distributed connected components.
 
     Columns: vec_id, group_id (min member id); only members of clusters of
@@ -270,22 +284,37 @@ def emb_near_dups(
     def bucket_edges(df: _pd.DataFrame) -> _pd.DataFrame:
         order = np.argsort(df["vec_id"].to_numpy())
         ids = df["vec_id"].to_numpy()[order]
-        if ids.size < 2:
+        nrows = ids.size
+        if nrows < 2:
             return _pd.DataFrame(
                 {"a": _pd.Series([], dtype=np.int64), "b": _pd.Series([], dtype=np.int64)}
             )
         m = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(mn @ mn.T, 6)
-        aa, bb = [], []
-        for i in range(1, ids.size):
-            row = sims[i, :i] >= threshold
-            j = int(np.argmax(row))
-            if row[j]:
-                aa.append(ids[j])
-                bb.append(ids[i])
+        # chunked earlier-rows block scan (see docstring): peak extra memory
+        # is one block_rows x block_rows sims block, not bucket**2
+        match = np.full(nrows, -1, dtype=np.int64)
+        for i0 in range(1, nrows, block_rows):
+            i1 = min(i0 + block_rows, nrows)
+            rows_idx = np.arange(i0, i1)
+            found = np.full(i1 - i0, -1, dtype=np.int64)
+            for j0 in range(0, i1, block_rows):
+                pend = np.nonzero(found < 0)[0]
+                if pend.size == 0:
+                    break
+                j1 = min(j0 + block_rows, i1)
+                sims = np.round(mn[rows_idx[pend]] @ mn[j0:j1].T, 6)
+                hits = sims >= threshold
+                # only earlier rows count (j < i); the first True per row is
+                # the lowest-id match because blocks scan left-to-right
+                hits &= np.arange(j0, j1)[None, :] < rows_idx[pend][:, None]
+                has = hits.any(axis=1)
+                first = np.argmax(hits, axis=1)
+                found[pend[has]] = j0 + first[has]
+            match[i0:i1] = found
+        sel = np.nonzero(match >= 0)[0]
         return _pd.DataFrame(
-            {"a": np.asarray(aa, dtype=np.int64), "b": np.asarray(bb, dtype=np.int64)}
+            {"a": ids[match[sel]].astype(np.int64), "b": ids[sel].astype(np.int64)}
         )
 
     edges = (

@@ -130,6 +130,31 @@ def test_ivf_topk_matches_witness_and_prunes_reads():
     assert len(parts) >= 2
 
 
+def test_emb_near_dups_pathological_single_bucket(tmp_path):
+    """Degenerate near-dup corpus: 50k identical vectors -> ONE IVF bucket
+    where every pair matches. The chunked earlier-rows block scan must emit
+    O(n) star edges with O(block^2) peak memory — the dense ``mn @ mn.T``
+    this replaces would materialize a 20 GB similarity matrix here."""
+    n = 50_000
+    dim = 8
+    vec = [1.0] + [0.5] * (dim - 1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array([vec] * n, pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    from hydro_raster_ray.text import ann
+
+    got = ann.emb_near_dups(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    assert (got["group_id"] == 0).all()
+    assert got["vec_id"].to_list() == list(range(n))
+
+
 def test_emb_near_dups_matches_witness():
     from hydro_raster_ray.text import ann, witness
 
