@@ -34,6 +34,7 @@ import pyarrow as pa
 from ..codecs import decode, encode, phash64
 from ..grid import GridSpec, TileScheme, map2sub, morton_encode, tile_id
 from ..sources.tiles import TileSet
+from .cc import auto_shuffle_blocks
 from .decode import iter_tiles
 
 __all__ = [
@@ -207,7 +208,7 @@ def merge_into(
     ignore_nan: bool = True,
     paste_blocks: bool = False,
     quirk_gt0: bool = False,
-    shuffle_blocks: int = 64,
+    shuffle_blocks: int | None = None,
 ) -> TileSet:
     """The scatter-shuffle paste. Origins are pasted in list order (later
     overwrites earlier); an existing target TileSet forms the base layer
@@ -236,7 +237,10 @@ def merge_into(
         frags = frags.union(f)
     # coalesce fragment blocks before the sort shuffle: the range-partition
     # cost grows with block count, and scatter emits many small blocks
-    # (measured 5-6x faster groupby at 64 blocks vs per-scatter blocks)
+    # (measured 5-6x faster groupby at 64 blocks vs per-scatter blocks);
+    # width sized to the cluster, not a fixed constant
+    if shuffle_blocks is None:
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
     built = frags.groupby("tkey").map_groups(
         _tiles_from_groups(t_scheme, ignore_nan and not paste_blocks),
@@ -401,7 +405,7 @@ def regrid_nearest(
     tile_h: int = 64,
     tile_w: int = 64,
     clamp: bool = True,
-    shuffle_blocks: int = 64,
+    shuffle_blocks: int | None = None,
 ) -> TileSet:
     """Nearest-neighbour regrid onto an arbitrary new header — the gather
     shuffle shared by ``assign_to`` (clamp=True: border values extend
@@ -457,6 +461,8 @@ def regrid_nearest(
         return _frag_table(out)
 
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if shuffle_blocks is None:
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)  # see merge_into
     built = frags.groupby("tkey").map_groups(
         _gather_from_groups(target, src, clamp), batch_format="pyarrow"

@@ -126,7 +126,7 @@ def reproject(
     tile_h: int = 64,
     tile_w: int = 64,
     margin: int = 3,
-    shuffle_blocks: int = 64,
+    shuffle_blocks: int | None = None,
 ) -> TileSet:
     """Warp the mosaic into the CRS defined by ``fwd``/``inv`` (forward =
     source→target coords), nearest resampling, NaN fill."""
@@ -293,6 +293,10 @@ def reproject(
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None).union(
         seed_ds
     )
+    if shuffle_blocks is None:
+        from .cc import auto_shuffle_blocks
+
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
     built = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
     return TileSet(ds=built, grid=new_spec)

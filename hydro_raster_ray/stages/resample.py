@@ -271,7 +271,7 @@ def resample(
     method: str = "bilinear",
     tile_h: int = 64,
     tile_w: int = 64,
-    shuffle_blocks: int = 64,
+    shuffle_blocks: int | None = None,
 ) -> TileSet:
     src = ts.grid
     factor = src.cellsize / new_cellsize
@@ -408,6 +408,10 @@ def resample(
         )
 
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if shuffle_blocks is None:
+        from .cc import auto_shuffle_blocks
+
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
     built = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
     return TileSet(ds=built, grid=new_spec)

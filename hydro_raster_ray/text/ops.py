@@ -349,7 +349,11 @@ def minhash_near_dups(
     """
     import pyarrow.compute as pc
 
-    from ..stages.cc import auto_join_partitions, connected_components
+    from ..stages.cc import (
+        auto_join_partitions,
+        auto_shuffle_blocks,
+        connected_components,
+    )
 
     if num_partitions is None:
         num_partitions = auto_join_partitions()
@@ -394,8 +398,9 @@ def minhash_near_dups(
     edges = (
         ds.map_batches(sig_rows, batch_format="pandas", batch_size=128)
         # coalesce before the shuffle: sort-shuffle cost grows with block
-        # count and the sig stage emits many small blocks
-        .repartition(16)
+        # count and the sig stage emits many small blocks; width sized to
+        # the cluster, never a fixed constant
+        .repartition(auto_shuffle_blocks())
         .groupby(["band", "band_hash"])
         .map_groups(bucket_star, batch_format="pandas")
         .groupby(["a", "b"])

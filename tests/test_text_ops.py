@@ -44,7 +44,77 @@ def test_connected_components_shapes():
         assert len(lab) == 31 + 3 + 2
 
 
-def test_minhash_matches_scalar_witness():
+def test_cc_long_chain_converges_via_pointer_jumping():
+    """A 300-node path has diameter >> max_iters=8: plain 1-hop propagation
+    cannot finish, pointer jumping (label := label[label]) must."""
+    import ray.data
+
+    from hydro_raster_ray.stages.cc import connected_components
+
+    n = 300
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    lab = connected_components(
+        edges, num_partitions=2, driver_budget=0, max_iters=8
+    ).to_pandas()
+    assert len(lab) == n
+    assert (lab["label"] == 0).all()
+
+
+def test_cc_unconverged_raises_instead_of_silent_split():
+    """Without pointer jumping (jump_budget=0) a long chain cannot converge
+    in 2 rounds — the round-2 code silently returned SPLIT components; now
+    it must raise."""
+    import ray.data
+
+    from hydro_raster_ray.stages.cc import connected_components
+
+    n = 40
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(
+            edges, num_partitions=2, driver_budget=0, max_iters=2, jump_budget=0
+        )
+
+
+def test_attach_labels_join_path_exact_above_2_53():
+    """The hash-join fallback must keep int64 node ids exact: ids >= 2^53
+    would be corrupted by a float64 (pandas nulls) round-trip."""
+    import ray.data
+
+    from hydro_raster_ray.stages.cc import attach_labels
+
+    big = (1 << 60) + 1  # not representable in float64
+    nodes = [big, big + 3, 7]
+    ds = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([big + 3], pa.int64()),
+                "label": pa.array([big], pa.int64()),
+            }
+        )
+    )
+    out = attach_labels(
+        ds, labels, num_partitions=2, broadcast_budget=0
+    ).to_pandas()
+    got = dict(zip(out["node"], out["root"]))
+    assert got[big] == big  # unlabeled keeps its own id, bit-exact
+    assert got[big + 3] == big
+    assert got[7] == 7
     from hydro_raster_ray.text import ops, witness
 
     got = ops.minhash_near_dups(SF).to_pandas().reset_index(drop=True)
