@@ -501,25 +501,42 @@ def grid_resample_nearest(ts: TileSet, newsize, **kw) -> TileSet:
 
 
 def dedup_exact(ts: TileSet) -> TileSet:
-    """Exact tile dedup by content key: hash-partition on ``phash``, keep the
-    lexicographically-first ``image_id`` per group (deterministic under any
-    task order)."""
+    """Exact tile dedup by content key: keep the lexicographically-first
+    ``image_id`` per ``phash`` (deterministic under any task order).
 
-    def first(g: pa.Table) -> pa.Table:
-        i = int(np.argmin(np.asarray(g["image_id"].to_pylist(), dtype=object)))
-        return g.slice(i, 1)
+    Winners are found with a vectorized ``groupby(phash).aggregate(Min)``
+    — NOT a ``map_groups`` UDF, which Ray invokes once per key (one Python
+    call per distinct phash ≈ per tile at corpus scale) — then the winning
+    rows are kept by the existing semi-join machinery (broadcast ``is_in``
+    under the key budget, hash-partitioned tagged-union groupby above)."""
+    from ray.data.aggregate import Min
 
-    return TileSet(
-        ds=ts.ds.groupby("phash").map_groups(first, batch_format="pyarrow"),
-        grid=ts.grid,
+    winners = (
+        ts.ds.groupby("phash")
+        .aggregate(Min("image_id", alias_name="image_id"))
+        .materialize()  # O(distinct phash) rows; read twice by the semi-join
     )
+    return _semi_anti_tiles(ts, TileSet(ds=winners, grid=ts.grid), anti=False)
 
 
 def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
-    """Top-k tiles by a per-tile NaN-ignoring statistic: per-tile partials in
-    ``map_batches`` (only image_id + the scalar leave the task), then a small
-    ``sort().limit(k)``. Returns a Ray Dataset (image_id, stat)."""
+    """Top-k tiles by a per-tile NaN-ignoring statistic: per-tile partials
+    AND a per-batch partial top-k in ``map_batches`` (at most k rows leave
+    each task), then one tiny single-block merge — no global sort: a
+    ``sort().limit(k)`` would range-shuffle every row for a k-row answer
+    (the ``brute_force_topk`` pattern, round-2 verdict item 7). Ties break
+    on image_id asc, matching the SQL ``ORDER BY stat DESC, image_id``.
+    Returns a Ray Dataset (image_id, stat)."""
     grid = ts.grid
+    descending = stat != "min"
+
+    def _prune(ids: np.ndarray, vals: np.ndarray) -> pa.Table:
+        key = -vals if descending else vals
+        if ids.size > k:
+            top = np.lexsort((ids, key))[:k]
+            ids, vals = ids[top], vals[top]
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "stat": pa.array(vals, pa.float64())})
 
     def per_batch(batch: pa.Table) -> pa.Table:
         ids, vals = [], []
@@ -536,13 +553,18 @@ def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
                 vals.append(float(v.mean()))
             else:
                 raise ValueError(f"unknown stat {stat!r}")
-        return pa.table({"image_id": pa.array(ids, pa.string()),
-                         "stat": pa.array(vals, pa.float64())})
+        return _prune(np.asarray(ids, dtype=object), np.asarray(vals, np.float64))
 
-    return (
-        ts.ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
-        .sort("stat", descending=(stat != "min"))
-        .limit(k)
+    def merge(batch: pa.Table) -> pa.Table:
+        return _prune(
+            np.asarray(batch["image_id"].to_pylist(), dtype=object),
+            batch["stat"].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+
+    cand = ts.ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    # ≤ k rows per upstream block: one block, one merge call
+    return cand.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -640,16 +662,15 @@ def sample_tiles(ts: TileSet, m: int = 10, k: int = 0) -> TileSet:
     """Deterministic 1-in-m sampling by content-stable hash of image_id
     (SURVEY.md §2.8): keep tiles with ``md5(image_id)[:8 hex] % m == k``.
     Same selection on every run, any cluster size, and reproducible in SQL
-    (``('0x' || substr(md5(image_id), 1, 8))::BIGINT % m``)."""
-    import hashlib
-
+    (``('0x' || substr(md5(image_id), 1, 8))::BIGINT % m``). The digest is
+    computed by the batch-vectorized numpy MD5 (``hashvec.md5_prefix32``)
+    — no per-row Python/hashlib loop in the hot path."""
     import pyarrow as pa
 
+    from ..hashvec import md5_prefix32
+
     def flt(batch: pa.Table) -> pa.Table:
-        sel = [
-            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m == k
-            for s in batch["image_id"].to_pylist()
-        ]
+        sel = (md5_prefix32(batch["image_id"]) % np.uint64(m)) == np.uint64(k)
         return batch.filter(pa.array(sel))
 
     return TileSet(

@@ -274,6 +274,12 @@ def jaccard_to_query(sf_dir: str, query_doc_id: int = 0, n: int = 3,
     q_sh = _shingles(q_text.split(), n)
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
 
+    def _prune(ids: np.ndarray, sims: np.ndarray) -> pd.DataFrame:
+        if ids.size > top_k:
+            top = np.lexsort((ids, -sims))[:top_k]
+            ids, sims = ids[top], sims[top]
+        return pd.DataFrame({"doc_id": ids, "sim": sims})
+
     def score(df: pd.DataFrame) -> pd.DataFrame:
         sims = []
         for t in df["text"]:
@@ -281,10 +287,22 @@ def jaccard_to_query(sf_dir: str, query_doc_id: int = 0, n: int = 3,
             inter = len(s & q_sh)
             union = len(s | q_sh)
             sims.append(inter / union if union else 0.0)
-        return pd.DataFrame({"doc_id": df["doc_id"], "sim": np.round(sims, 4)})
+        # per-batch partial top-k: only top_k rows leave each task — a
+        # global sort().limit(k) would range-shuffle the whole corpus for
+        # a k-row answer (ties break on doc_id, same as the SQL ORDER BY)
+        return _prune(
+            df["doc_id"].to_numpy(np.int64), np.round(np.asarray(sims), 4)
+        )
 
-    out = ds.map_batches(score, batch_format="pandas", batch_size=256)
-    return out.sort(["sim", "doc_id"], descending=[True, False]).limit(top_k)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return _prune(
+            df["doc_id"].to_numpy(np.int64), df["sim"].to_numpy(np.float64)
+        )
+
+    cand = ds.map_batches(score, batch_format="pandas", batch_size=256)
+    return cand.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
 
 
 def _minhash_matrix(texts: pd.Series, num_perm: int, n: int) -> np.ndarray:

@@ -82,3 +82,26 @@ def test_fixture_qlossy_close_to_analytic():
     raw = fixtures._raw_tile(s, 2, 1)
     truth = fixtures.tile_truth(s, 2, 1)
     assert codecs.psnr(raw, truth) >= 40.0
+
+
+def test_md5_prefix32_matches_hashlib():
+    """Vectorized single-block MD5 must equal hashlib bit-for-bit, incl.
+    the empty string, the 55-byte single-block boundary, multi-block
+    fallback rows, and multi-byte UTF-8."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hydro_raster_ray.hashvec import md5_prefix32
+
+    ids = (
+        [f"tile_{i:05d}_{i % 97:05d}" for i in range(1000)]
+        + ["", "a", "x" * 55, "y" * 56, "z" * 200, "héllo wörld", "日本語テスト"]
+    )
+    got = md5_prefix32(pa.array(ids, pa.string()))
+    want = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in ids],
+        dtype=np.uint64,
+    )
+    assert (got == want).all()
