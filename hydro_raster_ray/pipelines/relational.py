@@ -233,12 +233,16 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         brk = (ts.diff() > gap).cumsum()
         by = ts.groupby(brk)
         durs = (by.max() - by.min()).dt.total_seconds()
+        # scalars/lists only: a Series built from the incoming group keeps
+        # the group's index, and a dict-of-Series constructor would align
+        # on the index union and emit NaN-padded rows if Ray ever hands a
+        # group whose index doesn't start at 0
         return pd.DataFrame(
             {
-                "user_id": df["user_id"].iloc[:1].astype(np.int64),
-                "n_sessions": pd.Series([brk.nunique()], dtype=np.int64),
-                "n_events": pd.Series([len(ts)], dtype=np.int64),
-                "max_session_secs": pd.Series([float(durs.max())]),
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_sessions": [np.int64(brk.nunique())],
+                "n_events": [np.int64(len(ts))],
+                "max_session_secs": [float(durs.max())],
             }
         )
 

@@ -294,9 +294,28 @@ def ivf_train_witness(
     )
 
 
+def _write_atomic(df: pd.DataFrame, path: str) -> None:
+    """Write-to-temp + rename (same pattern as ``fixtures._write_atomic``):
+    a crash mid-generation must never leave a truncated parquet a
+    concurrent oracle SELECT could read."""
+    import tempfile
+
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/testdata") -> None:
     """Idempotently write the doc/ANN witness parquets for a scale tag into
-    ``out_dir`` (the fixture dir the oracle SQL reads)."""
+    ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
+    documented in FIXTURES.md — keep the two in sync."""
     done = os.path.join(out_dir, "_DOC_WITNESS_V4")
     if os.path.exists(done):
         return
@@ -305,32 +324,21 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
         os.path.join(testdata_root, tag, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pandas()
     emb = pq.read_table(os.path.join(testdata_root, tag, "embeddings.parquet")).to_pandas()
-    pq.write_table(
-        pa.Table.from_pandas(minhash_groups_witness(docs), preserve_index=False),
+    _write_atomic(
+        minhash_groups_witness(docs),
         os.path.join(out_dir, "witness_minhash_groups.parquet"),
     )
-    pq.write_table(
-        pa.Table.from_pandas(simhash_witness(docs), preserve_index=False),
-        os.path.join(out_dir, "witness_simhash.parquet"),
+    _write_atomic(simhash_witness(docs), os.path.join(out_dir, "witness_simhash.parquet"))
+    _write_atomic(
+        fingerprint_witness(docs), os.path.join(out_dir, "witness_fingerprint.parquet")
     )
-    pq.write_table(
-        pa.Table.from_pandas(fingerprint_witness(docs), preserve_index=False),
-        os.path.join(out_dir, "witness_fingerprint.parquet"),
+    _write_atomic(ivf_topk_witness(emb), os.path.join(out_dir, "witness_ivf_topk.parquet"))
+    _write_atomic(
+        emb_near_dups_witness(emb), os.path.join(out_dir, "witness_emb_near_dups.parquet")
     )
-    pq.write_table(
-        pa.Table.from_pandas(ivf_topk_witness(emb), preserve_index=False),
-        os.path.join(out_dir, "witness_ivf_topk.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pandas(emb_near_dups_witness(emb), preserve_index=False),
-        os.path.join(out_dir, "witness_emb_near_dups.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pandas(ivf_train_witness(emb), preserve_index=False),
-        os.path.join(out_dir, "witness_ivf_train.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pandas(ivf_topk_witness(emb, nprobe=2), preserve_index=False),
+    _write_atomic(ivf_train_witness(emb), os.path.join(out_dir, "witness_ivf_train.parquet"))
+    _write_atomic(
+        ivf_topk_witness(emb, nprobe=2),
         os.path.join(out_dir, "witness_ivf_topk_p2.parquet"),
     )
     with open(done, "w") as f:
