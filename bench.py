@@ -147,12 +147,16 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(_resample(ts, 7.5, method="bilinear"))
 
-    # EP5: raster→vector with distributed cross-tile stitch
+    # EP5: raster→vector with distributed cross-tile stitch (classify
+    # fused into the labeling decode pass)
     def ep5_vectorize():
-        from hydro_raster_ray.stages.vectorize import vectorize_components
+        from hydro_raster_ray.stages.vectorize import (
+            classify_pre,
+            vectorize_components,
+        )
 
         ts = read_tiles(BENCH_DIR, scheme)
-        vectorize_components(stats.classify(ts, [0.0]))
+        vectorize_components(ts, pre=classify_pre([0.0]))
 
     # documents / embeddings pipelines at the bench sf
     def doc_suite():

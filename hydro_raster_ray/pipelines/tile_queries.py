@@ -322,12 +322,12 @@ def q_to_int_hist(sf_dir: str):
 
 def q_vectorize(sf_dir: str):
     """Raster→vector: classified mosaic → stitched connected components
-    (rows-only check; exactness vs an independent BFS oracle in pytest)."""
-    from ..stages.stats import classify
-    from ..stages.vectorize import vectorize_components
+    (classify FUSED into the labeling decode pass; exactness vs an
+    independent BFS oracle in pytest + the witness parquet)."""
+    from ..stages.vectorize import classify_pre, vectorize_components
 
     ts, _ = tiles_for(sf_dir)
-    return vectorize_components(classify(ts, [0.0]))
+    return vectorize_components(ts, pre=classify_pre([0.0]))
 
 
 def q_sample_tiles(sf_dir: str):
@@ -376,11 +376,10 @@ def q_vectorize_rings(sf_dir: str):
     """Raster→polygon ring extraction (``Raster.vectorize`` parity):
     per-ring scalar summary (vertex count, signed shoelace area) so the
     witness comparison is hashable; coordinates covered by pytest."""
-    from ..stages.stats import classify
-    from ..stages.vectorize import vectorize_polygons
+    from ..stages.vectorize import classify_pre, vectorize_polygons
 
     ts, _ = tiles_for(sf_dir)
-    out = vectorize_polygons(classify(ts, [0.0]))
+    out = vectorize_polygons(ts, pre=classify_pre([0.0]))
     return out[
         ["component_id", "value", "n_cells", "ring_idx", "n_vertices", "area_cells"]
     ]

@@ -116,7 +116,12 @@ _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
 def _driver_cc(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Array union-find with path halving over the collected edge list."""
+    """Vectorized hash-to-min over the collected edge list: per round, a
+    scatter-min over both endpoint arrays then pointer jumping to a fixed
+    point — O(log depth) rounds of O(E + N) numpy work (the per-edge
+    Python union-find loop this replaces cost seconds at the 5M-edge
+    budget). Labels = component-minimum node id, same contract as the
+    distributed path."""
     chunks_a, chunks_b = [], []
     for t in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
         if t.num_rows:
@@ -127,25 +132,22 @@ def _driver_cc(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: a.size], inv[a.size :]
     parent = np.arange(nodes.size, dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for x, y in zip(ia, ib):
-        rx, ry = find(int(x)), find(int(y))
-        if rx != ry:
-            # union by min node id keeps the label = component minimum
-            if nodes[rx] < nodes[ry]:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-    roots = np.array([find(i) for i in range(nodes.size)], dtype=np.int64)
+    while True:
+        lo = np.minimum(parent[ia], parent[ib])
+        p = parent.copy()
+        np.minimum.at(p, ia, lo)
+        np.minimum.at(p, ib, lo)
+        while True:  # pointer jumping
+            nxt = p[p]
+            if np.array_equal(nxt, p):
+                break
+            p = nxt
+        if np.array_equal(p, parent):
+            break
+        parent = p
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes, pa.int64()),
-                  "label": pa.array(nodes[roots], pa.int64())})
+                  "label": pa.array(nodes[parent], pa.int64())})
     )
 
 
