@@ -393,6 +393,10 @@ FROM read_parquet('{F}/witness_resample_methods.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_reproject.parquet')
 """,
+        "reproject_tmerc": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_reproject_tmerc.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

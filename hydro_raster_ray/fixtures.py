@@ -444,7 +444,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V5")
+    done = os.path.join(out, "_TILE_WITNESS_V6")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -600,6 +600,26 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     _write_atomic(
         _per_tile_stats_table(warp_scheme, warped),
         os.path.join(out, "witness_reproject.parquet"),
+    )
+
+    # ---- reproject_tmerc: BNG metres → OSGB36 geographic degrees -------
+    # (real ellipsoidal transverse-Mercator math, EPSG:27700 constants;
+    # same whole-array nearest warp as the affine witness above)
+    from .stages.reproject import bng_tmerc
+
+    tm_spec = target_grid_for(g, bng_tmerc.inverse, 1e-4, crs="osgb36-geo")
+    tm_scheme = TileScheme(grid=tm_spec, tile_h=64, tile_w=64)
+    Xt, Yt = sub2map(np.arange(tm_spec.nrows), np.arange(tm_spec.ncols), tm_spec)
+    XXt, YYt = np.meshgrid(Xt, Yt)
+    sxt, syt = bng_tmerc.forward(XXt.ravel(), YYt.ravel())
+    rrt, cct = map2sub(sxt, syt, g)
+    okt = (rrt >= 0) & (rrt < g.nrows) & (cct >= 0) & (cct < g.ncols)
+    warped_t = np.full(XXt.size, np.nan)
+    warped_t[okt] = full[rrt[okt], cct[okt]]
+    warped_t = _f32(warped_t.reshape(tm_spec.nrows, tm_spec.ncols))
+    _write_atomic(
+        _per_tile_stats_table(tm_scheme, warped_t),
+        os.path.join(out, "witness_reproject_tmerc.parquet"),
     )
 
     # ---- resample_methods: whole-array kernels, one row per method -----

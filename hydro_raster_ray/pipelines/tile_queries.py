@@ -365,6 +365,20 @@ def q_reproject_affine(sf_dir: str):
     return per_tile_stats(warped)
 
 
+def q_reproject_tmerc(sf_dir: str):
+    """Real-CRS warp: BNG metres → OSGB36 geographic degrees via the
+    pure-numpy ellipsoidal transverse Mercator (EPSG:27700 constants,
+    ``Raster.py:773`` sample CRS); per-tile stats vs the whole-array
+    witness."""
+    from ..stages.reproject import bng_tmerc, reproject
+
+    ts, _ = tiles_for(sf_dir)
+    warped = reproject(
+        ts, bng_tmerc.inverse, bng_tmerc.forward, 1e-4, crs="osgb36-geo"
+    )
+    return per_tile_stats(warped)
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -422,6 +436,7 @@ TILE_QUERIES = {
     "resample_bilinear": q_resample_bilinear,
     "resample_methods": q_resample_methods,
     "reproject_affine": q_reproject_affine,
+    "reproject_tmerc": q_reproject_tmerc,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,

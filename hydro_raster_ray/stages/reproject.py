@@ -37,7 +37,14 @@ from ..sources.tiles import TileSet
 from .decode import iter_tiles
 from .mosaic import _frag_table
 
-__all__ = ["AffineTransform", "web_mercator", "inv_web_mercator", "reproject"]
+__all__ = [
+    "AffineTransform",
+    "TransverseMercator",
+    "bng_tmerc",
+    "web_mercator",
+    "inv_web_mercator",
+    "reproject",
+]
 
 _R = 6378137.0  # spherical web-mercator radius
 
@@ -72,6 +79,95 @@ class AffineTransform:
         return AffineTransform(
             ct, -st, cx - ct * cx + st * cy, st, ct, cy - st * cx - ct * cy
         )
+
+
+@dataclass(frozen=True)
+class TransverseMercator:
+    """Ellipsoidal transverse Mercator (the EPSG:27700 projection math —
+    the reference's own sample CRS, ``Raster.py:773``), pure numpy.
+
+    Standard published series (Ordnance Survey "A guide to coordinate
+    systems in Great Britain", appendix C): ``forward`` maps geographic
+    degrees (lon, lat) on the ellipsoid → grid eastings/northings;
+    ``inverse`` maps back. Defaults are British National Grid on Airy 1830
+    (this is the map-projection half of EPSG:27700; an OSGB36↔WGS84
+    Helmert datum shift would compose in front of it and is out of scope).
+    The inverse's meridional-arc iteration runs a FIXED count so results
+    are bit-identical regardless of how cells are batched across tiles —
+    the determinism requirement of the witness/oracle gate."""
+
+    a: float = 6377563.396  # Airy 1830 semi-major
+    b: float = 6356256.909  # Airy 1830 semi-minor
+    f0: float = 0.9996012717  # central-meridian scale
+    lat0: float = 49.0  # true origin (deg)
+    lon0: float = -2.0
+    e0: float = 400000.0  # false easting / northing
+    n0: float = -100000.0
+    iters: int = 10
+
+    def _arc(self, phi: np.ndarray) -> np.ndarray:
+        a, b = self.a, self.b
+        n = (a - b) / (a + b)
+        p0 = np.deg2rad(self.lat0)
+        dp, sp = phi - p0, phi + p0
+        return b * self.f0 * (
+            (1 + n + 1.25 * n**2 + 1.25 * n**3) * dp
+            - (3 * n + 3 * n**2 + 21 / 8 * n**3) * np.sin(dp) * np.cos(sp)
+            + (15 / 8 * (n**2 + n**3)) * np.sin(2 * dp) * np.cos(2 * sp)
+            - (35 / 24 * n**3) * np.sin(3 * dp) * np.cos(3 * sp)
+        )
+
+    def _nu_rho_eta2(self, phi: np.ndarray):
+        a, b = self.a, self.b
+        e2 = (a**2 - b**2) / a**2
+        s2 = np.sin(phi) ** 2
+        nu = a * self.f0 / np.sqrt(1 - e2 * s2)
+        rho = a * self.f0 * (1 - e2) * (1 - e2 * s2) ** -1.5
+        return nu, rho, nu / rho - 1
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        dl = lam - np.deg2rad(self.lon0)
+        nu, rho, eta2 = self._nu_rho_eta2(phi)
+        sp, cp, tp = np.sin(phi), np.cos(phi), np.tan(phi)
+        I = self._arc(phi) + self.n0
+        II = nu / 2 * sp * cp
+        III = nu / 24 * sp * cp**3 * (5 - tp**2 + 9 * eta2)
+        IIIA = nu / 720 * sp * cp**5 * (61 - 58 * tp**2 + tp**4)
+        IV = nu * cp
+        V = nu / 6 * cp**3 * (nu / rho - tp**2)
+        VI = nu / 120 * cp**5 * (5 - 18 * tp**2 + tp**4 + 14 * eta2 - 58 * tp**2 * eta2)
+        N = I + II * dl**2 + III * dl**4 + IIIA * dl**6
+        E = self.e0 + IV * dl + V * dl**3 + VI * dl**5
+        return E, N
+
+    def inverse(self, E, N):
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        af0 = self.a * self.f0
+        phi = (N - self.n0) / af0 + np.deg2rad(self.lat0)
+        for _ in range(self.iters):  # fixed count: batch-invariant
+            phi = phi + (N - self.n0 - self._arc(phi)) / af0
+        nu, rho, eta2 = self._nu_rho_eta2(phi)
+        tp, sec = np.tan(phi), 1.0 / np.cos(phi)
+        VII = tp / (2 * rho * nu)
+        VIII = tp / (24 * rho * nu**3) * (5 + 3 * tp**2 + eta2 - 9 * tp**2 * eta2)
+        IX = tp / (720 * rho * nu**5) * (61 + 90 * tp**2 + 45 * tp**4)
+        X = sec / nu
+        XI = sec / (6 * nu**3) * (nu / rho + 2 * tp**2)
+        XII = sec / (120 * nu**5) * (5 + 28 * tp**2 + 24 * tp**4)
+        XIIA = sec / (5040 * nu**7) * (61 + 662 * tp**2 + 1320 * tp**4 + 720 * tp**6)
+        dE = E - self.e0
+        lat = phi - VII * dE**2 + VIII * dE**4 - IX * dE**6
+        lon = (
+            np.deg2rad(self.lon0)
+            + X * dE - XI * dE**3 + XII * dE**5 - XIIA * dE**7
+        )
+        return np.rad2deg(lon), np.rad2deg(lat)
+
+
+bng_tmerc = TransverseMercator()  # EPSG:27700 projection constants
 
 
 def web_mercator(lon, lat):

@@ -72,3 +72,60 @@ def test_reproject_rotation_matches_whole_array(ray_session, small_scheme):
     want = want.reshape(spec.nrows, spec.ncols).astype(np.float32).astype(np.float64)
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got[~np.isnan(got)], want[~np.isnan(want)], rtol=0, atol=0)
+
+
+def test_tmerc_matches_os_worked_example():
+    """Published OS test vector (coordinate-systems guide): OSGB36
+    52°39'27.2531"N 1°43'4.5177"E -> E 651409.903, N 313177.270."""
+    import numpy as np
+
+    from hydro_raster_ray.stages.reproject import bng_tmerc
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = bng_tmerc.forward(np.array([lon]), np.array([lat]))
+    assert abs(E[0] - 651409.903) < 1e-3
+    assert abs(N[0] - 313177.270) < 1e-3
+
+
+def test_tmerc_round_trip_over_fixture_extent():
+    import numpy as np
+
+    from hydro_raster_ray.stages.reproject import bng_tmerc
+
+    rng = np.random.default_rng(7)
+    E = rng.uniform(300000, 500000, 2000)
+    N = rng.uniform(400000, 700000, 2000)
+    lon, lat = bng_tmerc.inverse(E, N)
+    E2, N2 = bng_tmerc.forward(lon, lat)
+    assert np.abs(E2 - E).max() < 1e-5  # metres
+    assert np.abs(N2 - N).max() < 1e-5
+
+
+def test_reproject_tmerc_distributed_matches_witness(ray_session):
+    """Distributed warp == whole-array witness, pixel-exact per-tile stats
+    (sf0.001 fixture)."""
+    import pandas as pd
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.pipelines.tile_queries import q_reproject_tmerc
+
+    d = fixtures.ensure_fixture_dir("sf0.001")
+    got = (
+        q_reproject_tmerc("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    want = (
+        pq.read_table(f"{d}/witness_reproject_tmerc.parquet")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["image_id", "n_px", "n_valid", "sum_z"]],
+        want[["image_id", "n_px", "n_valid", "sum_z"]],
+    )
