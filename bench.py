@@ -177,6 +177,27 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         vectorize_components(ts, pre=classify_pre([0.0]))
 
+    # EP7: the north-rule resume gate at bench scale — run 1 writes a
+    # bucket-aligned subset (what a killed run leaves: only buckets whose
+    # pass finished carry manifests), run 2 resumes over the FULL input and
+    # must skip every completed bucket and land the exact total row count
+    def ep7_resume():
+        import shutil
+
+        from hydro_raster_ray.sources.tiles import TileSet
+        from hydro_raster_ray.state.lineage import read_manifests, resumable_write
+
+        out = "/tmp/graft_bench/ep7_resume_out"
+        shutil.rmtree(out, ignore_errors=True)
+        ts = read_tiles(BENCH_DIR, scheme)
+        # 16 tile-cols = 4 whole level-2 Morton bucket columns
+        half = TileSet(ds=ts.ds.filter(expr="tile_col < 16"), grid=ts.grid)
+        r1 = resumable_write(half, out)
+        r2 = resumable_write(read_tiles(BENCH_DIR, scheme), out)
+        assert r2["skipped_buckets"] == r1["written_buckets"] > 0, (r1, r2)
+        total = sum(m["rows"] for m in read_manifests(out))
+        assert total == n_tiles, (total, n_tiles)
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -216,7 +237,7 @@ def run_bench() -> dict:
     stages = [
         ep1_edit_dem, ep1_write, ep2_mosaic, ep3_gauge_interp,
         ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
-        ep6_reproject_tmerc,
+        ep6_reproject_tmerc, ep7_resume,
         doc_suite, minhash_dedup, ann_topk, doc_quality, sched_probe,
     ]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
