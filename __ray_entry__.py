@@ -397,6 +397,18 @@ FROM read_parquet('{F}/witness_reproject.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_reproject_tmerc.parquet')
 """,
+        "media_audio_features": f"""
+SELECT audio_id, rms, peak, zcr, dom_freq
+FROM read_parquet('{F}/witness_media_audio.parquet')
+""",
+        "media_frame_sample": f"""
+SELECT video_id, frame_idx, mean, std
+FROM read_parquet('{F}/witness_media_frames.parquet')
+""",
+        "media_image_features": f"""
+SELECT image_id, mean, std, p_low, p_high, edge_energy
+FROM read_parquet('{F}/witness_media_image.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

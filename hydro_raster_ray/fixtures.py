@@ -444,7 +444,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V6")
+    done = os.path.join(out, "_TILE_WITNESS_V7")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -650,6 +650,104 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
             }
         ),
         os.path.join(out, "witness_resample_methods.parquet"),
+    )
+
+    # ---- media witnesses: audio / video-frame / image features ---------
+    # audio: decode the deterministic pcm16le table scalar-style and apply
+    # the published feature formulas (rms, peak, zcr, dominant rfft bin)
+    from .stages.multimodal import make_fake_audio
+
+    at = make_fake_audio(32)
+    arows = []
+    for i in range(at.num_rows):
+        x = np.frombuffer(at["bytes"][i].as_py(), dtype="<i2").astype(np.float64) / 32768.0
+        sr = int(at["sample_rate"][i].as_py())
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0
+        arows.append(
+            (
+                at["audio_id"][i].as_py(),
+                round(float(np.sqrt((x * x).mean())), 6),
+                round(float(np.abs(x).max()), 6),
+                round(float((np.diff(np.signbit(x)) != 0).mean()), 6),
+                round(float(np.argmax(spec) * sr / x.size), 6),
+            )
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "audio_id": pa.array([r[0] for r in arows], pa.string()),
+                "rms": pa.array([r[1] for r in arows], pa.float64()),
+                "peak": pa.array([r[2] for r in arows], pa.float64()),
+                "zcr": pa.array([r[3] for r in arows], pa.float64()),
+                "dom_freq": pa.array([r[4] for r in arows], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_audio.parquet"),
+    )
+
+    # video frames: compute each sampled frame DIRECTLY from the generator
+    # formula (independent of the engine's byte-range decode_frame path)
+    vrows = []
+    vh, vw, vn = 32, 32, 40
+    yyv, xxv = np.mgrid[0:vh, 0:vw]
+    for v in range(8):
+        for k in range(0, vn, 10):
+            plane = ((3 * xxv + 7 * yyv + 11 * k + 13 * v) % 256).astype(np.float64)
+            vrows.append(
+                (
+                    f"v{v:04d}", k,
+                    round(float(plane.mean()), 6),
+                    round(float(plane.std()), 6),
+                )
+            )
+    _write_atomic(
+        pa.table(
+            {
+                "video_id": pa.array([r[0] for r in vrows], pa.string()),
+                "frame_idx": pa.array([r[1] for r in vrows], pa.int64()),
+                "mean": pa.array([r[2] for r in vrows], pa.float64()),
+                "std": pa.array([r[3] for r in vrows], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_frames.parquet"),
+    )
+
+    # image features: per-tile statistical features over the assembled
+    # truth grid (mirrors multimodal._ImageFeatures on raw-f32 tiles)
+    irows = []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            th2, tw2 = scheme.tile_shape(tr, tc)
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            sl = full[r0 : r0 + th2, c0 : c0 + tw2]
+            vfin = sl[np.isfinite(sl)]
+            if vfin.size == 0:
+                continue
+            gx = np.diff(sl, axis=1)
+            gy = np.diff(sl, axis=0)
+            irows.append(
+                (
+                    tile_id(tr, tc),
+                    round(float(vfin.mean()), 6),
+                    round(float(vfin.std()), 6),
+                    round(float(np.percentile(vfin, 5)), 6),
+                    round(float(np.percentile(vfin, 95)), 6),
+                    round(float(np.nansum(gx * gx) + np.nansum(gy * gy)), 4),
+                )
+            )
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array([r[0] for r in irows], pa.string()),
+                "mean": pa.array([r[1] for r in irows], pa.float64()),
+                "std": pa.array([r[2] for r in irows], pa.float64()),
+                "p_low": pa.array([r[3] for r in irows], pa.float64()),
+                "p_high": pa.array([r[4] for r in irows], pa.float64()),
+                "edge_energy": pa.array([r[5] for r in irows], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_image.parquet"),
     )
 
     # ---- vectorize: BFS components of the classified grid --------------

@@ -379,6 +379,63 @@ def q_reproject_tmerc(sf_dir: str):
     return per_tile_stats(warped)
 
 
+def q_media_audio(sf_dir: str):
+    """Audio features over the deterministic pcm16le table (actor-pool
+    decode, thin feature rows); witness applies the same formulas to a
+    scalar decode of the identical payload bytes."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_audio(32))
+    out = multimodal.audio_features(ds, concurrency=2, batch_size=8)
+
+    def rnd(df):
+        for c in ("rms", "peak", "zcr", "dom_freq"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def q_media_frames(sf_dir: str):
+    """Every-10th-frame sampling of the deterministic rawv-u8 videos
+    (actor-pool byte-range seek decode); witness computes each sampled
+    frame directly from the generator formula — fully independent of the
+    engine's decode path."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_videos(8, 32, 32, 40))
+    out = multimodal.sample_frames(ds, every_n=10, concurrency=2, batch_size=4)
+
+    def rnd(df):
+        for c in ("mean", "std"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def q_media_image_features(sf_dir: str):
+    """Per-image statistical features (mean/std/percentiles/edge energy)
+    over the fixture tiles via the multimodal actor pool; witness mirrors
+    the math on the assembled truth grid."""
+    from ..stages import multimodal
+
+    ts, _ = tiles_for(sf_dir)
+    out = multimodal.image_features(ts, concurrency=2)
+
+    def rnd(df):
+        for c in ("mean", "std", "p_low", "p_high"):
+            df[c] = df[c].round(6)
+        df["edge_energy"] = df["edge_energy"].round(4)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -437,6 +494,9 @@ TILE_QUERIES = {
     "resample_methods": q_resample_methods,
     "reproject_affine": q_reproject_affine,
     "reproject_tmerc": q_reproject_tmerc,
+    "media_audio_features": q_media_audio,
+    "media_frame_sample": q_media_frames,
+    "media_image_features": q_media_image_features,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,
