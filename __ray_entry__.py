@@ -32,6 +32,12 @@ from ray import cloudpickle as _cp  # noqa: E402
 _cp.register_pickle_by_value(hydro_raster_ray)
 
 from hydro_raster_ray import fixtures  # noqa: E402
+from hydro_raster_ray.runtime import tune_context  # noqa: E402
+
+# the driver has already called ray.init: size the read-split minimum to
+# the cluster (Ray's 200-block default shreds small inputs into ~20 ms
+# tasks — see runtime.py)
+tune_context()
 from hydro_raster_ray.pipelines import relational  # noqa: E402
 from hydro_raster_ray.pipelines.tile_queries import TILE_QUERIES  # noqa: E402
 from hydro_raster_ray.text import ann, ops  # noqa: E402

@@ -51,6 +51,10 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    from hydro_raster_ray.runtime import tune_context
+
+    tune_context()
+
     import hydro_raster_ray
     from ray import cloudpickle as _cp
 

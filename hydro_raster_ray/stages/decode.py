@@ -229,11 +229,15 @@ def map_tiles(
             def __call__(self, batch: pa.Table) -> pa.Table:
                 return apply(self.udf, batch)
 
+        from ..runtime import auto_pool
+
         ds = ts.ds.map_batches(
             _Actor,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency or 4,
+            # capped at cpus-2: a pool holding every CPU deadlocks the
+            # upstream read (runtime.auto_pool)
+            concurrency=auto_pool(concurrency or 4),
             num_cpus=num_cpus,
             fn_constructor_kwargs=fn_constructor_kwargs or {},
         )

@@ -253,7 +253,12 @@ def voronoi_counts(ts: TileSet, gauges, concurrency: int = 4):
 
     from ray.data.aggregate import Sum
 
-    partial = ts.ds.map_batches(Counter, batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    from ..runtime import auto_pool
+
+    partial = ts.ds.map_batches(
+        Counter, batch_format="pyarrow", batch_size=None,
+        concurrency=auto_pool(concurrency),
+    )
     return partial.groupby("gauge_id").aggregate(
         Sum("n_cells", alias_name="n_cells"), Sum("sum_z", alias_name="sum_z")
     )
@@ -283,8 +288,11 @@ def idw_stats(ts: TileSet, gauges, power: float = 2.0, concurrency: int = 4):
 
     from ray.data.aggregate import Sum
 
+    from ..runtime import auto_pool
+
     agg = ts.ds.map_batches(
-        Partial, batch_format="pyarrow", batch_size=None, concurrency=concurrency
+        Partial, batch_format="pyarrow", batch_size=None,
+        concurrency=auto_pool(concurrency),
     ).aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
     import pandas as pd
 

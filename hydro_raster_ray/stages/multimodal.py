@@ -155,11 +155,13 @@ class _ImageFeatures:
 def image_features(ts: TileSet, concurrency: int = 4, batch_size: int = 32):
     """Per-image statistical features via an actor pool (codec built once
     per actor; small batches because rows are fat)."""
+    from ..runtime import auto_pool
+
     return ts.ds.map_batches(
         _ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
 
 
@@ -246,11 +248,13 @@ def sample_frames(ds, every_n: int = 10, concurrency: int = 4, batch_size: int =
     ffmpeg for real containers) in an actor pool and reduced to thin
     per-frame feature rows. Video rows are the fattest payloads in the
     engine → small batch_size."""
+    from ..runtime import auto_pool
+
     return ds.map_batches(
         _FrameSampler,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
         fn_constructor_kwargs={"every_n": every_n},
     )
 
@@ -315,9 +319,11 @@ class _AudioFeatures:
 def audio_features(ds, concurrency: int = 4, batch_size: int = 16):
     """Per-clip audio features via an actor pool (codec once per actor,
     payloads dropped at the stage boundary)."""
+    from ..runtime import auto_pool
+
     return ds.map_batches(
         _AudioFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )

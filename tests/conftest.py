@@ -18,6 +18,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from hydro_raster_ray.runtime import tune_context
+
+    tune_context()
     yield
     ray.shutdown()
 

@@ -66,6 +66,10 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from hydro_raster_ray.runtime import tune_context
+
+    tune_context()
+
     import __ray_entry__ as E
 
     con = duckdb.connect()
