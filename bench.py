@@ -134,9 +134,13 @@ def run_bench() -> dict:
 
     # EP3: gauge interpolation, 10k gauges -> bucket-index actor pool;
     # the pool must leave CPUs for the upstream read stage (a pool holding
-    # every CPU starves the read and the pipeline deadlocks)
+    # every CPU starves the read and the pipeline deadlocks). The payload
+    # column is pruned AT THE READ: interpolation uses tile geometry only
+    # (Raster.py:424 semantics), so the corpus bytes never leave storage
     def ep3_gauge_interp():
-        ts = read_tiles(BENCH_DIR, scheme)
+        ts = read_tiles(
+            BENCH_DIR, scheme, columns=["w", "h", "fmt", "caption", "phash"]
+        )
         gt = fixtures.gauges_table(scheme, 10_000)
         g = {k: gt[k].to_numpy(zero_copy_only=False) for k in ("x", "y", "value")}
         surf = point_interpolate(

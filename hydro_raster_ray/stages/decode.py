@@ -21,7 +21,7 @@ from ..codecs import decode, encode, phash64
 from ..grid import GridSpec
 from ..sources.tiles import TileSet
 
-__all__ = ["TileInfo", "iter_tiles", "rows_to_table", "map_tiles"]
+__all__ = ["TileInfo", "iter_tiles", "iter_tile_meta", "rows_to_table", "map_tiles"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +83,34 @@ def _payload_views(batch: pa.Table):
         for i in range(len(chunk)):
             views.append(data[offsets[i] : offsets[i + 1]])
     return views
+
+
+def iter_tile_meta(batch: pa.Table, grid: GridSpec):
+    """Yield a TileInfo per row WITHOUT touching or decoding payloads —
+    for operators that use only tile geometry (e.g. gauge interpolation:
+    the reference's ``point_interpolate`` builds its meshgrid from the
+    header alone, ``Raster.py:424``). The batch need not carry ``bytes``
+    at all, so callers can prune the column at the read."""
+    ids = batch["image_id"].to_pylist()
+    caps = (
+        batch["caption"].to_pylist()
+        if "caption" in batch.column_names
+        else [""] * batch.num_rows
+    )
+    hs = batch["h"].to_pylist()
+    ws = batch["w"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    gr0s = batch["gr0"].to_pylist()
+    gc0s = batch["gc0"].to_pylist()
+    trs = batch["tile_row"].to_pylist()
+    tcs = batch["tile_col"].to_pylist()
+    cells = batch["cell"].to_pylist()
+    for i in range(batch.num_rows):
+        yield TileInfo(
+            image_id=ids[i], h=hs[i], w=ws[i], fmt=fmts[i], caption=caps[i],
+            gr0=gr0s[i], gc0=gc0s[i], tile_row=trs[i], tile_col=tcs[i],
+            cell=cells[i], grid=grid,
+        )
 
 
 def iter_tiles(batch: pa.Table, grid: GridSpec):
@@ -187,6 +215,7 @@ def map_tiles(
     num_cpus: float = 1,
     fn_constructor_kwargs: dict | None = None,
     lossless: bool = False,
+    needs_pixels: bool = True,
 ) -> TileSet:
     """Per-tile UDF over the mosaic — the single plugin API.
 
@@ -203,12 +232,24 @@ def map_tiles(
     ``(array, info)`` tuple form. ``lossless=True`` stores results as
     ``raw-f32`` (exact) instead of re-encoding with each tile's own fmt —
     use it when the UDF's output values must survive bit-exactly.
+
+    ``needs_pixels=False`` skips payload decode entirely and calls the UDF
+    as ``fn(None, info)`` — for generators that only use tile geometry
+    (gauge interpolation). Combine with a ``bytes``-pruned read so the
+    payloads never leave storage.
     """
     grid = ts.grid
 
+    def _iter(batch):
+        if needs_pixels:
+            yield from iter_tiles(batch, grid)
+        else:
+            for info in iter_tile_meta(batch, grid):
+                yield info, None
+
     def apply(udf, batch: pa.Table) -> pa.Table:
         rows = []
-        for info, arr in iter_tiles(batch, grid):
+        for info, arr in _iter(batch):
             out = udf(arr, info)
             if isinstance(out, tuple):
                 arr2, info2 = out

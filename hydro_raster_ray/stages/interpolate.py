@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 
 from ..sources.tiles import TileSet
-from .decode import iter_tiles, map_tiles
+from .decode import iter_tile_meta, iter_tiles, map_tiles
 
 __all__ = ["GaugeInterpolator", "point_interpolate", "voronoi_counts"]
 
@@ -206,7 +206,17 @@ def point_interpolate(
 ) -> TileSet:
     """``Raster.point_interpolate`` analog: interpolate the gauge table onto
     every cell of the mosaic (replaces pixel values, like the reference's
-    returned new Raster). ``gauges`` is a dict/pandas of x, y, value."""
+    returned new Raster). ``gauges`` is a dict/pandas of x, y, value.
+
+    The input PAYLOADS are never decoded: the reference builds its meshgrid
+    from the header alone (``Raster.py:424``), so the stage runs in
+    geometry-only mode (``needs_pixels=False``). For true I/O pruning pass
+    a TileSet read WITHOUT the payload column
+    (``read_tiles(path, scheme, columns=["w","h","fmt","caption","phash"])``)
+    — at 100 TB that is the difference between streaming the corpus and
+    streaming a metadata table. (Pruning mid-pipeline with
+    ``select_columns`` does NOT push down through the derive-meta stage —
+    measured slower than leaving the column in place.)"""
     g = {k: np.asarray(gauges[k], dtype=np.float64) for k in ("x", "y", "value")}
     ref = ray.put(g)
     return map_tiles(
@@ -215,6 +225,7 @@ def point_interpolate(
         concurrency=concurrency,
         fn_constructor_kwargs={"gauges_ref": ref, "method": method, **kw},
         lossless=True,  # interpolated values replace pixels; keep them exact
+        needs_pixels=False,
     )
 
 
@@ -279,7 +290,7 @@ def idw_stats(ts: TileSet, gauges, power: float = 2.0, concurrency: int = 4):
         def __call__(self, batch: pa.Table) -> pa.Table:
             n = 0
             s = 0.0
-            for info, _arr in iter_tiles(batch, grid):
+            for info in iter_tile_meta(batch, grid):  # geometry only
                 X, Y = info.cell_centres()
                 vals = self.interp._idw(X.ravel(), Y.ravel())
                 n += vals.size
