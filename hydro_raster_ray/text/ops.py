@@ -405,22 +405,50 @@ def minhash_near_dups(
             }
         )
 
-    def bucket_star(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
-            )
-        return pd.DataFrame({"a": np.full(ids.size - 1, ids[0]), "b": ids[1:]})
+    # star edges per LSH bucket, fully VECTORIZED: bucket minima via one
+    # aggregate, then a hash join attaches each row's bucket-min — a
+    # map_groups(bucket_star) formulation pays one Python UDF call per
+    # distinct (band, band_hash) key (~docs×bands calls; measured 13 s of
+    # pure per-key overhead at 5k docs where the same work as a join takes
+    # ~2 s). Joins keyed on band_hash are empty-partition-safe (high-
+    # cardinality keys), unlike label-keyed joins (stages/cc.py notes).
+    from ..stages.cc import coerce_schema
 
-    edges = (
+    _SIG_SCHEMA = pa.schema(
+        [("band", pa.int32()), ("band_hash", pa.int64()), ("doc_id", pa.int64())]
+    )
+    sig = coerce_schema(
         ds.map_batches(sig_rows, batch_format="pandas", batch_size=128)
         # coalesce before the shuffle: sort-shuffle cost grows with block
         # count and the sig stage emits many small blocks; width sized to
         # the cluster, never a fixed constant
-        .repartition(auto_shuffle_blocks())
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_star, batch_format="pandas")
+        .repartition(auto_shuffle_blocks()),
+        _SIG_SCHEMA,
+    ).materialize()  # read twice: bucket minima + the join probe side
+    mins = coerce_schema(
+        sig.groupby(["band", "band_hash"]).aggregate(Min("doc_id", alias_name="a")),
+        pa.schema(
+            [("band", pa.int32()), ("band_hash", pa.int64()), ("a", pa.int64())]
+        ),
+    )
+    joined = sig.join(
+        mins, "inner", num_partitions, on=("band", "band_hash")
+    )
+
+    def star(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.not_equal(t["doc_id"], t["a"])
+        kept = t.filter(keep)
+        return pa.table(
+            {
+                "a": kept["a"].combine_chunks().cast(pa.int64()),
+                "b": kept["doc_id"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    edges = (
+        joined.map_batches(star, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
         .materialize()  # bounded: O(candidate edges); reused twice below

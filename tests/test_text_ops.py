@@ -115,6 +115,9 @@ def test_attach_labels_join_path_exact_above_2_53():
     assert got[big] == big  # unlabeled keeps its own id, bit-exact
     assert got[big + 3] == big
     assert got[7] == 7
+
+
+def test_minhash_matches_scalar_witness():
     from hydro_raster_ray.text import ops, witness
 
     got = ops.minhash_near_dups(SF).to_pandas().reset_index(drop=True)
