@@ -9,9 +9,12 @@ Prints ONE JSON line:
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
 GRAFT_BENCH_TILES (default 36 → 36x36 tiles of 256x256 = 85M px).
 
-``--scaling`` reruns the bench in fresh subprocesses at 8 and 32 CPUs on the
-same input and reports throughput at both plus the scaling efficiency — the
-sandbox substitute for the N vs 4N node cluster criterion (BASELINE.md).
+``--scaling`` reruns the bench in fresh subprocesses at N and 4N CPUs
+(``GRAFT_SCALE_LO``, default 8 → 8 vs 32; the recorded runs use 2 vs 8 to
+leave the 32-CPU box headroom) on the same input and reports throughput at
+both plus the scaling efficiency — the sandbox substitute for the N vs 4N
+node cluster criterion (BASELINE.md). Scaling numbers are only valid with
+NOTHING else running on the box.
 """
 
 from __future__ import annotations
