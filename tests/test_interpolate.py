@@ -133,3 +133,29 @@ def test_point_interpolate_linear_matches_whole_array(ray_session, small_scheme)
     want = want.astype(np.float32).astype(np.float64)
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got[~np.isnan(got)], want[~np.isnan(want)], rtol=0, atol=0)
+
+
+def test_point_interpolate_pruned_read_matches_full(ray_session):
+    """Geometry-only mode: a TileSet read WITHOUT the payload column must
+    produce the identical interpolated surface (the reference builds its
+    meshgrid from the header alone, Raster.py:424)."""
+    import numpy as np
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import read_tiles
+    from hydro_raster_ray.sources.tiles import to_array
+    from hydro_raster_ray.stages.interpolate import point_interpolate
+
+    d = fixtures.ensure_fixture_dir("sf0.001")
+    scheme = fixtures.make_scheme(*fixtures.SCALES["sf0.001"])
+    gt = fixtures.gauges_table(scheme, 25)
+    g = {k: gt[k].to_numpy(zero_copy_only=False) for k in ("x", "y", "value")}
+
+    full = read_tiles(f"{d}/tiles.parquet", scheme)
+    pruned = read_tiles(
+        f"{d}/tiles.parquet", scheme,
+        columns=["w", "h", "fmt", "caption", "phash"],
+    )
+    a = to_array(point_interpolate(full, g, method="nearest", concurrency=2))
+    b = to_array(point_interpolate(pruned, g, method="nearest", concurrency=2))
+    assert np.array_equal(a, b, equal_nan=True)
