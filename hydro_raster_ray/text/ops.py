@@ -221,23 +221,43 @@ def _shingles(tokens: list, n: int = 3) -> set:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique uint64 blake2b-8 hashes of the word n-shingles — the
+def _shingle_hashes_batch(toks: "pd.Series", n: int = 3) -> list[np.ndarray]:
+    """Per doc: sorted unique uint64 hashes of the word n-shingles — the
     shared base representation for MinHash signatures AND exact-Jaccard
-    verification (64-bit collisions are negligible and deterministic)."""
-    sh = _shingles(text.split(), n)
-    if not sh:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-                for s in sh
-            ),
-            dtype=np.uint64,
-            count=len(sh),
-        )
-    )
+    verification (64-bit collisions are negligible and deterministic).
+
+    A shingle's hash is the polynomial combine of its n TOKEN hashes
+    (``Σ h(tok_i)·B^(n-1-i) mod 2^64``, blake2b-8 token hashes): tokens are
+    hashed ONCE per unique token per batch (``_token_hashes``) and windows
+    are pure numpy strided products — no per-shingle string building or
+    per-shingle hashlib call (the round-2 formulation built and hashed a
+    Python string per shingle per doc; docs shorter than ``n`` combine all
+    their tokens). The witness reproduces the identical arithmetic with
+    Python ints."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    h, lens = _token_hashes(toks)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    pows = _FP_BASE ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    for i in range(len(toks)):
+        hd = h[bounds[i] : bounds[i + 1]]
+        if hd.size == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        elif hd.size < n:
+            p = _FP_BASE ** np.arange(hd.size - 1, -1, -1, dtype=np.uint64)
+            out.append(np.array([(hd * p).sum(dtype=np.uint64)], dtype=np.uint64))
+        else:
+            wins = sliding_window_view(hd, n)
+            out.append(
+                np.unique((wins * pows[None, :]).sum(axis=1, dtype=np.uint64))
+            )
+    return out
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Single-doc convenience wrapper over ``_shingle_hashes_batch``."""
+    return _shingle_hashes_batch(pd.Series([text.split()]), n)[0]
 
 
 def _token_hashes(tokens: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
@@ -315,8 +335,7 @@ def _minhash_matrix(texts: pd.Series, num_perm: int, n: int) -> np.ndarray:
     a = (rng * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)) % np.uint64(p)
     b = (rng * np.uint64(0xC2B2AE3D27D4EB4F)) % np.uint64(p)
     out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        hs = _shingle_hashes(t, n)
+    for i, hs in enumerate(_shingle_hashes_batch(texts.str.split(), n)):
         if hs.size == 0:
             continue
         hp = hs % np.uint64(p)
@@ -479,7 +498,7 @@ def minhash_near_dups(
         docs = ds.map_batches(filt, batch_format="pyarrow")
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-        packs = [_shingle_hashes(t, n).tobytes() for t in df["text"]]
+        packs = [a.tobytes() for a in _shingle_hashes_batch(df["text"].str.split(), n)]
         return pd.DataFrame(
             {"doc_id": df["doc_id"].to_numpy(np.int64), "sh": packs}
         )

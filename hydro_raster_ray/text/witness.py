@@ -68,6 +68,7 @@ def minhash_groups_witness(
     # permutation constants — uint64 wrap BEFORE the mod-p, like the engine
     A = [(((k * 0x9E3779B97F4A7C15) & _M64) | 1) % _P61 for k in range(1, num_perm + 1)]
     B = [((k * 0xC2B2AE3D27D4EB4F) & _M64) % _P61 for k in range(1, num_perm + 1)]
+    base = int(_FP_BASE)
 
     buckets: dict = {}
     shingles: dict[int, set] = {}
@@ -78,7 +79,16 @@ def minhash_groups_witness(
         shingles[did] = sh
         if not sh:
             continue
-        hs = sorted({_h64(s) % _P61 for s in _shingle_strs(toks, n)})
+        # shingle hash = polynomial combine of the n blake2b-8 TOKEN
+        # hashes mod 2^64 (the engine's vectorized arithmetic, replicated
+        # with Python ints); docs shorter than n combine all their tokens
+        th = [_h64(w) for w in toks]
+        wins = [th] if len(th) < n else [th[i : i + n] for i in range(len(th) - n + 1)]
+        hset = {
+            sum(h * pow(base, len(w) - 1 - j, 1 << 64) for j, h in enumerate(w)) & _M64
+            for w in wins
+        }
+        hs = sorted(x % _P61 for x in hset)
         sig = []
         for a, b in zip(A, B):
             # engine arithmetic: ((a·h mod 2^64) + b mod 2^64) mod p, min
@@ -316,7 +326,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V4")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V5")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
