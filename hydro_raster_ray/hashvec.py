@@ -85,7 +85,19 @@ def md5_prefix32(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    off = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+    # offset width depends on the string type: string = int32, large_string
+    # (which Ray/Arrow produce for big blocks) = int64 — viewing a
+    # large_string offset buffer as int32 would silently misread it
+    if pa.types.is_large_string(arr.type):
+        off_dtype: type = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    off = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)
     lens = np.diff(off).astype(np.int64)
     out = np.empty(n, dtype=np.uint64)

@@ -531,10 +531,12 @@ def top_k_tiles(ts: TileSet, k: int, stat: str = "max"):
     descending = stat != "min"
 
     def _prune(ids: np.ndarray, vals: np.ndarray) -> pa.Table:
+        # sort unconditionally (not only when pruning) so the final merge
+        # returns rows in (stat desc, image_id) order even when the merged
+        # candidate set has ≤ k rows — input is at most k·n_blocks rows
         key = -vals if descending else vals
-        if ids.size > k:
-            top = np.lexsort((ids, key))[:k]
-            ids, vals = ids[top], vals[top]
+        top = np.lexsort((ids, key))[:k]
+        ids, vals = ids[top], vals[top]
         return pa.table({"image_id": pa.array(ids, pa.string()),
                          "stat": pa.array(vals, pa.float64())})
 

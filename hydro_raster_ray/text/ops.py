@@ -295,10 +295,10 @@ def jaccard_to_query(sf_dir: str, query_doc_id: int = 0, n: int = 3,
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
 
     def _prune(ids: np.ndarray, sims: np.ndarray) -> pd.DataFrame:
-        if ids.size > top_k:
-            top = np.lexsort((ids, -sims))[:top_k]
-            ids, sims = ids[top], sims[top]
-        return pd.DataFrame({"doc_id": ids, "sim": sims})
+        # sort unconditionally so the final merge emits (sim desc, doc_id)
+        # order even with ≤ top_k candidates; merge input is k·n_blocks rows
+        top = np.lexsort((ids, -sims))[:top_k]
+        return pd.DataFrame({"doc_id": ids[top], "sim": sims[top]})
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         sims = []

@@ -38,8 +38,16 @@ def array_to_png(arr: np.ndarray, vmin: float | None = None,
     if a.ndim != 2:
         raise ValueError("array_to_png expects a 2-D array")
     m = np.isfinite(a)
-    lo = float(a[m].min()) if vmin is None and m.any() else float(vmin or 0.0)
-    hi = float(a[m].max()) if vmax is None and m.any() else float(vmax or 1.0)
+    # explicit bounds (including 0.0) are honored; defaults come from the
+    # finite range, falling back to [0, 1] for an all-NaN grid
+    if vmin is not None:
+        lo = float(vmin)
+    else:
+        lo = float(a[m].min()) if m.any() else 0.0
+    if vmax is not None:
+        hi = float(vmax)
+    else:
+        hi = float(a[m].max()) if m.any() else 1.0
     span = hi - lo if hi > lo else 1.0
     g = np.zeros(a.shape, np.uint8)
     g[m] = np.clip((a[m] - lo) / span * 255.0, 0, 255).astype(np.uint8)

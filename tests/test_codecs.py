@@ -105,3 +105,9 @@ def test_md5_prefix32_matches_hashlib():
         dtype=np.uint64,
     )
     assert (got == want).all()
+    # large_string has int64 offsets — must not be misread as int32
+    large = md5_prefix32(pa.array(ids, pa.large_string()))
+    assert (large == want).all()
+    # sliced array exercises the non-zero arr.offset path
+    sliced = md5_prefix32(pa.array(ids, pa.large_string()).slice(3, 50))
+    assert (sliced == want[3:53]).all()
