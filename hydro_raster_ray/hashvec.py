@@ -23,7 +23,42 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["md5_prefix32"]
+__all__ = ["md5_prefix32", "md5_hex", "splitmix64", "mix64_rows"]
+
+# splitmix64 finalizer constants (public-domain PRNG finalizer; full
+# avalanche, bijective) — used to hash fixed-width uint64 records without
+# a per-row hashlib call
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (bijective,
+    full-avalanche mix; numpy uint64 arithmetic wraps mod 2^64)."""
+    x = (x + _SM_GAMMA).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _SM_M1
+    x ^= x >> np.uint64(27)
+    x *= _SM_M2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def mix64_rows(mat: np.ndarray) -> np.ndarray:
+    """64-bit hash of each ROW of a (n, w) uint64 matrix: splitmix64
+    chained across the w columns (``h = splitmix64(h ^ col)``).
+
+    Replaces per-row ``hashlib.blake2b(row.tobytes())`` for fixed-width
+    uint64 records (e.g. MinHash band slices): the loop runs over the
+    FIXED width w, vectorized across all n rows — no per-row Python
+    calls. Width is part of the hash's domain (all callers hash
+    constant-width rows), so no length suffix is needed."""
+    mat = np.ascontiguousarray(mat, dtype=np.uint64)
+    h = np.zeros(mat.shape[0], dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        h = splitmix64(h ^ mat[:, j])
+    return h
 
 # standard MD5 tables: K[i] = floor(|sin(i+1)| * 2^32), per-round rotations
 _K = np.floor(np.abs(np.sin(np.arange(1, 65, dtype=np.float64))) * 2**32).astype(
@@ -48,15 +83,12 @@ def _rotl(x: np.ndarray, s: int) -> np.ndarray:
     return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
 
 
-def _md5_single_block(blocks: np.ndarray) -> np.ndarray:
-    """MD5 of n pre-padded 64-byte blocks → first-4-digest-bytes as a
-    big-endian uint64 (== ``int(hexdigest()[:8], 16)``)."""
+def _md5_compress(a0, b0, c0, d0, blocks: np.ndarray):
+    """One MD5 compression round over n 64-byte blocks (one per lane):
+    state arrays (a0..d0, uint32, shape (n,)) → chained new state."""
     m = np.ascontiguousarray(blocks).view("<u4").reshape(blocks.shape[0], 16)
     m = [np.ascontiguousarray(m[:, j]) for j in range(16)]  # contiguous cols
-    a = np.full(blocks.shape[0], 0x67452301, np.uint32)
-    b = np.full(blocks.shape[0], 0xEFCDAB89, np.uint32)
-    c = np.full(blocks.shape[0], 0x98BADCFE, np.uint32)
-    d = np.full(blocks.shape[0], 0x10325476, np.uint32)
+    a, b, c, d = a0, b0, c0, d0
     for i in range(64):
         if i < 16:
             f = (b & c) | (~b & d)
@@ -71,23 +103,29 @@ def _md5_single_block(blocks: np.ndarray) -> np.ndarray:
         c = b
         b = b + _rotl(a + f + _K[i] + m[_G[i]], int(_S[i]))
         a = tmp
-    a0 = a + np.uint32(0x67452301)
+    return a0 + a, b0 + b, c0 + c, d0 + d
+
+
+_MD5_IV = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+
+
+def _md5_single_block(blocks: np.ndarray) -> np.ndarray:
+    """MD5 of n pre-padded 64-byte blocks → first-4-digest-bytes as a
+    big-endian uint64 (== ``int(hexdigest()[:8], 16)``)."""
+    n = blocks.shape[0]
+    state = [np.full(n, iv, np.uint32) for iv in _MD5_IV]
+    a0, _, _, _ = _md5_compress(*state, blocks)
     # hexdigest()[:8] reads the first 4 digest bytes big-endian; the digest
     # serializes the final A word little-endian, so the value is byteswap(A)
     return a0.byteswap().astype(np.uint64)
 
 
-def md5_prefix32(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
-    """``int(md5(s).hexdigest()[:8], 16)`` per element of an Arrow string
-    array, vectorized (hashlib fallback only for rows > 55 UTF-8 bytes)."""
+def _str_view(arr: "pa.Array | pa.ChunkedArray"):
+    """(int64 offsets, uint8 data buffer, n) view of an Arrow string array,
+    handling string (int32 offsets) vs large_string (int64) and slices."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    # offset width depends on the string type: string = int32, large_string
-    # (which Ray/Arrow produce for big blocks) = int64 — viewing a
-    # large_string offset buffer as int32 would silently misread it
     if pa.types.is_large_string(arr.type):
         off_dtype: type = np.int64
     elif pa.types.is_string(arr.type):
@@ -95,10 +133,85 @@ def md5_prefix32(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     else:
         arr = arr.cast(pa.string())
         off_dtype = np.int32
+    if n == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint8), 0
     off = np.frombuffer(arr.buffers()[1], off_dtype)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return off, data, n
+
+
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def md5_hex(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Full ``md5(s).hexdigest()`` per element of an Arrow string array as
+    a ``<U32`` numpy array — MULTI-block vectorized MD5, no per-row
+    hashlib calls.
+
+    Rows are sorted by padded block count (descending) so that at block
+    index t the still-active lanes form a contiguous prefix; each round
+    compresses that prefix's t-th 64-byte blocks in one vectorized
+    ``_md5_compress`` call.
+
+    MEASURED (this sandbox, round 4): for ~1 KB documents per-row C
+    ``hashlib.md5`` is ~70× FASTER than this kernel (0.012 s vs 0.86 s
+    per 5000 docs) — MD5 is strictly sequential per message, so numpy
+    lane-vectorization pays ~640 interpreter-dispatched round ops per
+    64-byte block while hashlib streams at ~400 MB/s in C. Hot paths
+    (``text/ops.exact_dedup``) therefore stay on hashlib; this kernel is
+    the bit-exact multi-block reference implementation backing the parity
+    suite and the short-string fast path ``md5_prefix32`` (where per-call
+    overhead, not throughput, dominates)."""
+    off, data, n = _str_view(arr)
+    if n == 0:
+        return np.empty(0, dtype="<U32")
+    lens = np.diff(off)
+    nblocks = (lens + 9 + 63) // 64
+    order = np.argsort(-nblocks, kind="stable")
+    s_len, s_off, s_nb = lens[order], off[:-1][order], nblocks[order]
+    pstart = np.concatenate([[0], np.cumsum(s_nb * 64)])
+    buf = np.zeros(int(pstart[-1]), np.uint8)
+    total = int(s_len.sum())
+    if total:
+        rows = np.repeat(np.arange(n), s_len)
+        within = np.arange(total) - np.repeat(np.cumsum(s_len) - s_len, s_len)
+        buf[pstart[:-1][rows] + within] = data[s_off[rows] + within]
+    buf[pstart[:-1] + s_len] = 0x80
+    bit = (s_len * 8).astype(np.uint64)
+    tail = pstart[1:] - 8
+    for k in range(8):
+        buf[tail + k] = ((bit >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    a, b, c, d = (np.full(n, iv, np.uint32) for iv in _MD5_IV)
+    neg_nb = -s_nb  # ascending; lanes with s_nb > t form the prefix
+    for t in range(int(s_nb[0])):
+        k = int(np.searchsorted(neg_nb, -t, side="left"))
+        blk = buf[(pstart[:k] + 64 * t)[:, None] + np.arange(64)[None, :]]
+        a[:k], b[:k], c[:k], d[:k] = _md5_compress(a[:k], b[:k], c[:k], d[:k], blk)
+    # digest = the four state words serialized little-endian, then hexified
+    dig = np.empty((n, 16), np.uint8)
+    for j, w in enumerate((a, b, c, d)):
+        dig[:, 4 * j : 4 * j + 4] = (
+            np.ascontiguousarray(w.astype("<u4")).view(np.uint8).reshape(n, 4)
+        )
+    hx = np.empty((n, 32), np.uint8)
+    hx[:, 0::2] = _HEX_LUT[dig >> 4]
+    hx[:, 1::2] = _HEX_LUT[dig & 0xF]
+    sorted_out = np.frombuffer(hx.tobytes(), dtype="S32").astype("<U32")
+    out = np.empty(n, dtype="<U32")
+    out[order] = sorted_out
+    return out
+
+
+def md5_prefix32(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """``int(md5(s).hexdigest()[:8], 16)`` per element of an Arrow string
+    array, vectorized (hashlib fallback only for rows > 55 UTF-8 bytes)."""
+    off, data, n = _str_view(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     lens = np.diff(off).astype(np.int64)
     out = np.empty(n, dtype=np.uint64)
     short = lens <= 55

@@ -36,6 +36,18 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+def _sm64(x: int) -> int:
+    """splitmix64 finalizer with Python ints (parity with
+    ``hashvec.splitmix64``'s numpy uint64 arithmetic)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x
+
+
 def _tokens(text: str) -> list[str]:
     return text.split()
 
@@ -96,9 +108,12 @@ def minhash_groups_witness(
             sig.append(min(((((a * h) & _M64) + b) & _M64) % _P61 for h in hs))
         for bd in range(bands):
             chunk = sig[bd * r : (bd + 1) * r]
-            bts = b"".join(v.to_bytes(8, "little") for v in chunk)
-            bh = _signed64(int.from_bytes(hashlib.blake2b(bts, digest_size=8).digest(), "little"))
-            buckets.setdefault((bd, bh), []).append(did)
+            # band hash = splitmix64 chained across the band slice — the
+            # engine's hashvec.mix64_rows arithmetic with Python-int masks
+            h = 0
+            for v in chunk:
+                h = _sm64(h ^ v)
+            buckets.setdefault((bd, _signed64(h)), []).append(did)
 
     edges = set()
     for members in buckets.values():
@@ -326,7 +341,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V5")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V6")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)

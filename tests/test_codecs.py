@@ -111,3 +111,47 @@ def test_md5_prefix32_matches_hashlib():
     # sliced array exercises the non-zero arr.offset path
     sliced = md5_prefix32(pa.array(ids, pa.large_string()).slice(3, 50))
     assert (sliced == want[3:53]).all()
+
+
+def test_md5_hex_multiblock_matches_hashlib():
+    """The multi-block vectorized MD5 must equal hashlib's hexdigest for
+    lengths spanning every padding/block boundary, UTF-8 multibyte rows,
+    large_string arrays, and slices."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hydro_raster_ray.hashvec import md5_hex
+
+    strs = (
+        ["", "a", "x" * 55, "y" * 56, "z" * 63, "w" * 64, "q" * 119,
+         "r" * 120, "s" * 128, "héllo wörld" * 30, "日本語テスト" * 100]
+        + [f"doc {i} " + "lorem ipsum dolor " * (i % 37) for i in range(500)]
+    )
+    want = np.array([hashlib.md5(s.encode()).hexdigest() for s in strs])
+    assert (md5_hex(pa.array(strs, pa.string())) == want).all()
+    assert (md5_hex(pa.array(strs, pa.large_string())) == want).all()
+    got = md5_hex(pa.array(strs, pa.large_string()).slice(7, 100))
+    assert (got == want[7:107]).all()
+    assert md5_hex(pa.array([], pa.string())).size == 0
+
+
+def test_mix64_rows_matches_witness_scalar():
+    """hashvec.mix64_rows (numpy uint64) must equal the witness's
+    Python-int splitmix64 chain for random fixed-width rows."""
+    import numpy as np
+
+    from hydro_raster_ray.hashvec import mix64_rows
+    from hydro_raster_ray.text.witness import _sm64
+
+    rng = np.random.default_rng(7)
+    mat = rng.integers(0, 1 << 63, size=(64, 4), dtype=np.uint64)
+    mat[0] = 0  # all-zero row
+    mat[1] = (1 << 63) + 12345  # high-bit values
+    got = mix64_rows(mat)
+    for i, row in enumerate(mat):
+        h = 0
+        for v in row:
+            h = _sm64(h ^ int(v))
+        assert int(got[i]) == h, i
