@@ -374,6 +374,10 @@ SELECT ordinal, gr, gc, x, y, z FROM read_parquet('{F}/witness_line_cells.parque
         "knn_idw_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
 """,
+        "knn_idw_partitioned": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_knn_partitioned.parquet')
+""",
         "linear_interp_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_linear_interp.parquet')

@@ -228,6 +228,19 @@ def _halton(n: int, base: int) -> np.ndarray:
     return out
 
 
+def _halton_vec(n: int, base: int) -> np.ndarray:
+    """Vectorized radical inverse — bit-identical to ``_halton`` (the extra
+    iterations for already-exhausted elements add exactly 0.0)."""
+    k = np.arange(1, n + 1, dtype=np.int64)
+    out = np.zeros(n)
+    f = 1.0
+    while k.max() > 0:
+        f /= base
+        out += f * (k % base)
+        k //= base
+    return out
+
+
 def gauges_table(scheme: TileScheme, n: int = 25) -> pa.Table:
     """Low-discrepancy (Halton 2/3) gauge points; value = analytic z —
     deterministic, irregular, no distance ties (FIXTURES.md §3)."""
@@ -245,6 +258,59 @@ def gauges_table(scheme: TileScheme, n: int = 25) -> pa.Table:
             "value": pa.array(v),
         }
     )
+
+
+# tag → large-gauge fixture size (the partitioned-kNN path's "too big to
+# broadcast" stand-in; ≥100k at the driver's correctness scale)
+KNN_LARGE_N = {"sf0.001": 20000, "sf0.01": 120000, "sf0.1": 120000}
+
+
+def gauges_large_table(scheme: TileScheme, n: int) -> pa.Table:
+    """Large gauge table (``gid:int64, x, y, value``) for the partitioned
+    kNN-IDW path (``stages/knn_join.py``) — Halton 2/3 placement like
+    ``gauges_table`` (no distance ties), value = analytic z."""
+    ext = scheme.grid.extent
+    x = ext[0] + _halton_vec(n, 2) * (ext[1] - ext[0])
+    y = ext[2] + _halton_vec(n, 3) * (ext[3] - ext[2])
+    v = analytic_z(x, y, scheme.grid)
+    return pa.table(
+        {
+            "gid": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "x": pa.array(x),
+            "y": pa.array(y),
+            "value": pa.array(v),
+        }
+    )
+
+
+def _ensure_knn_fixture(tag: str, out: str) -> None:
+    """Large-gauge table + whole-array witness for ``knn_idw_partitioned``
+    (own marker so existing fixture dirs upgrade in place)."""
+    done = os.path.join(out, "_KNN_LARGE_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    n = KNN_LARGE_N.get(tag, KNN_LARGE_N["sf0.01"])
+    gt = gauges_large_table(scheme, n)
+    _write_atomic(gt, os.path.join(out, "gauges_large.parquet"))
+    surf = oracle.knn_idw_canonical(
+        scheme.grid,
+        gt["x"].to_numpy(),
+        gt["y"].to_numpy(),
+        gt["value"].to_numpy(),
+        gt["gid"].to_numpy(),
+        k=8,
+        power=2.0,
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(surf)),
+        os.path.join(out, "witness_knn_partitioned.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
 
 
 def rect_zone_features(scheme: TileScheme) -> list[dict]:
@@ -906,6 +972,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
         with open(done, "w") as f:
             f.write("ok\n")
     _ensure_tile_witnesses(tag, out)
+    _ensure_knn_fixture(tag, out)
     return out
 
 

@@ -302,6 +302,86 @@ def knn_idw_interpolate(
     return out.reshape(spec.nrows, spec.ncols)
 
 
+def knn_idw_canonical(
+    spec: GridSpec,
+    gx,
+    gy,
+    gv,
+    gid,
+    k: int = 8,
+    power: float = 2.0,
+    eps: float = 1e-12,
+):
+    """Whole-array EXACT kNN-IDW under the canonical-gauge-id contract of
+    ``stages/knn_join.py``: per pixel, the k nearest gauges (unique — no
+    distance ties by fixture construction), IDW terms summed in ASCENDING
+    gauge-id order via ``np.sum(axis=1)`` over the (n, k) term matrix.
+
+    Independent witness implementation: gauges sorted by **y** with a
+    horizontal band window per pixel chunk, widened until every pixel's
+    k-th candidate distance is within the band margin (the engine prunes
+    along **x** — a different candidate enumeration arriving at the same
+    provably-exact kNN set, then bit-identical arithmetic)."""
+    gx = np.asarray(gx, np.float64)
+    gy = np.asarray(gy, np.float64)
+    gv = np.asarray(gv, np.float64)
+    gid = np.asarray(gid, np.int64)
+    yo = np.argsort(gy, kind="stable")
+    gx, gy, gv, gid = gx[yo], gy[yo], gv[yo], gid[yo]
+    n = gx.size
+    k_eff = min(k, n)
+    span = max(
+        (gx.max() - gx.min()) * (gy[-1] - gy[0]) if n > 1 else 1.0, 1.0
+    )
+    m0 = max(2.0 * np.sqrt(span * k_eff / n), 1e-9)
+    X, Y = _to_points(spec)
+    px_all, py_all = X.ravel(), Y.ravel()
+    out = np.empty(px_all.size)
+    for s in range(0, px_all.size, 4096):
+        e = min(s + 4096, px_all.size)
+        px, py = px_all[s:e], py_all[s:e]
+        xmin, xmax = float(px.min()), float(px.max())
+        ymin, ymax = float(py.min()), float(py.max())
+        m = m0
+        while True:
+            lo = int(np.searchsorted(gy, ymin - m))
+            hi = int(np.searchsorted(gy, ymax + m, side="right"))
+            inx = (gx[lo:hi] >= xmin - m) & (gx[lo:hi] <= xmax + m)
+            cx = gx[lo:hi][inx]
+            full = lo == 0 and hi == n and bool(inx.all())
+            if cx.size >= k_eff:
+                cy = gy[lo:hi][inx]
+                cv = gv[lo:hi][inx]
+                cg = gid[lo:hi][inx]
+                d2 = (px[:, None] - cx[None, :]) ** 2 + (
+                    py[:, None] - cy[None, :]
+                ) ** 2
+                if cx.size > k_eff:
+                    part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(k_eff), (px.size, k_eff)
+                    ).copy()
+                d2s = np.take_along_axis(d2, part, axis=1)
+                if full or float(d2s.max()) <= m * m:
+                    o = np.argsort(cg[part], axis=1, kind="stable")
+                    d2o = np.take_along_axis(d2s, o, axis=1)
+                    vo = np.take_along_axis(cv[part], o, axis=1)
+                    w = 1.0 / np.power(np.maximum(d2o, eps), power * 0.5)
+                    vals = (w * vo).sum(axis=1) / w.sum(axis=1)
+                    jm = np.argmin(d2o, axis=1)
+                    rr = np.arange(px.size)
+                    hit = d2o[rr, jm] <= eps
+                    if hit.any():
+                        vals[hit] = vo[rr[hit], jm[hit]]
+                    out[s:e] = vals
+                    break
+            if full:
+                raise AssertionError("witness band exhausted the gauge set")
+            m *= 2.0
+    return out.reshape(spec.nrows, spec.ncols)
+
+
 def components_bfs(arr: np.ndarray):
     """Whole-array 4-connected components of equal finite values via plain
     BFS — the independent witness for the distributed vectorize (same

@@ -463,6 +463,26 @@ def q_knn_idw_surface(sf_dir: str):
     return per_tile_stats(surf)
 
 
+def q_knn_idw_partitioned(sf_dir: str):
+    """Partitioned (no-broadcast) exact kNN-IDW over the LARGE gauge table
+    (oracle: whole-array band-search witness ``oracle.knn_idw_canonical``).
+    Tiles are read geometry-only — the payload column never leaves storage."""
+    import ray.data
+
+    from ..sources.tiles import read_tiles
+    from ..stages.knn_join import knn_idw_partitioned
+
+    d = fixture_dir_for(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scheme = fixtures.make_scheme(*fixtures.SCALES.get(tag, fixtures.SCALES["sf0.01"]))
+    ts = read_tiles(
+        f"{d}/tiles.parquet", scheme, columns=["w", "h", "fmt", "caption"]
+    )
+    gauges = ray.data.read_parquet(f"{d}/gauges_large.parquet")
+    surf = knn_idw_partitioned(ts, gauges, k=8, power=2.0)
+    return per_tile_stats(surf)
+
+
 def q_linear_interp_surface(sf_dir: str):
     """griddata-linear parity: Delaunay barycentric gauge interpolation
     (NaN outside the hull); per-tile stats vs the whole-array witness."""
@@ -486,6 +506,7 @@ TILE_QUERIES = {
     "merge_stats": q_merge_stats,
     "line_cells": q_line_cells,
     "knn_idw_surface": q_knn_idw_surface,
+    "knn_idw_partitioned": q_knn_idw_partitioned,
     "linear_interp_surface": q_linear_interp_surface,
     "channel_surface": q_channel_surface,
     "remove_block": q_remove_block,
