@@ -228,6 +228,42 @@ def test_emb_near_dups_pathological_single_bucket(tmp_path):
     assert got["vec_id"].to_list() == list(range(n))
 
 
+def test_emb_near_dups_mega_bucket_chain(tmp_path):
+    """Giant single bucket UNDER A CAPPED TASK BUDGET (max_bucket_rows far
+    below the bucket size): the bounded block-chain path must produce the
+    identical grouping (the first-earlier-match contract is partition-
+    independent) while no task ever holds the whole bucket matrix. Mixes
+    near-dup runs with isolated vectors so matches span block boundaries."""
+    rng = np.arange(3000)
+    dim = 8
+    # 10 base directions; vec i is a tiny deterministic perturbation of
+    # base (i % 10) — rows of the same base are near-dups (cos ~ 1), rows
+    # of different bases are far (cos < threshold for orthogonal-ish bases)
+    base = np.eye(dim)[rng % 10 % dim] + 0.01 * np.outer(rng % 7, np.ones(dim))
+    emb = base / np.linalg.norm(base, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(rng, pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    from hydro_raster_ray.text import ann, witness
+
+    emb_df = pq.read_table(os.path.join(tmp_path, "embeddings.parquet")).to_pandas()
+    want = witness.emb_near_dups_witness(emb_df)
+    # capped: buckets over 400 rows go through the block chain
+    got = ann.emb_near_dups(
+        str(tmp_path), max_bucket_rows=400, block_rows=128
+    ).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # uncapped control: same result through the map_groups path
+    got2 = ann.emb_near_dups(str(tmp_path)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
+
+
 def test_emb_near_dups_matches_witness():
     from hydro_raster_ray.text import ann, witness
 
