@@ -407,6 +407,14 @@ FROM read_parquet('{F}/witness_reproject.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_reproject_tmerc.parquet')
 """,
+        "reproject_utm": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_reproject_utm.parquet')
+""",
+        "hillshade_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_hillshade.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

@@ -931,6 +931,50 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_r4_witnesses(tag: str, out: str) -> None:
+    """Round-4 witness parquets (own marker → in-place upgrade):
+    hillshade_stats and reproject_utm."""
+    done = os.path.join(out, "_R4_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+    from .grid import map2sub, sub2map
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    full = assemble_truth(scheme)
+
+    # ---- hillshade: global-stretch illumination intensity ----------------
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.hillshade(full))),
+        os.path.join(out, "witness_hillshade.parquet"),
+    )
+
+    # ---- reproject_utm: BNG metres → UTM 30N metres (composed TM) --------
+    from .stages.reproject import bng_tmerc, compose, target_grid_for, utm_tmerc
+
+    utm = utm_tmerc(30)
+    fwd = compose(utm.forward, bng_tmerc.inverse)
+    inv = compose(bng_tmerc.forward, utm.inverse)
+    utm_spec = target_grid_for(g, fwd, g.cellsize, crs="utm30n")
+    utm_scheme = TileScheme(grid=utm_spec, tile_h=64, tile_w=64)
+    Xu, Yu = sub2map(np.arange(utm_spec.nrows), np.arange(utm_spec.ncols), utm_spec)
+    XXu, YYu = np.meshgrid(Xu, Yu)
+    sxu, syu = inv(XXu.ravel(), YYu.ravel())
+    rru, ccu = map2sub(sxu, syu, g)
+    oku = (rru >= 0) & (rru < g.nrows) & (ccu >= 0) & (ccu < g.ncols)
+    warped_u = np.full(XXu.size, np.nan)
+    warped_u[oku] = full[rru[oku], ccu[oku]]
+    warped_u = _f32(warped_u.reshape(utm_spec.nrows, utm_spec.ncols))
+    _write_atomic(
+        _per_tile_stats_table(utm_scheme, warped_u),
+        os.path.join(out, "witness_reproject_utm.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -973,6 +1017,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
             f.write("ok\n")
     _ensure_tile_witnesses(tag, out)
     _ensure_knn_fixture(tag, out)
+    _ensure_r4_witnesses(tag, out)
     return out
 
 

@@ -382,6 +382,36 @@ def knn_idw_canonical(
     return out.reshape(spec.nrows, spec.ncols)
 
 
+def hillshade(
+    array: np.ndarray,
+    azdeg: float = 315.0,
+    altdeg: float = 45.0,
+    vert_exag: float = 1.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+) -> np.ndarray:
+    """Whole-array hillshade witness — the illumination-intensity core of the
+    reference's ``hillshade`` (``grid_show.py:136-158``), which delegates to
+    matplotlib ``LightSource``: NaN → global nanmax pre-fill, gradient
+    surface normals (``dy`` negated: row 0 is north), dot with the light
+    direction, then a global min/max contrast stretch and [0, 1] clip.
+    Returns float64 intensity; the engine's halo-tile path must bit-match."""
+    z = array.copy()
+    z[np.isnan(z)] = np.nanmax(z)
+    e_dy, e_dx = np.gradient(vert_exag * z, -dy, dx)
+    mag = np.sqrt(e_dx * e_dx + e_dy * e_dy + 1.0)
+    az = np.radians(90.0 - azdeg)
+    alt = np.radians(altdeg)
+    d0 = np.cos(az) * np.cos(alt)
+    d1 = np.sin(az) * np.cos(alt)
+    d2 = np.sin(alt)
+    intensity = (-e_dx * d0 - e_dy * d1 + d2) / mag
+    imin, imax = float(intensity.min()), float(intensity.max())
+    if (imax - imin) > 1e-6:
+        intensity = (intensity - imin) / (imax - imin)
+    return np.clip(intensity, 0.0, 1.0)
+
+
 def components_bfs(arr: np.ndarray):
     """Whole-array 4-connected components of equal finite values via plain
     BFS — the independent witness for the distributed vectorize (same

@@ -379,6 +379,34 @@ def q_reproject_tmerc(sf_dir: str):
     return per_tile_stats(warped)
 
 
+def q_reproject_utm(sf_dir: str):
+    """Projected→projected warp through geographic coordinates: BNG metres
+    → UTM zone 30N metres via composed transverse-Mercator transforms (the
+    ``Raster.py:695-733`` arbitrary-EPSG flow); per-tile stats vs the
+    whole-array witness."""
+    from ..stages.reproject import bng_tmerc, compose, reproject, utm_tmerc
+
+    ts, scheme = tiles_for(sf_dir)
+    utm = utm_tmerc(30)
+    warped = reproject(
+        ts,
+        compose(utm.forward, bng_tmerc.inverse),
+        compose(bng_tmerc.forward, utm.inverse),
+        scheme.grid.cellsize,
+        crs="utm30n",
+    )
+    return per_tile_stats(warped)
+
+
+def q_hillshade_stats(sf_dir: str):
+    """Distributed hillshade (halo strips + global contrast stretch) —
+    per-tile stats vs the whole-array witness ``oracle.hillshade``."""
+    from ..stages.hillshade import hillshade
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(hillshade(ts))
+
+
 def q_media_audio(sf_dir: str):
     """Audio features over the deterministic pcm16le table (actor-pool
     decode, thin feature rows); witness applies the same formulas to a
@@ -515,6 +543,8 @@ TILE_QUERIES = {
     "resample_methods": q_resample_methods,
     "reproject_affine": q_reproject_affine,
     "reproject_tmerc": q_reproject_tmerc,
+    "reproject_utm": q_reproject_utm,
+    "hillshade_stats": q_hillshade_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

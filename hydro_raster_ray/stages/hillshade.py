@@ -1,0 +1,226 @@
+"""Hillshade as a distributed data transform.
+
+The reference's ``hillshade`` (``grid_show.py:136-158``) fills NODATA/NaN
+with the global nanmax and delegates shading to matplotlib's
+``LightSource``; the data-transform core of that call is the documented
+``LightSource.hillshade`` algorithm: gradient surface normals (row spacing
+negated — row 0 is north), a dot product with the light direction
+``(cos(90°−az)·cos(alt), sin(90°−az)·cos(alt), sin(alt))``, then a GLOBAL
+min/max contrast stretch and [0, 1] clip. Drawing (colormap blending,
+imshow) stays out of scope per SURVEY §2.9.
+
+Distribution (bit-exact vs the whole-array witness ``oracle.hillshade``):
+
+1. one stats pass → global nanmax (the NaN fill value);
+2. fragment shuffle (the ``resample``/``mosaic`` pattern): each tile emits
+   its body plus four 1-px edge strips keyed to its N/S/E/W neighbors —
+   ``np.gradient``'s central differences never read diagonal corners, so
+   4-neighbor strips are sufficient; one ``groupby(tkey)`` co-locates each
+   tile with its halo (~1.03× the corpus through the exchange, same order
+   as one resample);
+3. per-tile: assemble the (≤h+2, ≤w+2) extended window, fill NaN with the
+   global max, ``np.gradient`` over the window and slice the body back out
+   — a missing halo side occurs exactly at a global grid edge, where the
+   witness's one-sided difference applies too, so every body derivative is
+   bit-identical to the whole-array computation. Intensity is kept in
+   FLOAT64 fragments (f32 would quantize before the stretch) with per-tile
+   min/max columns;
+4. an O(tiles) min/max reduce → global stretch bounds, then a final
+   ``map_batches`` rescales, clips and encodes ``raw-f32`` tiles.
+
+The intermediate intensity TileSet is materialized in the object store
+(spillable) because the global stretch needs the full pass-2 result before
+pass 3 can start — the stretch is inherently two-phase.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode, encode, phash64
+from ..grid import morton_encode
+from ..sources.tiles import TileSet
+from . import stats
+from .decode import iter_tiles
+from .mosaic import _frag_table
+
+__all__ = ["hillshade"]
+
+_INTER_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("gr0", pa.int32()),
+        ("gc0", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("cell", pa.int64()),
+        ("payload", pa.binary()),  # float64 intensity, C order
+        ("imin", pa.float64()),
+        ("imax", pa.float64()),
+    ]
+)
+
+
+def hillshade(
+    ts: TileSet,
+    azdeg: float = 315.0,
+    altdeg: float = 45.0,
+    vert_exag: float = 1.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    shuffle_blocks: int | None = None,
+) -> TileSet:
+    """Illumination-intensity raster in [0, 1] (``raw-f32`` tiles) — see
+    module docstring. Defaults mirror the reference call (az 315°, alt 45°,
+    ``dx = dy = 1`` cell units, ``vert_exag = 1``)."""
+    grid = ts.grid
+    zmax = float(stats.global_stats(ts)["max"])
+    az = np.radians(90.0 - azdeg)
+    alt = np.radians(altdeg)
+    d0 = float(np.cos(az) * np.cos(alt))
+    d1 = float(np.sin(az) * np.cos(alt))
+    d2 = float(np.sin(alt))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out = []
+        for info, arr in iter_tiles(batch, grid):
+            tr, tc = info.tile_row, info.tile_col
+
+            def frag(a, key_tr, key_tc, r0, c0, prio=0):
+                out.append(
+                    {
+                        "tkey": int(morton_encode(int(key_tr), int(key_tc))),
+                        "t_tr": int(key_tr),
+                        "t_tc": int(key_tc),
+                        "prio": prio,
+                        "fr0": 0,
+                        "fc0": 0,
+                        "fh": a.shape[0],
+                        "fw": a.shape[1],
+                        "payload": encode(np.ascontiguousarray(a), "raw-f32"),
+                        "src_r0": int(r0),
+                        "src_c0": int(c0),
+                    }
+                )
+
+            frag(arr, tr, tc, info.gr0, info.gc0, prio=1)  # body
+            if tr > 0:  # my row 0 is the north neighbor's south halo
+                frag(arr[:1, :], tr - 1, tc, info.gr0, info.gc0)
+            if info.gr0 + info.h < grid.nrows:
+                frag(arr[-1:, :], tr + 1, tc, info.gr0 + info.h - 1, info.gc0)
+            if tc > 0:
+                frag(arr[:, :1], tr, tc - 1, info.gr0, info.gc0)
+            if info.gc0 + info.w < grid.ncols:
+                frag(arr[:, -1:], tr, tc + 1, info.gr0, info.gc0 + info.w - 1)
+        return _frag_table(out)
+
+    def build(g: pa.Table) -> pa.Table:
+        r0s = g["src_r0"].to_numpy(zero_copy_only=False)
+        c0s = g["src_c0"].to_numpy(zero_copy_only=False)
+        fhs = g["fh"].to_numpy(zero_copy_only=False)
+        fws = g["fw"].to_numpy(zero_copy_only=False)
+        # the body fragment is the (unique) prio=1 row of this group; a
+        # body-less group (strips aimed at a missing tile of a sparse set)
+        # produces nothing
+        prios = g["prio"].to_numpy(zero_copy_only=False)
+        if prios.max() == 0:
+            return _INTER_SCHEMA.empty_table()
+        t_tr = int(g["t_tr"][0].as_py())
+        t_tc = int(g["t_tc"][0].as_py())
+        bi = int(np.argmax(prios))
+        h, w = int(fhs[bi]), int(fws[bi])
+        gr0, gc0 = int(r0s[bi]), int(c0s[bi])
+        win_r0 = int(r0s.min())
+        win_c0 = int(c0s.min())
+        win = np.full(
+            (int((r0s + fhs).max()) - win_r0, int((c0s + fws).max()) - win_c0),
+            np.nan,
+        )
+        for i in range(g.num_rows):
+            fragm = decode(g["payload"][i].as_py(), int(fhs[i]), int(fws[i]), "raw-f32")
+            rr = int(r0s[i]) - win_r0
+            cc = int(c0s[i]) - win_c0
+            win[rr : rr + int(fhs[i]), cc : cc + int(fws[i])] = fragm
+        win[np.isnan(win)] = zmax
+        g_dy, g_dx = np.gradient(vert_exag * win, -dy, dx)
+        br, bc = gr0 - win_r0, gc0 - win_c0
+        e_dy = g_dy[br : br + h, bc : bc + w]
+        e_dx = g_dx[br : br + h, bc : bc + w]
+        mag = np.sqrt(e_dx * e_dx + e_dy * e_dy + 1.0)
+        inten = (-e_dx * d0 - e_dy * d1 + d2) / mag
+        from ..grid import tile_id
+
+        return pa.table(
+            {
+                "image_id": pa.array([tile_id(t_tr, t_tc)], pa.string()),
+                "tile_row": pa.array([t_tr], pa.int32()),
+                "tile_col": pa.array([t_tc], pa.int32()),
+                "gr0": pa.array([gr0], pa.int32()),
+                "gc0": pa.array([gc0], pa.int32()),
+                "h": pa.array([h], pa.int32()),
+                "w": pa.array([w], pa.int32()),
+                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+                "payload": pa.array([inten.tobytes()], pa.binary()),
+                "imin": pa.array([float(inten.min())], pa.float64()),
+                "imax": pa.array([float(inten.max())], pa.float64()),
+            },
+            schema=_INTER_SCHEMA,
+        )
+
+    frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if shuffle_blocks is None:
+        from .cc import auto_shuffle_blocks
+
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
+    frags = frags.repartition(shuffle_blocks)
+    inter = (
+        frags.groupby("tkey")
+        .map_groups(build, batch_format="pyarrow")
+        .materialize()  # two-phase stretch: bounds first, then rescale
+    )
+    from ray.data.aggregate import Max, Min
+
+    mm = inter.map_batches(
+        lambda t: t.select(["imin", "imax"]), batch_format="pyarrow"
+    ).aggregate(Min("imin", alias_name="imin"), Max("imax", alias_name="imax"))
+    imin, imax = float(mm["imin"]), float(mm["imax"])
+    stretch = (imax - imin) > 1e-6
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids, bufs, hs, ws, caps, hashes = [], [], [], [], [], []
+        for i in range(t.num_rows):
+            h, w = int(t["h"][i].as_py()), int(t["w"][i].as_py())
+            inten = np.frombuffer(t["payload"][i].as_py(), dtype=np.float64).reshape(h, w)
+            if stretch:
+                inten = (inten - imin) / (imax - imin)
+            inten = np.clip(inten, 0.0, 1.0)
+            buf = encode(inten, "raw-f32")
+            truth = decode(buf, h, w, "raw-f32")
+            img = t["image_id"][i].as_py()
+            ids.append(img)
+            bufs.append(buf)
+            hs.append(h)
+            ws.append(w)
+            caps.append(f"hillshade {img} az={azdeg} alt={altdeg} crs={grid.crs}")
+            hashes.append(phash64(truth))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["raw-f32"] * t.num_rows, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+                "tile_row": t["tile_row"],
+                "tile_col": t["tile_col"],
+                "gr0": t["gr0"],
+                "gc0": t["gc0"],
+                "cell": t["cell"],
+            }
+        )
+
+    return TileSet(ds=inter.map_batches(finish, batch_format="pyarrow"), grid=grid)

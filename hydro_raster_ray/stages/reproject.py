@@ -41,6 +41,8 @@ __all__ = [
     "AffineTransform",
     "TransverseMercator",
     "bng_tmerc",
+    "utm_tmerc",
+    "compose",
     "web_mercator",
     "inv_web_mercator",
     "reproject",
@@ -168,6 +170,36 @@ class TransverseMercator:
 
 
 bng_tmerc = TransverseMercator()  # EPSG:27700 projection constants
+
+
+def utm_tmerc(zone: int, south: bool = False) -> TransverseMercator:
+    """UTM zone as a ``TransverseMercator`` parameterization — WGS84
+    ellipsoid, k0 = 0.9996, central meridian −183° + 6°·zone, false easting
+    500 km, false northing 0 (north) / 10 000 km (south). Covers the
+    dominant family of projected CRSs the reference warps between
+    (``Raster.py:695-733``) with the same series math as BNG."""
+    if not 1 <= int(zone) <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return TransverseMercator(
+        a=6378137.0,
+        b=6356752.314245,  # a·(1 − 1/298.257223563)
+        f0=0.9996,
+        lat0=0.0,
+        lon0=-183.0 + 6.0 * int(zone),
+        e0=500000.0,
+        n0=10000000.0 if south else 0.0,
+    )
+
+
+def compose(outer, inner):
+    """Coordinate-transform composition ``(x, y) → outer(*inner(x, y))`` —
+    e.g. projected→projected warps via geographic coordinates:
+    ``fwd = compose(utm.forward, bng.inverse)``."""
+
+    def h(x, y):
+        return outer(*inner(x, y))
+
+    return h
 
 
 def web_mercator(lon, lat):

@@ -129,3 +129,83 @@ def test_reproject_tmerc_distributed_matches_witness(ray_session):
         got[["image_id", "n_px", "n_valid", "sum_z"]],
         want[["image_id", "n_px", "n_valid", "sum_z"]],
     )
+
+
+def test_utm_meridional_arc_vs_integral():
+    """UTM northing at the central meridian == k0 x the true meridional arc
+    (independent check: Simpson integration of the ellipsoid arc integrand,
+    not the series)."""
+    from hydro_raster_ray.stages.reproject import utm_tmerc
+
+    utm = utm_tmerc(30)
+    a, b = utm.a, utm.b
+    e2 = (a**2 - b**2) / a**2
+    for lat in (12.0, 45.0, 67.5):
+        n = 40001
+        phi = np.linspace(0.0, np.deg2rad(lat), n)
+        f = a * (1 - e2) * (1 - e2 * np.sin(phi) ** 2) ** -1.5
+        h = phi[1] - phi[0]
+        simpson = h / 3 * (f[0] + f[-1] + 4 * f[1:-1:2].sum() + 2 * f[2:-2:2].sum())
+        E, N = utm.forward(utm.lon0, lat)
+        assert abs(float(N) - utm.f0 * simpson) < 1e-4, lat
+
+
+def test_utm_round_trip_across_zone():
+    from hydro_raster_ray.stages.reproject import utm_tmerc
+
+    utm = utm_tmerc(30)
+    lon, lat = np.meshgrid(np.linspace(-5.9, -0.1, 13), np.linspace(0.5, 70.0, 17))
+    E, N = utm.forward(lon.ravel(), lat.ravel())
+    lon2, lat2 = utm.inverse(E, N)
+    E2, N2 = utm.forward(lon2, lat2)
+    assert np.abs(E2 - E).max() < 1e-3
+    assert np.abs(N2 - N).max() < 1e-3
+
+
+def test_utm_offsets_symmetry_and_zones():
+    import pytest as _pytest
+
+    from hydro_raster_ray.stages.reproject import utm_tmerc
+
+    utm = utm_tmerc(30)
+    # central meridian: easting is exactly the false easting, equator N = 0
+    E, N = utm.forward(utm.lon0, 0.0)
+    assert float(E) == 500000.0 and float(N) == 0.0
+    # southern-hemisphere false northing
+    Es, Ns = utm_tmerc(30, south=True).forward(utm.lon0, 0.0)
+    assert float(Ns) == 10000000.0
+    # antisymmetric easting about the central meridian
+    Ep, Np_ = utm.forward(utm.lon0 + 2.0, 40.0)
+    Em, Nm = utm.forward(utm.lon0 - 2.0, 40.0)
+    np.testing.assert_allclose(float(Ep) - 500000.0, -(float(Em) - 500000.0), rtol=1e-12)
+    np.testing.assert_allclose(float(Np_), float(Nm), rtol=1e-12)
+    with _pytest.raises(ValueError):
+        utm_tmerc(0)
+
+
+def test_reproject_utm_distributed_matches_witness(ray_session):
+    """BNG-metres -> UTM-30N warp (composed TM transforms): distributed ==
+    whole-array witness per-tile stats (sf0.001 fixture)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.pipelines.tile_queries import q_reproject_utm
+
+    d = fixtures.ensure_fixture_dir("sf0.001")
+    got = (
+        q_reproject_utm("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(f"{d}/witness_reproject_utm.parquet")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["image_id", "n_px", "n_valid", "sum_z"]],
+        want[["image_id", "n_px", "n_valid", "sum_z"]],
+    )
