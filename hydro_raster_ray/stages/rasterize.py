@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..geom import points_in_polygon
+from ..geom import grid_points_in_polygon
 from ..sources.tiles import TileSet
 from .decode import TileInfo, iter_tiles, rows_to_table
 
@@ -93,13 +93,14 @@ def burn_features(info: TileInfo, feats, values, include_nan=False) -> np.ndarra
         if rr.size == 0 or c1 <= c0:
             continue
         r0, r1 = int(rr[0]), int(rr[-1]) + 1
-        subX, subY = np.meshgrid(X[c0:c1], Y[r0:r1])
-        mask = np.zeros(subX.size, dtype=bool)
+        # scanline grid kernel — bit-identical to points_in_polygon on the
+        # meshgrid, O(rows·edges) instead of O(rows·cols·edges)
+        mask = np.zeros((r1 - r0, c1 - c0), dtype=bool)
         for ring in feat["rings"]:
-            mask |= points_in_polygon(subX.ravel(), subY.ravel(), ring)
+            mask |= grid_points_in_polygon(X[c0:c1], Y[r0:r1], ring)
         # 2-D mask assignment: out[...] slice may be non-contiguous, so a
         # ravel() would copy and drop the writes
-        out[r0:r1, c0:c1][mask.reshape(subX.shape)] = val  # last feature wins
+        out[r0:r1, c0:c1][mask] = val  # last feature wins
     if include_nan:
         out[np.isnan(out)] = 1.0
     out[out == g.nodata] = np.nan

@@ -173,3 +173,36 @@ def test_oracle_zonal_stats():
     st = oracle.zonal_stats(a, zones)
     assert st[5.0]["n"] == 2 and st[5.0]["sum"] == 3.0
     assert 7.0 not in st  # its only cell is NaN-valued
+
+
+def test_grid_points_in_polygon_bit_identical():
+    """Scanline grid kernel vs the per-point kernel: identical booleans on
+    adversarial rings — edges exactly through cell centres, horizontal /
+    vertical edges, slivers, non-convex and self-closing rings."""
+    from hydro_raster_ray.geom import grid_points_in_polygon, points_in_polygon
+
+    X = 100.0 + 5.0 * (np.arange(48) + 0.5)
+    Y = 400.0 - 5.0 * (np.arange(40) + 0.5)
+    XX, YY = np.meshgrid(X, Y)
+    rng = np.random.RandomState(7)
+    rings = [
+        # rectangle with edges exactly on cell-centre coordinates
+        [[X[3], Y[30]], [X[20], Y[30]], [X[20], Y[5]], [X[3], Y[5]], [X[3], Y[30]]],
+        # triangle with a horizontal and a vertical edge through centres
+        [[X[10], Y[35]], [X[40], Y[35]], [X[10], Y[2]]],
+        # thin sliver
+        [[110.0, 150.0], [235.0, 152.5], [110.0, 151.0]],
+        # star-ish non-convex
+        [[150, 250], [180, 330], [210, 250], [130, 300], [230, 300]],
+        # degenerate: repeated vertex + explicit closure
+        [[120, 200], [120, 200], [200, 260], [160, 380], [120, 200]],
+    ]
+    for _ in range(12):
+        n = rng.randint(3, 9)
+        r = np.c_[rng.uniform(90, 350, n), rng.uniform(180, 410, n)]
+        rings.append(r.tolist())
+    for k, ring in enumerate(rings):
+        ring = np.asarray(ring, dtype=np.float64)
+        want = points_in_polygon(XX.ravel(), YY.ravel(), ring).reshape(XX.shape)
+        got = grid_points_in_polygon(X, Y, ring)
+        np.testing.assert_array_equal(got, want, err_msg=f"ring {k}")
