@@ -229,6 +229,50 @@ def run_bench() -> dict:
         total = sum(m["rows"] for m in read_manifests(out))
         assert total == n_tiles, (total, n_tiles)
 
+    # EP7b: resume across the SHUFFLE boundary (the EP2 mosaic shape) —
+    # run 1 completes half the output buckets; run 2 re-runs the full
+    # mosaic with resume_out_dir so fragments of completed buckets are
+    # dropped BEFORE the repartition (the exchange+build is pruned, not
+    # just the write), then asserts manifest hits and exact total rows
+    def ep7b_resume_shuffle():
+        import shutil
+
+        from hydro_raster_ray.sources.tiles import TileSet
+        from hydro_raster_ray.state.lineage import read_manifests, resumable_write
+
+        out = "/tmp/graft_bench/ep7b_resume_out"
+        shutil.rmtree(out, ignore_errors=True)
+        target = fixtures.make_scheme(
+            BENCH_T, BENCH_T, 256, 256, ragged=False,
+            xll=fixtures.XLL + 128 * fixtures.CELLSIZE,
+            yll=fixtures.YLL + 128 * fixtures.CELLSIZE,
+        )
+        ts = read_tiles(BENCH_DIR, scheme)
+        # a killed run leaves a bucket-ALIGNED prefix of correct output
+        # (manifests finalize per completed bucket): simulate it by writing
+        # the even buckets of a full mosaic pass
+        from hydro_raster_ray.state.lineage import bucket_of
+        import pyarrow as _pa
+
+        def even_buckets(b):
+            keep = bucket_of(b["cell"].to_numpy(zero_copy_only=False)) % 2 == 0
+            return b.filter(_pa.array(keep))
+
+        merged = mosaic.merge_into([ts], target)
+        half = TileSet(
+            ds=merged.ds.map_batches(
+                even_buckets, batch_format="pyarrow", batch_size=None
+            ),
+            grid=target.grid,
+        )
+        r1 = resumable_write(half, out)
+        resumed = mosaic.merge_into([ts], target, resume_out_dir=out)
+        r2 = resumable_write(resumed, out)
+        assert r2["skipped_buckets"] == r1["written_buckets"] > 0, (r1, r2)
+        total = sum(m["rows"] for m in read_manifests(out))
+        full = mosaic.merge_into([ts], target).ds.count()
+        assert total == full, (total, full)
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -304,7 +348,7 @@ def run_bench() -> dict:
     stages = [
         ep1_edit_dem, ep1_write, ep2_mosaic, ep3_gauge_interp,
         ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
-        ep6_reproject_tmerc, ep7_resume,
+        ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle,
         doc_suite, minhash_dedup, minhash_sigs, ann_topk, doc_quality,
         sched_probe,
     ]

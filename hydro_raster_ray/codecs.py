@@ -59,11 +59,25 @@ def payload_nbytes(fmt: str, h: int, w: int) -> int:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
-    """bytes → float64 (h, w) array with NaN holes (NODATA→NaN semantics)."""
+def decode(buf: bytes, h: int, w: int, fmt: str, dtype=np.float64) -> np.ndarray:
+    """bytes → (h, w) float array with NaN holes (NODATA→NaN semantics).
+
+    ``dtype`` picks the in-memory plane representation. Decoded VALUES are
+    float32-precision by codec contract regardless, so ``dtype=float32`` is
+    lossless — it only halves the DRAM traffic of plane-sized kernels (the
+    single-box bandwidth ceiling documented in BASELINE.md). Callers that
+    take f32 planes must promote at multi-op arithmetic and pass explicit
+    float64 accumulators to reductions (``sum(dtype=np.float64)``) so
+    aggregate results stay bit-identical to the f64 path.
+
+    The raw-f32 + float32 fast path returns a READ-ONLY zero-copy view of
+    ``buf`` — copy before mutating in place.
+    """
     n = int(h) * int(w)
     if fmt == "raw-f32":
-        a = np.frombuffer(buf, dtype="<f4", count=n).astype(np.float64)
+        a = np.frombuffer(buf, dtype="<f4", count=n)
+        if dtype != np.float32:
+            a = a.astype(dtype)
         return a.reshape(int(h), int(w))
     if fmt == "raw-u16":
         offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
@@ -71,13 +85,13 @@ def decode(buf: bytes, h: int, w: int, fmt: str) -> np.ndarray:
         # decoded values are float32-precision by contract: any codec's
         # decoded payload re-encodes as raw-f32 bit-exactly, so trims/masks
         # (value-preserving ops) stay lossless across fmt switches
-        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(np.float64)
+        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(dtype, copy=False)
         a[u == _U16_NODATA] = np.nan
         return a.reshape(int(h), int(w))
     if fmt == "qlossy":
         offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
         u = np.frombuffer(buf, dtype="u1", count=n, offset=_HDR_SIZE)
-        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(np.float64)
+        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(dtype, copy=False)
         a[u == _U8_NODATA] = np.nan
         return a.reshape(int(h), int(w))
     raise ValueError(f"unknown fmt {fmt!r}")

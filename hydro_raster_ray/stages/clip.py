@@ -73,9 +73,10 @@ def rect_clip(ts: TileSet, clip_extent) -> TileSet:
         interior = (gr0 >= r0) & (gr0 + h <= r1) & (gc0 >= c0) & (gc0 + w <= c1)
 
         rows = []
-        # edge tiles: decode → slice → re-encode
+        # edge tiles: decode → slice → re-encode (f32 planes: value-
+        # preserving by codec contract, raw-f32 decodes zero-copy)
         edge_batch = batch.filter(pa.array(~interior))
-        for info, arr in iter_tiles(edge_batch, grid):
+        for info, arr in iter_tiles(edge_batch, grid, dtype=np.float32):
             tr0 = max(r0 - info.gr0, 0)
             tr1 = min(r1 - info.gr0, info.h)
             tc0 = max(c0 - info.gc0, 0)
@@ -129,7 +130,7 @@ def polygon_clip(ts: TileSet, rings, drop_empty: bool = True) -> TileSet:
 
     def mask_batch(batch: pa.Table) -> pa.Table:
         rows = []
-        for info, arr in iter_tiles(batch, grid):
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
             X, Y = info.cell_centres()
             inside = np.zeros(X.size, dtype=bool)
             for ring in rings_np:

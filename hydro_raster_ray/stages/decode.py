@@ -113,8 +113,14 @@ def iter_tile_meta(batch: pa.Table, grid: GridSpec):
         )
 
 
-def iter_tiles(batch: pa.Table, grid: GridSpec):
-    """Yield (TileInfo, decoded float64 array) per row of an Arrow batch."""
+def iter_tiles(batch: pa.Table, grid: GridSpec, dtype=np.float64):
+    """Yield (TileInfo, decoded float array) per row of an Arrow batch.
+
+    ``dtype=np.float32`` is the bandwidth-lean plane representation —
+    lossless by codec contract (see ``codecs.decode``), raw-f32 payloads
+    decode as a zero-copy READ-ONLY view. Callers taking f32 planes must
+    promote at multi-op arithmetic and use float64 reduction accumulators
+    so aggregates stay bit-identical to the float64 path."""
     ids = batch["image_id"].to_pylist()
     bufs = _payload_views(batch)
     hs = batch["h"].to_pylist()
@@ -140,7 +146,7 @@ def iter_tiles(batch: pa.Table, grid: GridSpec):
             cell=cells[i],
             grid=grid,
         )
-        yield info, decode(bufs[i], info.h, info.w, info.fmt)
+        yield info, decode(bufs[i], info.h, info.w, info.fmt, dtype=dtype)
 
 
 def rows_to_table(

@@ -86,7 +86,9 @@ def hillshade(
 
     def emit(batch: pa.Table) -> pa.Table:
         out = []
-        for info, arr in iter_tiles(batch, grid):
+        # f32 fragment slicing (lossless); the build window stays float64 so
+        # np.gradient matches the whole-array oracle bit-exactly
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
             tr, tc = info.tile_row, info.tile_col
 
             def frag(a, key_tr, key_tc, r0, c0, prio=0):

@@ -67,8 +67,13 @@ def _resolve_values(feats, attribute):
     return list(attribute)
 
 
-def burn_features(info: TileInfo, feats, values, include_nan=False) -> np.ndarray:
-    """Burn the candidate features onto one tile; returns the (h, w) plane."""
+def burn_features(
+    info: TileInfo, feats, values, include_nan=False, dtype=np.float64
+) -> np.ndarray:
+    """Burn the candidate features onto one tile; returns the (h, w) plane.
+
+    ``dtype=np.float32`` is for planes whose burned values are f32-exact
+    (e.g. feature INDICES) — half the plane traffic, identical contents."""
     g = info.grid
     cs = g.cellsize
     spec = info.spec
@@ -78,7 +83,7 @@ def burn_features(info: TileInfo, feats, values, include_nan=False) -> np.ndarra
         spec.yllcorner,
         spec.yllcorner + spec.nrows * cs,
     )
-    out = np.full((info.h, info.w), np.nan)
+    out = np.full((info.h, info.w), np.nan, dtype=dtype)
     X = left + (np.arange(info.w) + 0.5) * cs
     Y = top - (np.arange(info.h) + 0.5) * cs
     for feat, val in zip(feats, values):

@@ -265,7 +265,8 @@ def reproject(
 
     def emit(batch: pa.Table) -> pa.Table:
         out = []
-        for info, arr in iter_tiles(batch, grid):
+        # f32 planes: lossless by codec contract, raw-f32 decodes zero-copy
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
             # forward-project this tile's footprint → candidate target tiles
             sx0 = src.xllcorner + info.gc0 * src.cellsize
             sy1 = src.yllcorner + (src.nrows - info.gr0) * src.cellsize
@@ -346,13 +347,17 @@ def reproject(
         if real.size:
             win_r0 = int(r0s.min())
             win_c0 = int(c0s.min())
+            # f32 window + canvas: the warp is a nearest GATHER (value-
+            # preserving), so f32 planes are bit-exact and halve the traffic
             win = np.full(
                 (int((r0s + fhs).max()) - win_r0, int((c0s + fws).max()) - win_c0),
                 np.nan,
+                dtype=np.float32,
             )
             for k, i in enumerate(real):
                 frag = decode(
-                    g["payload"][int(i)].as_py(), int(fhs[k]), int(fws[k]), "raw-f32"
+                    g["payload"][int(i)].as_py(), int(fhs[k]), int(fws[k]), "raw-f32",
+                    dtype=np.float32,
                 )
                 win[
                     int(r0s[k]) - win_r0 : int(r0s[k]) - win_r0 + int(fhs[k]),
@@ -360,7 +365,7 @@ def reproject(
                 ] = frag
         else:
             win_r0 = win_c0 = 0
-            win = np.full((0, 0), np.nan)
+            win = np.full((0, 0), np.nan, dtype=np.float32)
         # nearest gather: target cell centres → inverse → source map2sub
         X, Y = sub2map(np.arange(tr0, tr0 + th), np.arange(tc0, tc0 + tw), new_spec)
         XX, YY = np.meshgrid(X, Y)
@@ -370,7 +375,7 @@ def reproject(
         rw = rr - win_r0
         cw = cc - win_c0
         in_win = valid & (rw >= 0) & (rw < win.shape[0]) & (cw >= 0) & (cw < win.shape[1])
-        canvas = np.full(th * tw, np.nan)
+        canvas = np.full(th * tw, np.nan, dtype=np.float32)
         canvas[in_win] = win[rw[in_win], cw[in_win]]
         canvas = canvas.reshape(th, tw)
         img = tile_id(t_tr, t_tc)

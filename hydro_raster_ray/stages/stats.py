@@ -181,6 +181,19 @@ def exact_median(ts: TileSet, bins: int = 1024, leaf_size: int = 200_000) -> flo
     raise RuntimeError("median refinement failed to converge")
 
 
+def _index_partials(fidx: np.ndarray, v: np.ndarray, nf: int):
+    """Vectorized per-feature-index partials over one tile's masked pixels:
+    (count, sum, min, max) arrays of length ``nf``. Sums accumulate in
+    float64 (bincount weights path); min/max scatter via ``ufunc.at``."""
+    cnt = np.bincount(fidx, minlength=nf)
+    sums = np.bincount(fidx, weights=v, minlength=nf)
+    mins = np.full(nf, np.inf)
+    np.minimum.at(mins, fidx, v)
+    maxs = np.full(nf, -np.inf)
+    np.maximum.at(maxs, fidx, v)
+    return cnt, sums, mins, maxs
+
+
 def zonal_stats(ts: TileSet, features, attribute="id"):
     """Per-zone aggregate of pixel values: rasterize the zone plane per tile
     (broadcast features, §rasterize), reduce within the batch to one partial
@@ -195,22 +208,33 @@ def zonal_stats(ts: TileSet, features, attribute="id"):
         import ray as _ray
 
         feats = _ray.get(ref)
-        values = _resolve_values(feats, attribute)
+        values = np.asarray(_resolve_values(feats, attribute), dtype=np.float64)
+        nf = len(feats)
         acc: dict[float, list] = {}
-        for info, arr in iter_tiles(batch, grid):
-            plane = burn_features(info, feats, values)
+        # burn the feature INDEX and map to zone values afterwards — same
+        # last-feature-wins plane, but the per-tile reduction vectorizes as
+        # bincount/ufunc.at over 0..nf-1 instead of a per-zone mask loop
+        # (O(npix) instead of O(npix·nzones)); f32 planes are lossless by
+        # codec contract and halve the burn/mask traffic
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            plane = burn_features(
+                info, feats, list(range(nf)), dtype=np.float32
+            )
             m = np.isfinite(arr) & np.isfinite(plane)
             if not m.any():
                 continue
-            z = plane[m]
-            v = arr[m]
-            for zone in np.unique(z):
-                sel = v[z == zone]
-                a = acc.setdefault(float(zone), [0, 0.0, np.inf, -np.inf])
-                a[0] += int(sel.size)
-                a[1] += float(sel.sum())
-                a[2] = min(a[2], float(sel.min()))
-                a[3] = max(a[3], float(sel.max()))
+            fidx = plane[m].astype(np.int64)
+            v = arr[m].astype(np.float64)
+            cnt, sums, mins, maxs = _index_partials(fidx, v, nf)
+            for f_i in np.nonzero(cnt)[0]:
+                zone = float(values[f_i])
+                if zone == grid.nodata or not np.isfinite(zone):
+                    continue  # value-plane parity: nodata/NaN burns excluded
+                a = acc.setdefault(zone, [0, 0.0, np.inf, -np.inf])
+                a[0] += int(cnt[f_i])
+                a[1] += float(sums[f_i])
+                a[2] = min(a[2], float(mins[f_i]))
+                a[3] = max(a[3], float(maxs[f_i]))
         if not acc:
             return pa.table(
                 {
@@ -286,25 +310,31 @@ def apply_and_zonal(ts: TileSet, features, edit_attribute="adjust_val",
         feats = _ray.get(ref)
         edit_vals = np.asarray(_resolve_values(feats, edit_attribute), dtype=np.float64)
         zone_vals = np.asarray(_resolve_values(feats, zone_attribute), dtype=np.float64)
+        nf = len(feats)
         acc: dict[float, list] = {}
-        for info, arr in iter_tiles(batch, grid):
-            idx_plane = burn_features(info, feats, list(range(len(feats))))
+        # f32 planes (lossless by codec contract — half the decode+burn
+        # traffic); the edit add promotes to float64 so the edited values
+        # match the f64 path bit-exactly before the storage-contract cast
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            idx_plane = burn_features(
+                info, feats, list(range(nf)), dtype=np.float32
+            )
             m = np.isfinite(arr) & np.isfinite(idx_plane)
             if not m.any():
                 continue
             fidx = idx_plane[m].astype(np.int64)
-            v = arr[m] + np.take(edit_vals, fidx)
+            v = arr[m].astype(np.float64) + np.take(edit_vals, fidx)
             # storage contract parity with the two-op composition: the edited
             # tile would round to float32 on encode before zonal re-decodes
             v = v.astype(np.float32).astype(np.float64)
-            z = np.take(zone_vals, fidx)
-            for zone in np.unique(z):
-                sel = v[z == zone]
-                a = acc.setdefault(float(zone), [0, 0.0, np.inf, -np.inf])
-                a[0] += int(sel.size)
-                a[1] += float(sel.sum())
-                a[2] = min(a[2], float(sel.min()))
-                a[3] = max(a[3], float(sel.max()))
+            cnt, sums, mins, maxs = _index_partials(fidx, v, nf)
+            for f_i in np.nonzero(cnt)[0]:
+                zone = float(zone_vals[f_i])
+                a = acc.setdefault(zone, [0, 0.0, np.inf, -np.inf])
+                a[0] += int(cnt[f_i])
+                a[1] += float(sums[f_i])
+                a[2] = min(a[2], float(mins[f_i]))
+                a[3] = max(a[3], float(maxs[f_i]))
         zones = sorted(acc)
         return pa.table(
             {

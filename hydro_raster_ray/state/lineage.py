@@ -27,7 +27,13 @@ import pyarrow.parquet as pq
 
 from ..sources.tiles import INPUT_COLUMNS, TileSet
 
-__all__ = ["bucket_of", "resumable_write", "read_manifests", "completed_buckets"]
+__all__ = [
+    "bucket_of",
+    "resumable_write",
+    "read_manifests",
+    "completed_buckets",
+    "drop_completed_targets",
+]
 
 
 def bucket_of(cell: np.ndarray, level: int = 2) -> np.ndarray:
@@ -63,6 +69,33 @@ def read_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def drop_completed_targets(ds, out_dir: str, level: int = 2, key: str = "tkey"):
+    """Resume filter for SHUFFLE-bearing pipelines: drop rows whose TARGET
+    bucket already has a complete manifest in ``out_dir``.
+
+    A map-only pipeline can prune its inputs (``resumable_write``'s filter)
+    because input bucket == output bucket; across a scatter shuffle one
+    input feeds many output tiles, so the prune must happen on the fragment
+    stream instead — each fragment already carries its target Morton cell
+    (``key``), which is exactly the output row's ``cell`` and therefore the
+    manifest bucket. Dropping completed fragments BEFORE the repartition
+    prunes the all-to-all exchange and the per-group build, the two
+    expensive stages of a mosaic at 100 TB; the upstream scatter re-runs
+    (cheap, map-only) and the recomputed bytes are deterministic, so a
+    resumed run's output equals a clean run's.
+    """
+    done = completed_buckets(out_dir)
+    if not done:
+        return ds
+    done_arr = sorted(done)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[key].to_numpy(zero_copy_only=False), level)
+        return batch.filter(pa.array(~np.isin(b, done_arr)))
+
+    return ds.map_batches(drop, batch_format="pyarrow", batch_size=None)
 
 
 def resumable_write(ts: TileSet, out_dir: str, level: int = 2) -> dict:

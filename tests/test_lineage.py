@@ -102,3 +102,65 @@ def test_roundtrip_via_read_tiles(tileset, small_scheme, tmp_path):
     a1 = to_array(tileset)
     a2 = to_array(ts2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_shuffle_resume_prunes_exchange(tileset, small_scheme, tmp_path):
+    """North-rule resume across a SHUFFLE boundary (EP2 mosaic shape):
+    fragments aimed at completed output buckets are dropped before the
+    repartition, the resumed run recomputes only the missing buckets, and
+    the final bytes equal a clean run's."""
+    from hydro_raster_ray import fixtures as fx
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages import mosaic
+
+    # half-tile-offset target (the EP2 shape: every source tile scatters to
+    # up to 4 target tiles — a genuine all-to-all)
+    target = fx.make_scheme(
+        4, 4, ragged=False,
+        xll=fx.XLL + 32 * fx.CELLSIZE, yll=fx.YLL + 32 * fx.CELLSIZE,
+    )
+
+    # clean run → ground truth bytes + manifests
+    clean = str(tmp_path / "clean")
+    merged = mosaic.merge_into([tileset], target)
+    resumable_write(merged, clean, level=1)
+    want = _read_back(clean)
+    all_buckets = completed_buckets(clean)
+    assert len(all_buckets) >= 2
+
+    # simulate a killed run: only ONE bucket's manifest is complete
+    out = str(tmp_path / "resumed")
+    done_bucket = sorted(all_buckets)[0]
+    from hydro_raster_ray.grid import morton_encode, parse_tile_id
+
+    want_cells = [
+        morton_encode(*parse_tile_id(i)) for i in want["image_id"].to_pylist()
+    ]
+    done_rows = [
+        i for i, c in enumerate(want_cells)
+        if int(bucket_of(np.array([c]), level=1)[0]) == done_bucket
+    ]
+    partial_ts = from_arrow_tiles(want.take(done_rows), target)
+    r1 = resumable_write(partial_ts, out, level=1)
+    assert r1["written_buckets"] == 1
+    assert completed_buckets(out) == {done_bucket}
+
+    # resume: the merge itself prunes fragments of the completed bucket —
+    # the built Dataset must not contain ANY tile of that bucket
+    resumed = mosaic.merge_into(
+        [tileset], target, resume_out_dir=out, resume_level=1
+    )
+    built_cells = np.asarray(
+        resumed.ds.select_columns(["cell"]).to_pandas()["cell"]
+    )
+    assert not np.isin(bucket_of(built_cells, level=1), [done_bucket]).any()
+    assert built_cells.size == want.num_rows - len(done_rows)
+
+    r2 = resumable_write(resumed, out, level=1)
+    assert r2["skipped_buckets"] == 1
+    assert completed_buckets(out) == all_buckets
+
+    # resumed bytes == clean-run bytes (determinism gate)
+    got = _read_back(out)
+    key = lambda t: sorted(zip(t["image_id"].to_pylist(), t["phash"].to_pylist()))
+    assert key(got) == key(want)
