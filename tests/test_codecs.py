@@ -155,3 +155,26 @@ def test_mix64_rows_matches_witness_scalar():
         for v in row:
             h = _sm64(h ^ int(v))
         assert int(got[i]) == h, i
+
+
+def test_decode_f32_parity_all_codecs():
+    """f32 planes are lossless by contract: decode(dtype=float32) equals the
+    float64 decode bit-exactly for every codec (the invariant the pixel hot
+    paths rely on), and the raw-f32 fast path is zero-copy (read-only)."""
+    import numpy as np
+
+    from hydro_raster_ray.codecs import FORMATS, decode, encode
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(42.0, 9.0, (33, 21))
+    a[rng.random(a.shape) < 0.1] = np.nan
+    for fmt in FORMATS:
+        buf = encode(a, fmt)
+        d64 = decode(buf, 33, 21, fmt)
+        d32 = decode(buf, 33, 21, fmt, dtype=np.float32)
+        assert d64.dtype == np.float64 and d32.dtype == np.float32
+        np.testing.assert_array_equal(d32.astype(np.float64), d64)
+        # re-encode parity: the f32 plane produces the same raw-f32 bytes
+        assert encode(d32, "raw-f32") == encode(d64, "raw-f32")
+    assert not decode(encode(a, "raw-f32"), 33, 21, "raw-f32",
+                      dtype=np.float32).flags.writeable
