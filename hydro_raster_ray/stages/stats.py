@@ -44,14 +44,16 @@ def _partials(ts: TileSet):
         s = 0.0
         mn = np.inf
         mx = -np.inf
-        for _info, arr in iter_tiles(batch, grid):
+        # f32 planes (lossless by codec contract); the sum uses an explicit
+        # float64 accumulator so the partial equals the f64 path
+        for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
             n_cells += arr.size
             m = np.isfinite(arr)
             k = int(m.sum())
             n_valid += k
             if k:
                 v = arr[m]
-                s += float(v.sum())
+                s += float(v.sum(dtype=np.float64))
                 mn = min(mn, float(v.min()))
                 mx = max(mx, float(v.max()))
         return pa.table(
@@ -118,7 +120,7 @@ def exact_median(ts: TileSet, bins: int = 1024, leaf_size: int = 200_000) -> flo
 
         def per_batch(batch: pa.Table) -> pa.Table:
             counts = np.zeros(bins + 1, dtype=np.int64)  # +1: values == hi
-            for _info, arr in iter_tiles(batch, grid):
+            for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
                 v = arr[np.isfinite(arr)]
                 v = v[(v >= lo) & (v <= hi)]
                 idx = np.searchsorted(edges, v, side="right") - 1
@@ -136,9 +138,11 @@ def exact_median(ts: TileSet, bins: int = 1024, leaf_size: int = 200_000) -> flo
     def collect_leaf(lo, hi):
         def per_batch(batch: pa.Table) -> pa.Table:
             vals = []
-            for _info, arr in iter_tiles(batch, grid):
+            # f32 scan, but the leaf values promote to float64 so the
+            # two-middle-element average matches np.nanmedian bit-exactly
+            for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
                 v = arr[np.isfinite(arr)]
-                vals.append(v[(v >= lo) & (v <= hi)])
+                vals.append(v[(v >= lo) & (v <= hi)].astype(np.float64))
             v = np.concatenate(vals) if vals else np.empty(0)
             return pa.table({"v": pa.array(v)})
 
