@@ -249,6 +249,15 @@ SELECT CAST(count(v) AS BIGINT) n_valid, CAST(round(sum(v), 2) AS DOUBLE) sum_z,
 FROM (SELECT coalesce(m2.z, m0.z) v
       FROM {_M[0]} m0 LEFT JOIN {_M[2]} m2 ON m0.x = m2.x AND m0.y = m2.y)
 """,
+        "mosaic_skew_stats": f"""
+WITH pick AS (
+  SELECT x, y, arg_max(z, li) AS z
+  FROM read_parquet('{F}/skew_pixels.parquet')
+  WHERE z IS NOT NULL GROUP BY x, y)
+SELECT CAST(count(*) AS BIGINT) n_valid, CAST(round(sum(z), 2) AS DOUBLE) sum_z,
+       min(z) min_z, max(z) max_z
+FROM pick
+""",
         # ---- documents / embeddings / events ----
         "doc_exact_dedup": """
 SELECT md5(text) h, CAST(min(doc_id) AS BIGINT) keep_id,

@@ -41,15 +41,18 @@ BENCH_T = int(os.environ.get("GRAFT_BENCH_TILES", "36"))
 BENCH_DIR = f"/tmp/graft_bench/tiles_{BENCH_T}x{BENCH_T}_256"
 
 
-def _cpu_jiffies() -> tuple[int, int]:
-    """(busy, total) jiffies from /proc/stat — host-load accounting so
+def _cpu_jiffies() -> tuple[int, int, int]:
+    """(busy, total, steal) jiffies from /proc/stat — host-load accounting so
     cross-round bench deltas can be read against actual box contention
-    (BASELINE.md documents ~40% session-to-session drift)."""
+    (BASELINE.md documents ~40% session-to-session drift; this VM also sees
+    bursty hypervisor STEAL from co-tenants — measured ~9% cumulative with
+    spikes that alone explain 2-7x stage swings between same-code runs)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     vals = [int(x) for x in parts]
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-    return sum(vals) - idle, sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, sum(vals), steal
 
 
 def run_bench() -> dict:
@@ -57,7 +60,7 @@ def run_bench() -> dict:
     import ray
 
     load_start = list(os.getloadavg())
-    jb0, jt0 = _cpu_jiffies()
+    jb0, jt0, js0 = _cpu_jiffies()
 
     ray.init(
         address="local",
@@ -365,7 +368,7 @@ def run_bench() -> dict:
         timings[fn.__name__] = round(best, 3)
 
     headline = timings.get("ep1_edit_dem", 0.0)
-    jb1, jt1 = _cpu_jiffies()
+    jb1, jt1, js1 = _cpu_jiffies()
     out = {
         "host": {
             "loadavg_start": [round(x, 2) for x in load_start],
@@ -373,6 +376,9 @@ def run_bench() -> dict:
             # busy fraction of the WHOLE box over the bench (includes the
             # bench itself; ≫ num_cpus/os.cpu_count() ⇒ foreign load)
             "cpu_busy_frac": round((jb1 - jb0) / max(jt1 - jt0, 1), 3),
+            # fraction of the bench window the hypervisor gave to co-tenants;
+            # >0.02 means the numbers are depressed by foreign load
+            "cpu_steal_frac": round((js1 - js0) / max(jt1 - jt0, 1), 3),
         },
         "metric": "tiles/sec end-to-end spatial-join+tiling (EP1 edit-DEM: "
         "read->clip->rasterize-combine->write)",

@@ -931,6 +931,99 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+SKEW_TILE = 32
+
+
+def skew_stack_layers(n: int = 12) -> list[tuple[TileScheme, pa.Table, np.ndarray]]:
+    """The hot-cell-salting fixture: ``n`` one-tile 32x32 layers, layer i
+    shifted i cells right, constant value 100+i with a deterministic 30%
+    NaN-hole pattern — every cell of the overlap strip receives fragments
+    from many layers (the coastal many-survey stack). Shared between the
+    ``mosaic_skew_stats`` query and its pixel witness so they agree by
+    construction."""
+    t = SKEW_TILE
+    out = []
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        z = np.full((t, t), 100.0 + i, dtype=np.float64)
+        z[rng.rand(t, t) < 0.3] = np.nan
+        grid = GridSpec(
+            ncols=t,
+            nrows=t,
+            xllcorner=XLL + i * CELLSIZE,
+            yllcorner=YLL,
+            cellsize=CELLSIZE,
+            nodata=NODATA,
+            crs="EPSG:27700",
+        )
+        scheme = TileScheme(grid=grid, tile_h=t, tile_w=t)
+        buf = codecs.encode(z, "raw-f32")
+        truth = codecs.decode(buf, t, t, "raw-f32")
+        img = tile_id(0, 0)
+        table = pa.table(
+            {
+                "image_id": pa.array([img], pa.string()),
+                "bytes": pa.array([buf], pa.binary()),
+                "w": pa.array([t], pa.int32()),
+                "h": pa.array([t], pa.int32()),
+                "fmt": pa.array(["raw-f32"], pa.string()),
+                "caption": pa.array([_caption(img, CELLSIZE)], pa.string()),
+                "phash": pa.array([codecs.phash64(truth)], pa.int64()),
+            },
+            schema=TILES_SCHEMA,
+        )
+        out.append((scheme, table, truth))
+    return out
+
+
+def skew_stack_target(n: int = 12) -> TileScheme:
+    """Union-extent target tiling for the skew stack (16-px tiles so one
+    salted cell is cheap but the strip spans many cells)."""
+    t = SKEW_TILE
+    grid = GridSpec(
+        ncols=t + n - 1,
+        nrows=t,
+        xllcorner=XLL,
+        yllcorner=YLL,
+        cellsize=CELLSIZE,
+        nodata=NODATA,
+        crs="EPSG:27700",
+    )
+    return TileScheme(grid=grid, tile_h=16, tile_w=16)
+
+
+def _ensure_salt_witness(tag: str, out: str) -> None:
+    """witness: per-layer decoded pixels (li, x, y, z) of the skew stack —
+    the DuckDB side re-derives the NaN-skip overlay with arg_max(z, li)."""
+    done = os.path.join(out, "_SALT_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    lis, xs, ys, zs = [], [], [], []
+    for li, (scheme, _t, truth) in enumerate(skew_stack_layers()):
+        g = scheme.grid
+        cc, rr = np.meshgrid(np.arange(g.ncols), np.arange(g.nrows))
+        x = g.xllcorner + (cc.ravel() + 0.5) * g.cellsize
+        ytop = g.yllcorner + g.nrows * g.cellsize
+        y = ytop - (rr.ravel() + 0.5) * g.cellsize
+        z = truth.ravel()
+        lis.append(np.full(z.size, li, dtype=np.int64))
+        xs.append(x)
+        ys.append(y)
+        zs.append(z)
+    z = np.concatenate(zs)
+    table = pa.table(
+        {
+            "li": pa.array(np.concatenate(lis)),
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "z": pa.array(z, mask=np.isnan(z)),
+        }
+    )
+    _write_atomic(table, os.path.join(out, "skew_pixels.parquet"))
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_r4_witnesses(tag: str, out: str) -> None:
     """Round-4 witness parquets (own marker → in-place upgrade):
     hillshade_stats and reproject_utm."""
@@ -1018,6 +1111,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_tile_witnesses(tag, out)
     _ensure_knn_fixture(tag, out)
     _ensure_r4_witnesses(tag, out)
+    _ensure_salt_witness(tag, out)
     return out
 
 

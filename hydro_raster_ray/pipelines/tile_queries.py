@@ -236,6 +236,29 @@ def q_mosaic_combine_stats(sf_dir: str):
     )
 
 
+def q_mosaic_skew_stats(sf_dir: str):
+    """Hot-cell-salting path: merge a 12-layer overlapping stack with the
+    two-level salted combine forced on (salt_width=4 → 3 prio-range salts
+    per target cell). Oracle: arg_max(z, li) NaN-skip overlay over the
+    per-layer pixel witness."""
+    from ..sources import from_arrow_tiles
+
+    layers = fixtures.skew_stack_layers()
+    tsets = [from_arrow_tiles(t, s) for s, t, _ in layers]
+    merged = mosaic.merge_into(
+        tsets, fixtures.skew_stack_target(len(layers)), salt_width=4
+    )
+    st = stats.global_stats(merged)
+    return pd.DataFrame(
+        {
+            "n_valid": [int(st["n_valid"])],
+            "sum_z": [round(st["sum"], 2)],
+            "min_z": [st["min"]],
+            "max_z": [st["max"]],
+        }
+    )
+
+
 def q_merge_stats(sf_dir: str):
     inputs = _mosaic_inputs(sf_dir)
     # input 2 overlaps input 0 (inputs 0/1 merely abut) → real overwrite path
@@ -532,6 +555,7 @@ TILE_QUERIES = {
     "tile_topk": q_tile_topk,
     "mosaic_combine_stats": q_mosaic_combine_stats,
     "merge_stats": q_merge_stats,
+    "mosaic_skew_stats": q_mosaic_skew_stats,
     "line_cells": q_line_cells,
     "knn_idw_surface": q_knn_idw_surface,
     "knn_idw_partitioned": q_knn_idw_partitioned,

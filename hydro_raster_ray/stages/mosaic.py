@@ -172,33 +172,114 @@ def _tile_row_from_group(g: pa.Table, target: TileScheme, ignore_nan: bool):
     return t_tr, t_tc, canvas
 
 
-def _tiles_from_groups(target: TileScheme, ignore_nan: bool):
+def _emit_tile_row(t_tr: int, t_tc: int, canvas: np.ndarray, target: TileScheme) -> pa.Table:
     tg = target.grid
+    img = tile_id(t_tr, t_tc)
+    buf = encode(canvas, "raw-f32")
+    truth = decode(buf, *canvas.shape, "raw-f32")
+    return pa.table(
+        {
+            "image_id": pa.array([img], pa.string()),
+            "bytes": pa.array([buf], pa.binary()),
+            "w": pa.array([canvas.shape[1]], pa.int32()),
+            "h": pa.array([canvas.shape[0]], pa.int32()),
+            "fmt": pa.array(["raw-f32"], pa.string()),
+            "caption": pa.array(
+                [f"DEM tile {img} cellsize={tg.cellsize} crs={tg.crs}"],
+                pa.string(),
+            ),
+            "phash": pa.array([phash64(truth)], pa.int64()),
+            "tile_row": pa.array([t_tr], pa.int32()),
+            "tile_col": pa.array([t_tc], pa.int32()),
+            "gr0": pa.array([t_tr * target.tile_h], pa.int32()),
+            "gc0": pa.array([t_tc * target.tile_w], pa.int32()),
+            "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+        }
+    )
+
+
+def _tiles_from_groups(target: TileScheme, ignore_nan: bool):
+    def build(g: pa.Table) -> pa.Table:
+        t_tr, t_tc, canvas = _tile_row_from_group(g, target, ignore_nan)
+        return _emit_tile_row(t_tr, t_tc, canvas, target)
+
+    return build
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell salting: two-level combine for many-layer merges
+# ---------------------------------------------------------------------------
+#
+# With L input layers overlapping the same region (the coastal/boundary skew
+# case: hundreds of survey DEMs stacked on one shore cell), the single-level
+# groupby(tkey) hands ONE task all L fragments of a hot target cell. Salting
+# splits each cell's paste into ceil(L / salt_width) PRIO-RANGE sub-groups —
+# same-layer fragments are spatially disjoint (a tiling), so last-wins order
+# only matters ACROSS layers, and a contiguous prio range pre-pastes into a
+# partial canvas that composes associatively: final = paste partials in range
+# order. Level 1 runs one bounded task per (cell, salt); level 2 sees at most
+# n_salts full-tile partials per cell instead of L fragments.
+
+
+def _partials_from_groups(target: TileScheme, ignore_nan: bool, need_mask: bool):
+    """Level-1 salted combine: one skey group → one full-tile partial frag.
+
+    ``need_mask`` (paste_blocks mode, NaN overwrites): emit a packbits
+    touched-mask so the final paste can write NaN cells; otherwise NaN in
+    the partial means "untouched or skipped" and the final paste NaN-skips."""
 
     def build(g: pa.Table) -> pa.Table:
         t_tr, t_tc, canvas = _tile_row_from_group(g, target, ignore_nan)
-        img = tile_id(t_tr, t_tc)
-        buf = encode(canvas, "raw-f32")
-        truth = decode(buf, *canvas.shape, "raw-f32")
+        salt = int(g["salt"][0].as_py())  # constant within an skey group
+        mask = b""
+        if need_mask:
+            touched = np.zeros(canvas.shape, dtype=bool)
+            fr0 = g["fr0"].to_numpy(zero_copy_only=False)
+            fc0 = g["fc0"].to_numpy(zero_copy_only=False)
+            fh = g["fh"].to_numpy(zero_copy_only=False)
+            fw = g["fw"].to_numpy(zero_copy_only=False)
+            for i in range(len(g)):
+                touched[fr0[i] : fr0[i] + fh[i], fc0[i] : fc0[i] + fw[i]] = True
+            mask = np.packbits(touched).tobytes()
         return pa.table(
             {
-                "image_id": pa.array([img], pa.string()),
-                "bytes": pa.array([buf], pa.binary()),
-                "w": pa.array([canvas.shape[1]], pa.int32()),
-                "h": pa.array([canvas.shape[0]], pa.int32()),
-                "fmt": pa.array(["raw-f32"], pa.string()),
-                "caption": pa.array(
-                    [f"DEM tile {img} cellsize={tg.cellsize} crs={tg.crs}"],
-                    pa.string(),
-                ),
-                "phash": pa.array([phash64(truth)], pa.int64()),
-                "tile_row": pa.array([t_tr], pa.int32()),
-                "tile_col": pa.array([t_tc], pa.int32()),
-                "gr0": pa.array([t_tr * target.tile_h], pa.int32()),
-                "gc0": pa.array([t_tc * target.tile_w], pa.int32()),
-                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
+                "tkey": pa.array([int(g["tkey"][0].as_py())], pa.int64()),
+                "t_tr": pa.array([t_tr], pa.int32()),
+                "t_tc": pa.array([t_tc], pa.int32()),
+                "prio": pa.array([salt], pa.int64()),
+                "fh": pa.array([canvas.shape[0]], pa.int32()),
+                "fw": pa.array([canvas.shape[1]], pa.int32()),
+                "payload": pa.array([encode(canvas, "raw-f32")], pa.binary()),
+                "mask": pa.array([mask], pa.binary()),
             }
         )
+
+    return build
+
+
+def _tiles_from_partials(target: TileScheme):
+    """Level-2 combine: paste full-tile partial canvases in salt order."""
+
+    def build(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["prio"].to_numpy(zero_copy_only=False), kind="stable")
+        t_tr = int(g["t_tr"][0].as_py())
+        t_tc = int(g["t_tc"][0].as_py())
+        th, tw = target.tile_shape(t_tr, t_tc)
+        canvas = np.full((th, tw), np.nan, dtype=np.float32)
+        for i in order:
+            i = int(i)
+            part = decode(
+                g["payload"][i].as_py(), th, tw, "raw-f32", dtype=np.float32
+            )
+            mb = g["mask"][i].as_py()
+            if mb:
+                m = np.unpackbits(
+                    np.frombuffer(mb, dtype=np.uint8), count=th * tw
+                ).astype(bool).reshape(th, tw)
+            else:
+                m = ~np.isnan(part)
+            canvas[m] = part[m]
+        return _emit_tile_row(t_tr, t_tc, canvas, target)
 
     return build
 
@@ -212,6 +293,7 @@ def merge_into(
     shuffle_blocks: int | None = None,
     resume_out_dir: str | None = None,
     resume_level: int = 2,
+    salt_width: int = 8,
 ) -> TileSet:
     """The scatter-shuffle paste. Origins are pasted in list order (later
     overwrites earlier); an existing target TileSet forms the base layer
@@ -224,7 +306,13 @@ def merge_into(
     fragments aimed at output buckets that already have a complete lineage
     manifest under this directory are dropped BEFORE the repartition, so a
     resumed run skips the exchange+build work for finished cells (pair with
-    ``state.lineage.resumable_write`` on the same directory)."""
+    ``state.lineage.resumable_write`` on the same directory).
+
+    ``salt_width``: hot-cell salting threshold — when more than this many
+    layers are merged, the per-cell paste runs as a salted two-level combine
+    (one bounded task per ceil(layers/salt_width) prio-range sub-group per
+    cell, then a tiny per-cell merge of the partials). Decided at plan time
+    from the layer count; ≤ salt_width layers keeps the single-level path."""
     if isinstance(target, TileSet):
         # the existing target is the base layer: scatter it onto its own
         # tiling at prio −1 (identity fragments), origins overwrite it
@@ -257,9 +345,37 @@ def merge_into(
     if shuffle_blocks is None:
         shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
-    built = frags.groupby("tkey").map_groups(
-        _tiles_from_groups(t_scheme, ignore_nan and not paste_blocks),
+    paste_nan_skip = ignore_nan and not paste_blocks
+    min_prio = min(p for _o, p, _q in layers)
+    n_salts = -(-len(layers) // max(salt_width, 1))
+    if n_salts <= 1:
+        built = frags.groupby("tkey").map_groups(
+            _tiles_from_groups(t_scheme, paste_nan_skip),
+            batch_format="pyarrow",
+        )
+        return TileSet(ds=built, grid=t_scheme.grid)
+
+    # hot-cell salting (see the two-level combine note above): prio-range
+    # salt, vectorized key append, two groupbys — level 2 moves at most
+    # n_salts full-tile partials per cell regardless of layer count
+    def add_skey(t: pa.Table) -> pa.Table:
+        tkey = t["tkey"].to_numpy(zero_copy_only=False)
+        # layer_idx ∈ [0, len(layers)): shift by the minimum prio (−1 when an
+        # existing-target base layer is present, else 0)
+        layer_idx = t["prio"].to_numpy(zero_copy_only=False) - min_prio
+        salt = layer_idx // salt_width
+        t = t.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))
+        return t.append_column(
+            "skey", pa.array(tkey * n_salts + salt, pa.int64())
+        )
+
+    frags = frags.map_batches(add_skey, batch_format="pyarrow", batch_size=None)
+    partials = frags.groupby("skey").map_groups(
+        _partials_from_groups(t_scheme, paste_nan_skip, need_mask=not paste_nan_skip),
         batch_format="pyarrow",
+    )
+    built = partials.groupby("tkey").map_groups(
+        _tiles_from_partials(t_scheme), batch_format="pyarrow"
     )
     return TileSet(ds=built, grid=t_scheme.grid)
 
