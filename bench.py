@@ -158,6 +158,21 @@ def run_bench() -> dict:
         )
         stats.global_stats(mosaic.merge_into([ts], target))
 
+    # EP2b: hot-cell skew — 64 layers of one 512² tile each, all stacked on
+    # one strip (every target cell receives ~64 fragments), as ONE
+    # georeferenced-tile table (merge_stack). salt_width=8 → 8 prio-range
+    # salts: the per-cell paste fans out across the pool instead of
+    # serializing in one task per hot cell.
+    def ep2b_mosaic_skew():
+        import ray as _ray
+
+        table = fixtures.skew_stack_table(64, tile=512)
+        target = fixtures.skew_stack_target(64, tile=512, target_tile=64)
+        # from_arrow yields ONE block; spread the scatter like a parquet read
+        ds = _ray.data.from_arrow(table).repartition(32)
+        merged = mosaic.merge_stack(ds, target, n_layers=64, salt_width=8)
+        stats.global_stats(merged)
+
     # EP3: gauge interpolation, 10k gauges -> bucket-index actor pool;
     # the pool must leave CPUs for the upstream read stage (a pool holding
     # every CPU starves the read and the pipeline deadlocks). The payload
@@ -349,7 +364,7 @@ def run_bench() -> dict:
         ).count()
 
     stages = [
-        ep1_edit_dem, ep1_write, ep2_mosaic, ep3_gauge_interp,
+        ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
         ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle,
         doc_suite, minhash_dedup, minhash_sigs, ann_topk, doc_quality,

@@ -934,14 +934,16 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
 SKEW_TILE = 32
 
 
-def skew_stack_layers(n: int = 12) -> list[tuple[TileScheme, pa.Table, np.ndarray]]:
-    """The hot-cell-salting fixture: ``n`` one-tile 32x32 layers, layer i
+def skew_stack_layers(
+    n: int = 12, tile: int = SKEW_TILE
+) -> list[tuple[TileScheme, pa.Table, np.ndarray]]:
+    """The hot-cell-salting fixture: ``n`` one-tile ``tile``² layers, layer i
     shifted i cells right, constant value 100+i with a deterministic 30%
     NaN-hole pattern — every cell of the overlap strip receives fragments
     from many layers (the coastal many-survey stack). Shared between the
     ``mosaic_skew_stats`` query and its pixel witness so they agree by
     construction."""
-    t = SKEW_TILE
+    t = tile
     out = []
     for i in range(n):
         rng = np.random.RandomState(i)
@@ -976,10 +978,25 @@ def skew_stack_layers(n: int = 12) -> list[tuple[TileScheme, pa.Table, np.ndarra
     return out
 
 
-def skew_stack_target(n: int = 12) -> TileScheme:
+def skew_stack_table(n: int = 12, tile: int = SKEW_TILE) -> pa.Table:
+    """The same skew stack as ONE georeferenced-tile table (input_hint
+    columns + xll, yll, layer) — the ``merge_stack`` input form."""
+    parts = []
+    for li, (scheme, t, _truth) in enumerate(skew_stack_layers(n, tile)):
+        g = scheme.grid
+        t = t.append_column("xll", pa.array([g.xllcorner] * len(t), pa.float64()))
+        t = t.append_column("yll", pa.array([g.yllcorner] * len(t), pa.float64()))
+        t = t.append_column("layer", pa.array([li] * len(t), pa.int64()))
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def skew_stack_target(
+    n: int = 12, tile: int = SKEW_TILE, target_tile: int = 16
+) -> TileScheme:
     """Union-extent target tiling for the skew stack (16-px tiles so one
     salted cell is cheap but the strip spans many cells)."""
-    t = SKEW_TILE
+    t = tile
     grid = GridSpec(
         ncols=t + n - 1,
         nrows=t,
@@ -989,7 +1006,7 @@ def skew_stack_target(n: int = 12) -> TileScheme:
         nodata=NODATA,
         crs="EPSG:27700",
     )
-    return TileScheme(grid=grid, tile_h=16, tile_w=16)
+    return TileScheme(grid=grid, tile_h=target_tile, tile_w=target_tile)
 
 
 def _ensure_salt_witness(tag: str, out: str) -> None:

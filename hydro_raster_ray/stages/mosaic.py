@@ -39,6 +39,7 @@ from .decode import iter_tiles
 
 __all__ = [
     "merge_into",
+    "merge_stack",
     "combine_mosaic",
     "paste_on",
     "regrid_nearest",
@@ -82,6 +83,66 @@ def _frag_table(rows: list[dict]) -> pa.Table:
     )
 
 
+def _scatter_tile(
+    arr: np.ndarray,
+    xll: float,
+    yll: float,
+    cellsize: float,
+    target: TileScheme,
+    prio: int,
+    quirk_gt0: bool,
+    out: list[dict],
+) -> None:
+    """Emit one origin tile's fragments keyed by target tile (equal-cellsize
+    paste). The target row of origin row k is R0 + k where R0 comes from the
+    reference's ``map2sub`` of the origin tile's top-left cell centre
+    (constant offset — exact because the cellsizes are equal)."""
+    tg = target.grid
+    h, w = arr.shape
+    x0 = xll + 0.5 * cellsize
+    y0 = yll + (h - 0.5) * cellsize
+    R0a, C0a = map2sub(np.array([x0]), np.array([y0]), tg)
+    R0, C0 = int(R0a[0]), int(C0a[0])
+    # origin rows k ∈ [0, h): keep those landing inside the target
+    lo = 1 if quirk_gt0 else 0
+    k_r = np.arange(h)
+    k_c = np.arange(w)
+    ok_r = (R0 + k_r >= lo) & (R0 + k_r <= tg.nrows - 1)
+    ok_c = (C0 + k_c >= lo) & (C0 + k_c <= tg.ncols - 1)
+    if not ok_r.any() or not ok_c.any():
+        return
+    kr0, kr1 = int(k_r[ok_r][0]), int(k_r[ok_r][-1]) + 1
+    kc0, kc1 = int(k_c[ok_c][0]), int(k_c[ok_c][-1]) + 1
+    sub = arr[kr0:kr1, kc0:kc1]
+    gr0_t = R0 + kr0  # target global pixel origin of the kept block
+    gc0_t = C0 + kc0
+    for t_tr, t_tc in target.tiles_overlapping_rc(
+        gr0_t, gr0_t + sub.shape[0], gc0_t, gc0_t + sub.shape[1]
+    ):
+        tr0_px, tc0_px = target.tile_origin_rc(t_tr, t_tc)
+        th, tw = target.tile_shape(t_tr, t_tc)
+        a0 = max(gr0_t, tr0_px)
+        a1 = min(gr0_t + sub.shape[0], tr0_px + th)
+        b0 = max(gc0_t, tc0_px)
+        b1 = min(gc0_t + sub.shape[1], tc0_px + tw)
+        frag = sub[a0 - gr0_t : a1 - gr0_t, b0 - gc0_t : b1 - gc0_t]
+        out.append(
+            {
+                "tkey": int(morton_encode(t_tr, t_tc)),
+                "t_tr": t_tr,
+                "t_tc": t_tc,
+                "prio": prio,
+                "fr0": a0 - tr0_px,
+                "fc0": b0 - tc0_px,
+                "fh": frag.shape[0],
+                "fw": frag.shape[1],
+                "payload": encode(frag, "raw-f32"),
+                "src_r0": 0,
+                "src_c0": 0,
+            }
+        )
+
+
 def _scatter_batch(
     batch: pa.Table,
     grid: GridSpec,
@@ -89,11 +150,7 @@ def _scatter_batch(
     prio: int,
     quirk_gt0: bool,
 ) -> pa.Table:
-    """Origin tiles → fragments keyed by target tile (equal-cellsize paste).
-
-    The target row of origin row k is R0 + k where R0 comes from the
-    reference's ``map2sub`` of the origin tile's top-left cell centre
-    (constant offset — exact because the cellsizes are equal)."""
+    """One TileSet layer → fragments (see ``_scatter_tile``)."""
     tg = target.grid
     if abs(grid.cellsize - tg.cellsize) > 1e-12:
         raise ValueError(
@@ -104,48 +161,10 @@ def _scatter_batch(
     # f32 planes: value-preserving scatter, lossless by codec contract
     for info, arr in iter_tiles(batch, grid, dtype=np.float32):
         spec = info.spec
-        x0 = spec.xllcorner + 0.5 * spec.cellsize
-        y0 = spec.yllcorner + (spec.nrows - 0.5) * spec.cellsize
-        R0a, C0a = map2sub(np.array([x0]), np.array([y0]), tg)
-        R0, C0 = int(R0a[0]), int(C0a[0])
-        # origin rows k ∈ [0, h): keep those landing inside the target
-        lo = 1 if quirk_gt0 else 0
-        k_r = np.arange(info.h)
-        k_c = np.arange(info.w)
-        ok_r = (R0 + k_r >= lo) & (R0 + k_r <= tg.nrows - 1)
-        ok_c = (C0 + k_c >= lo) & (C0 + k_c <= tg.ncols - 1)
-        if not ok_r.any() or not ok_c.any():
-            continue
-        kr0, kr1 = int(k_r[ok_r][0]), int(k_r[ok_r][-1]) + 1
-        kc0, kc1 = int(k_c[ok_c][0]), int(k_c[ok_c][-1]) + 1
-        sub = arr[kr0:kr1, kc0:kc1]
-        gr0_t = R0 + kr0  # target global pixel origin of the kept block
-        gc0_t = C0 + kc0
-        for t_tr, t_tc in target.tiles_overlapping_rc(
-            gr0_t, gr0_t + sub.shape[0], gc0_t, gc0_t + sub.shape[1]
-        ):
-            tr0_px, tc0_px = target.tile_origin_rc(t_tr, t_tc)
-            th, tw = target.tile_shape(t_tr, t_tc)
-            a0 = max(gr0_t, tr0_px)
-            a1 = min(gr0_t + sub.shape[0], tr0_px + th)
-            b0 = max(gc0_t, tc0_px)
-            b1 = min(gc0_t + sub.shape[1], tc0_px + tw)
-            frag = sub[a0 - gr0_t : a1 - gr0_t, b0 - gc0_t : b1 - gc0_t]
-            out.append(
-                {
-                    "tkey": int(morton_encode(t_tr, t_tc)),
-                    "t_tr": t_tr,
-                    "t_tc": t_tc,
-                    "prio": prio,
-                    "fr0": a0 - tr0_px,
-                    "fc0": b0 - tc0_px,
-                    "fh": frag.shape[0],
-                    "fw": frag.shape[1],
-                    "payload": encode(frag, "raw-f32"),
-                    "src_r0": 0,
-                    "src_c0": 0,
-                }
-            )
+        _scatter_tile(
+            arr, spec.xllcorner, spec.yllcorner, spec.cellsize, target,
+            prio, quirk_gt0, out,
+        )
     return _frag_table(out)
 
 
@@ -219,6 +238,14 @@ def _tiles_from_groups(target: TileScheme, ignore_nan: bool):
 # partial canvas that composes associatively: final = paste partials in range
 # order. Level 1 runs one bounded task per (cell, salt); level 2 sees at most
 # n_salts full-tile partials per cell instead of L fragments.
+#
+# Crossover (measured, 64-layer 512² stack, 32 CPUs): the salted plan costs
+# one extra sort shuffle + a partials pass (~2.5x wall at that depth), so it
+# is NOT a wall-time win for shallow stacks — it is the TASK-MEMORY and
+# straggler bound: map_groups materializes each group in one task, so an
+# unsalted 10k-layer coastal cell is a multi-GB single-task group. Hence the
+# default salt_width=64 (salting engages above 64 layers, where per-group
+# bytes — not shuffle constants — dominate).
 
 
 def _partials_from_groups(target: TileScheme, ignore_nan: bool, need_mask: bool):
@@ -293,7 +320,7 @@ def merge_into(
     shuffle_blocks: int | None = None,
     resume_out_dir: str | None = None,
     resume_level: int = 2,
-    salt_width: int = 8,
+    salt_width: int = 64,
 ) -> TileSet:
     """The scatter-shuffle paste. Origins are pasted in list order (later
     overwrites earlier); an existing target TileSet forms the base layer
@@ -342,12 +369,32 @@ def merge_into(
     # cost grows with block count, and scatter emits many small blocks
     # (measured 5-6x faster groupby at 64 blocks vs per-scatter blocks);
     # width sized to the cluster, not a fixed constant
+    return _combine_frags(
+        frags,
+        t_scheme,
+        paste_nan_skip=ignore_nan and not paste_blocks,
+        n_layers=len(layers),
+        min_prio=min(p for _o, p, _q in layers),
+        salt_width=salt_width,
+        shuffle_blocks=shuffle_blocks,
+    )
+
+
+def _combine_frags(
+    frags,
+    t_scheme: TileScheme,
+    paste_nan_skip: bool,
+    n_layers: int,
+    min_prio: int,
+    salt_width: int,
+    shuffle_blocks: int | None,
+) -> TileSet:
+    """Shared fragment→tile combine: single-level groupby(tkey) for shallow
+    stacks, salted two-level for deep ones (plan-time decision)."""
     if shuffle_blocks is None:
         shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
-    paste_nan_skip = ignore_nan and not paste_blocks
-    min_prio = min(p for _o, p, _q in layers)
-    n_salts = -(-len(layers) // max(salt_width, 1))
+    n_salts = -(-n_layers // max(salt_width, 1))
     if n_salts <= 1:
         built = frags.groupby("tkey").map_groups(
             _tiles_from_groups(t_scheme, paste_nan_skip),
@@ -360,10 +407,14 @@ def merge_into(
     # n_salts full-tile partials per cell regardless of layer count
     def add_skey(t: pa.Table) -> pa.Table:
         tkey = t["tkey"].to_numpy(zero_copy_only=False)
-        # layer_idx ∈ [0, len(layers)): shift by the minimum prio (−1 when an
+        # layer_idx ∈ [0, n_layers): shift by the minimum prio (−1 when an
         # existing-target base layer is present, else 0)
         layer_idx = t["prio"].to_numpy(zero_copy_only=False) - min_prio
-        salt = layer_idx // salt_width
+        # clamp: out-of-range layer values fold into the boundary salts
+        # (still pasted in prio order inside the level-1 group — correct,
+        # just less parallel) instead of colliding with a neighbour cell's
+        # skey space
+        salt = np.clip(layer_idx // salt_width, 0, n_salts - 1)
         t = t.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))
         return t.append_column(
             "skey", pa.array(tkey * n_salts + salt, pa.int64())
@@ -378,6 +429,60 @@ def merge_into(
         _tiles_from_partials(t_scheme), batch_format="pyarrow"
     )
     return TileSet(ds=built, grid=t_scheme.grid)
+
+
+def merge_stack(
+    ds,
+    target: TileScheme,
+    n_layers: int,
+    layer_col: str = "layer",
+    ignore_nan: bool = True,
+    paste_blocks: bool = False,
+    quirk_gt0: bool = False,
+    salt_width: int = 64,
+    shuffle_blocks: int | None = None,
+) -> TileSet:
+    """Deep-stack merge from ONE dataset of independently-georeferenced tiles
+    — the scalable form of ``merge_into`` when the layer count is large: a
+    1000-survey coastal mosaic is one table scan with a ``layer`` priority
+    column, not 1000 Datasets union-ed into a 2000-operator plan.
+
+    ``ds`` rows carry the input_hint tile columns plus ``xll``, ``yll``
+    (world origin of the tile's lower-left corner; equal cellsize with the
+    target) and ``layer_col`` (paste priority — higher overwrites lower,
+    ties must be spatially disjoint). ``n_layers`` is the plan-time stack
+    height used for the hot-cell salt decision (see ``merge_into``)."""
+    tg = target.grid
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        from .decode import _payload_views
+
+        bufs = _payload_views(batch)
+        hs = batch["h"].to_pylist()
+        ws = batch["w"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        xlls = batch["xll"].to_pylist()
+        ylls = batch["yll"].to_pylist()
+        prios = batch[layer_col].to_pylist()
+        out: list[dict] = []
+        for i in range(batch.num_rows):
+            arr = decode(bufs[i], hs[i], ws[i], fmts[i], dtype=np.float32)
+            _scatter_tile(
+                arr, xlls[i], ylls[i], tg.cellsize, target,
+                int(prios[i]), quirk_gt0, out,
+            )
+        return _frag_table(out)
+
+    frags = ds.map_batches(scatter, batch_format="pyarrow", batch_size=None)
+    return _combine_frags(
+        frags,
+        target,
+        paste_nan_skip=ignore_nan and not paste_blocks,
+        n_layers=n_layers,
+        min_prio=0,
+        salt_width=salt_width,
+        shuffle_blocks=shuffle_blocks,
+    )
 
 
 def paste_on(small: TileSet, large: TileSet, ignore_nan: bool = True) -> TileSet:

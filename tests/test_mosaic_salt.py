@@ -73,6 +73,30 @@ def test_salt_threshold_is_plan_time(stacked_layers):
     np.testing.assert_array_equal(a, b)
 
 
+def test_merge_stack_single_table_matches_merge_into(stacked_layers):
+    """merge_stack (one georeferenced-tile table, layer column = prio) must
+    equal the N-Dataset merge_into bit-for-bit, salted and unsalted."""
+    import ray
+
+    layers, tsets = stacked_layers
+    target = fixtures.skew_stack_target(len(layers))
+    table = fixtures.skew_stack_table(len(layers))
+    want = to_array(mosaic.merge_into(tsets, target, salt_width=4))
+    got_salted = to_array(
+        mosaic.merge_stack(
+            ray.data.from_arrow(table), target, n_layers=len(layers), salt_width=4
+        )
+    )
+    got_single = to_array(
+        mosaic.merge_stack(
+            ray.data.from_arrow(table), target, n_layers=len(layers),
+            salt_width=10_000,
+        )
+    )
+    np.testing.assert_array_equal(got_salted, want)
+    np.testing.assert_array_equal(got_single, want)
+
+
 def test_salted_merge_with_base_layer(stacked_layers):
     """An existing-target base layer (prio −1) must land in salt 0 and be
     overwritten by every origin layer."""
