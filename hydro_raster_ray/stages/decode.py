@@ -67,10 +67,10 @@ class TileInfo:
         return np.meshgrid(X, Y)
 
 
-def _payload_views(batch: pa.Table):
-    """Zero-copy memoryview per row of the ``bytes`` column (no per-payload
+def _payload_views(batch: pa.Table, column: str = "bytes"):
+    """Zero-copy memoryview per row of a binary column (no per-payload
     bytes materialization — the Arrow buffer is read in place)."""
-    col = batch["bytes"]
+    col = batch[column]
     views: list[memoryview] = []
     for chunk in col.chunks if hasattr(col, "chunks") else [col]:
         bufs = chunk.buffers()

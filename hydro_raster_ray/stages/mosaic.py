@@ -169,19 +169,27 @@ def _scatter_batch(
 
 
 def _tile_row_from_group(g: pa.Table, target: TileScheme, ignore_nan: bool):
-    """Paste one target tile's fragments in prio order → (h, w) canvas."""
+    """Paste one target tile's fragments in prio order → (h, w) canvas.
+
+    Field extraction is vectorized and payloads are zero-copy Arrow views —
+    the per-fragment Python work is just the paste slice itself, which
+    matters for deep (hot-cell) groups."""
+    from .decode import _payload_views
+
     order = np.argsort(g["prio"].to_numpy(zero_copy_only=False), kind="stable")
     t_tr = int(g["t_tr"][0].as_py())
     t_tc = int(g["t_tc"][0].as_py())
+    fr0s = g["fr0"].to_numpy(zero_copy_only=False)
+    fc0s = g["fc0"].to_numpy(zero_copy_only=False)
+    fhs = g["fh"].to_numpy(zero_copy_only=False)
+    fws = g["fw"].to_numpy(zero_copy_only=False)
+    bufs = _payload_views(g, column="payload")
     th, tw = target.tile_shape(t_tr, t_tc)
     canvas = np.full((th, tw), np.nan, dtype=np.float32)
     for i in order:
         i = int(i)
-        fr0 = g["fr0"][i].as_py()
-        fc0 = g["fc0"][i].as_py()
-        fh = g["fh"][i].as_py()
-        fw = g["fw"][i].as_py()
-        frag = decode(g["payload"][i].as_py(), fh, fw, "raw-f32", dtype=np.float32)
+        fr0, fc0, fh, fw = fr0s[i], fc0s[i], fhs[i], fws[i]
+        frag = decode(bufs[i], fh, fw, "raw-f32", dtype=np.float32)
         if ignore_nan:
             dest = canvas[fr0 : fr0 + fh, fc0 : fc0 + fw]
             m = ~np.isnan(frag)
@@ -602,9 +610,12 @@ def _gather_from_groups(target: TileScheme, src: GridSpec, clamp: bool):
         win_c1 = int((c0s + fws).max())
         # f32 window: nearest regrid is a pure gather — value-preserving
         win = np.full((win_r1 - win_r0, win_c1 - win_c0), np.nan, dtype=np.float32)
+        from .decode import _payload_views
+
+        bufs = _payload_views(g, column="payload")
         for i in range(g.num_rows):
             frag = decode(
-                g["payload"][i].as_py(), int(fhs[i]), int(fws[i]), "raw-f32",
+                bufs[i], int(fhs[i]), int(fws[i]), "raw-f32",
                 dtype=np.float32,
             )
             rr = int(r0s[i]) - win_r0
