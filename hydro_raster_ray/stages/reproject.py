@@ -45,7 +45,10 @@ __all__ = [
     "compose",
     "web_mercator",
     "inv_web_mercator",
+    "epsg_transform",
+    "crs_transform",
     "reproject",
+    "reproject_epsg",
 ]
 
 _R = 6378137.0  # spherical web-mercator radius
@@ -200,6 +203,47 @@ def compose(outer, inner):
         return outer(*inner(x, y))
 
     return h
+
+
+def _ident(x, y):
+    return x, y
+
+
+def epsg_transform(code: int):
+    """(forward, inverse) between geographic degrees (lon, lat) and EPSG
+    ``code``'s native coordinates, for the supported projection families:
+    4326 (geographic), 3857 (spherical web mercator), 27700 (BNG transverse
+    Mercator on Airy 1830 — projection math only, no Helmert datum shift;
+    see ``TransverseMercator``), 326xx/327xx (UTM north/south on WGS84).
+    This is the engine's analog of the reference's arbitrary-EPSG warp
+    entry point (``Raster.py:695-733``) for the CRS families its demos use;
+    unsupported codes raise with that scoping stated."""
+    code = int(code)
+    if code == 4326:
+        return _ident, _ident
+    if code == 3857:
+        return web_mercator, inv_web_mercator
+    if code == 27700:
+        return bng_tmerc.forward, bng_tmerc.inverse
+    if 32601 <= code <= 32660:
+        t = utm_tmerc(code - 32600)
+        return t.forward, t.inverse
+    if 32701 <= code <= 32760:
+        t = utm_tmerc(code - 32700, south=True)
+        return t.forward, t.inverse
+    raise ValueError(
+        f"EPSG:{code} is outside the supported projection families "
+        "(4326, 3857, 27700, UTM 326xx/327xx); datum-shifted CRSs need a "
+        "Helmert step composed in front (out of scope per SURVEY §2.4)"
+    )
+
+
+def crs_transform(src_epsg: int, dst_epsg: int):
+    """(fwd, inv) mapping ``src_epsg`` native coords ↔ ``dst_epsg`` native
+    coords, composed through geographic degrees."""
+    sf, si = epsg_transform(src_epsg)
+    df, di = epsg_transform(dst_epsg)
+    return compose(df, si), compose(sf, di)
 
 
 def web_mercator(lon, lat):
@@ -433,3 +477,17 @@ def reproject(
     frags = frags.repartition(shuffle_blocks)
     built = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
     return TileSet(ds=built, grid=new_spec)
+
+
+def reproject_epsg(
+    ts: TileSet,
+    src_epsg: int,
+    dst_epsg: int,
+    new_cellsize: float,
+    **kw,
+) -> TileSet:
+    """Warp between two EPSG CRSs by code — the reference's
+    ``Raster.reproject(dst_crs)`` API shape (``Raster.py:695-733``) over the
+    engine's supported projection families (see ``epsg_transform``)."""
+    fwd, inv = crs_transform(src_epsg, dst_epsg)
+    return reproject(ts, fwd, inv, new_cellsize, crs=f"EPSG:{int(dst_epsg)}", **kw)

@@ -209,3 +209,49 @@ def test_reproject_utm_distributed_matches_witness(ray_session):
         got[["image_id", "n_px", "n_valid", "sum_z"]],
         want[["image_id", "n_px", "n_valid", "sum_z"]],
     )
+
+
+def test_epsg_registry_families():
+    from hydro_raster_ray.stages.reproject import crs_transform, epsg_transform
+
+    # identity for geographic; known code families resolve; others raise
+    f, i = epsg_transform(4326)
+    assert f(1.5, 52.0) == (1.5, 52.0)
+    for code in (3857, 27700, 32630, 32730):
+        f, i = epsg_transform(code)
+        x, y = f(np.array([-1.5]), np.array([52.0]))
+        lon, lat = i(x, y)
+        np.testing.assert_allclose([lon[0], lat[0]], [-1.5, 52.0], atol=1e-6)
+    with pytest.raises(ValueError):
+        epsg_transform(2154)  # Lambert conformal conic: unsupported family
+
+    # projected->projected composition round-trips through geographic
+    fwd, inv = crs_transform(27700, 32630)
+    E = np.linspace(350000.0, 450000.0, 7)
+    N = np.linspace(-150000.0, -50000.0, 7)
+    E2, N2 = inv(*fwd(E, N))
+    np.testing.assert_allclose(E2, E, atol=1e-5)
+    np.testing.assert_allclose(N2, N, atol=1e-5)
+
+
+def test_reproject_epsg_matches_explicit_compose(ray_session, small_scheme):
+    """reproject_epsg(27700 -> 32630) must equal the hand-composed warp the
+    reproject_utm witness already validates."""
+    from hydro_raster_ray.stages.reproject import (
+        bng_tmerc,
+        compose,
+        crs_transform,
+        reproject,
+        reproject_epsg,
+        utm_tmerc,
+    )
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    cs = small_scheme.grid.cellsize
+    got = to_array(reproject_epsg(ts, 27700, 32630, cs))
+    utm = utm_tmerc(30)
+    fwd = compose(utm.forward, bng_tmerc.inverse)
+    inv = compose(bng_tmerc.forward, utm.inverse)
+    ts2 = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    want = to_array(reproject(ts2, fwd, inv, cs, crs="EPSG:32630"))
+    np.testing.assert_array_equal(got, want)
