@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_minhash_near_dups"] = ops.minhash_near_dups
     q["doc_simhash"] = ops.simhash_docs
     q["doc_fingerprint"] = ops.fingerprint_docs
+    q["doc_ngram_dedup"] = ops.ngram_dup_stats
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -452,6 +453,10 @@ SELECT doc_id, simhash FROM read_parquet('{F}/witness_simhash.parquet')
 """,
         "doc_fingerprint": f"""
 SELECT doc_id, fingerprint FROM read_parquet('{F}/witness_fingerprint.parquet')
+""",
+        "doc_ngram_dedup": f"""
+SELECT doc_id, total_windows, dup_windows
+FROM read_parquet('{F}/witness_ngram_dup.parquet')
 """,
         "ann_ivf_topk": f"""
 SELECT qid, vec_id, sim, CAST(rank AS BIGINT) rank

@@ -34,6 +34,7 @@ __all__ = [
     "minhash_near_dups",
     "simhash_docs",
     "fingerprint_docs",
+    "ngram_dup_stats",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -616,3 +617,86 @@ def fingerprint_docs(sf_dir: str, window: int = 8) -> "ray.data.Dataset":
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": out})
 
     return ds.map_batches(fp, batch_format="pandas", batch_size=256)
+
+
+def ngram_dup_stats(
+    sf_dir: str, window: int = 8, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Exact duplicated-n-gram detection — the window-granular form of exact
+    substring dedup (the "dedup by duplicated 50-token spans" family; the
+    reference has no text operators, this is a first-class training-data
+    addition like ``minhash_near_dups``).
+
+    A ``window``-token window is DUPLICATED when its hash occurs in ≥ 2
+    distinct documents. Window hashes are ``_shingle_hashes_batch``'s
+    polynomial-combine arithmetic with n=window (per-doc UNIQUE, so a
+    window's group count IS its distinct-doc count); docs shorter than
+    ``window`` contribute their full token list as one window, and zero-token
+    docs have no windows and are excluded (contract mirrored by the witness).
+
+    Topology (all distributed; the groupby on window hashes is the inherent
+    all-to-all of the operator): doc→(win, doc_id) pairs → groupby(win)
+    count → hash-join counts back onto the pairs (co-partitioned on the
+    same key; inner join is total because counts derive from the pairs) →
+    per-batch partial per-doc sums → final groupby(doc_id).
+
+    Columns: doc_id, total_windows, dup_windows (int64).
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def pairs_fn(df: pd.DataFrame) -> pa.Table:
+        hs = _shingle_hashes_batch(df["text"].str.split(), window)
+        dids = df["doc_id"].to_numpy()
+        lens = np.fromiter((h.size for h in hs), dtype=np.int64, count=len(hs))
+        if lens.sum() == 0:
+            return pa.table(
+                {"win": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        win = np.concatenate([h for h in hs if h.size]).view(np.int64)
+        return pa.table(
+            {
+                "win": pa.array(win, pa.int64()),
+                "doc_id": pa.array(np.repeat(dids, lens), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pandas")
+    counts = (
+        pairs.map_batches(
+            lambda t: t.select(["win"]).rename_columns(["win_r"]),
+            batch_format="pyarrow",
+        )
+        .groupby("win_r")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    j = pairs.join(counts, "inner", num_partitions, on=("win",), right_on=("win_r",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "total_windows": np.ones(len(df), np.int64),
+                "dup_windows": (df["n_docs"].to_numpy() >= 2).astype(np.int64),
+            }
+        )
+        return g.groupby("doc_id", as_index=False).sum()
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("total_windows", alias_name="total_windows"),
+            Sum("dup_windows", alias_name="dup_windows"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_windows"] = df["total_windows"].astype(np.int64)
+        df["dup_windows"] = df["dup_windows"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")

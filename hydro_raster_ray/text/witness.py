@@ -319,6 +319,44 @@ def ivf_train_witness(
     )
 
 
+def ngram_dup_witness(docs: pd.DataFrame, window: int = 8) -> pd.DataFrame:
+    """Expected (doc_id, total_windows, dup_windows) of
+    ``ops.ngram_dup_stats``: per-doc UNIQUE window hashes (the engine's
+    polynomial-combine arithmetic with Python ints — same as the minhash
+    witness's shingle hashes but n=window), a whole-corpus counter of
+    distinct-doc occurrences, then per-doc counts of windows seen in ≥ 2
+    docs. Zero-token docs have no windows and are excluded (the operator's
+    documented contract)."""
+    from collections import Counter
+
+    base = int(_FP_BASE)
+    per_doc: dict[int, set] = {}
+    counter: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        th = [_h64(w) for w in toks]
+        wins = (
+            [th]
+            if len(th) < window
+            else [th[i : i + window] for i in range(len(th) - window + 1)]
+        )
+        hset = {
+            sum(h * pow(base, len(w) - 1 - j, 1 << 64) for j, h in enumerate(w)) & _M64
+            for w in wins
+        }
+        per_doc[int(doc_id)] = hset
+        counter.update(hset)
+    rows = [
+        (did, len(hset), sum(1 for h in hset if counter[h] >= 2))
+        for did, hset in sorted(per_doc.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "total_windows", "dup_windows"]
+    ).astype({"doc_id": "int64", "total_windows": "int64", "dup_windows": "int64"})
+
+
 def _write_atomic(df: pd.DataFrame, path: str) -> None:
     """Write-to-temp + rename (same pattern as ``fixtures._write_atomic``):
     a crash mid-generation must never leave a truncated parquet a
@@ -341,7 +379,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V6")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V7")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -365,6 +403,9 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     _write_atomic(
         ivf_topk_witness(emb, nprobe=2),
         os.path.join(out_dir, "witness_ivf_topk_p2.parquet"),
+    )
+    _write_atomic(
+        ngram_dup_witness(docs), os.path.join(out_dir, "witness_ngram_dup.parquet")
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -274,3 +274,64 @@ def test_emb_near_dups_matches_witness():
     assert len(got) > 0
     # group ids are cluster minima
     assert (got.groupby("group_id")["vec_id"].min() == got["group_id"].unique()).all()
+
+
+def test_ngram_dup_matches_scalar_witness():
+    from hydro_raster_ray.text import ops, witness
+
+    got = (
+        ops.ngram_dup_stats(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = (
+        witness.ngram_dup_witness(docs).sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the op is meaningful on this fixture only if some window duplicates
+    # exist and not all windows are duplicated
+    assert 0 < int(want["dup_windows"].sum())
+    assert int(want["dup_windows"].sum()) < int(want["total_windows"].sum())
+
+
+def test_ngram_dup_synthetic_shared_span(tmp_path):
+    """Hand-built corpus: docs 1 and 2 share an 8-token span; doc 3 is
+    disjoint; doc 4 is a short (<window) exact duplicate of doc 5."""
+    from hydro_raster_ray.text import ops, witness
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, 6, dtype=np.int64),
+            "text": [
+                f"one two {span} three four",
+                f"nine ten {span} eleven",
+                "completely different words everywhere in this document here now",
+                "tiny doc",
+                "tiny doc",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(d / "documents.parquet"))
+    got = (
+        ops.ngram_dup_stats(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = witness.ngram_dup_witness(docs).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("doc_id")
+    assert by.loc[1, "dup_windows"] == 1  # exactly the shared span window
+    assert by.loc[2, "dup_windows"] == 1
+    assert by.loc[3, "dup_windows"] == 0
+    # short exact duplicates: one full-token-list window each, duplicated
+    assert by.loc[4, "total_windows"] == 1 and by.loc[4, "dup_windows"] == 1
+    assert by.loc[5, "dup_windows"] == 1
