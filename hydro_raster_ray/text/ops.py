@@ -364,6 +364,8 @@ def minhash_near_dups(
     jaccard_threshold: float = 0.5,
     num_partitions: int | None = None,
     broadcast_budget: int = 2_000_000,
+    bucket_broadcast_budget: int = 4_000_000,
+    endpoint_broadcast_budget: int = 200_000,
 ) -> "ray.data.Dataset":
     """MinHash + LSH near-duplicate CLUSTERS, exact-Jaccard verified.
 
@@ -460,25 +462,72 @@ def minhash_near_dups(
             [("band", pa.int32()), ("band_hash", pa.int64()), ("a", pa.int64())]
         ),
     )
-    joined = sig.join(
-        mins, "inner", num_partitions, on=("band", "band_hash")
-    )
+    # bucket-min attach: broadcast fast path vs shuffle join. The mins table
+    # has ≤ sig-rows entries (~24 B each), so when the SIGNATURE table is
+    # under the budget the whole bucket-min side ships once via ``ray.put``
+    # (per-band sorted hash→min arrays) and star edges are emitted in the
+    # same map that reads the signatures — no sig×mins exchange at all.
+    # Gating on sig rows (known O(1) from the materialized ds) rather than
+    # on ``mins.count()`` keeps the at-scale path streaming: the fallback
+    # join never materializes mins. Measured: the join formulation costs
+    # ~3 s of fixed exchange overhead at sf0.1 that the broadcast removes.
+    if sig.count() <= bucket_broadcast_budget:
+        parts = [
+            b
+            for b in mins.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        mb = np.concatenate([p["band"].to_numpy() for p in parts])
+        mh = np.concatenate([p["band_hash"].to_numpy() for p in parts])
+        ma = np.concatenate([p["a"].to_numpy() for p in parts])
+        per_band = []
+        for bd in range(bands):
+            sel = mb == bd
+            hh = mh[sel]
+            o = np.argsort(hh, kind="stable")
+            per_band.append((hh[o], ma[sel][o]))
+        bref = ray.put(per_band)
 
-    def star(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
+        def star_bcast(t: pa.Table) -> pa.Table:
+            pb = ray.get(bref)
+            bnd = t["band"].to_numpy()
+            hsh = t["band_hash"].to_numpy()
+            did = t["doc_id"].to_numpy()
+            avals = np.empty(t.num_rows, np.int64)
+            # every sig row's bucket is present in mins (mins derives from
+            # sig), so the searchsorted lookup always hits exactly
+            for bd in np.unique(bnd):
+                m = bnd == bd
+                hs, aa = pb[int(bd)]
+                avals[m] = aa[np.searchsorted(hs, hsh[m])]
+            keep = did != avals
+            return pa.table(
+                {
+                    "a": pa.array(avals[keep], pa.int64()),
+                    "b": pa.array(did[keep], pa.int64()),
+                }
+            )
 
-        keep = _pc.not_equal(t["doc_id"], t["a"])
-        kept = t.filter(keep)
-        return pa.table(
-            {
-                "a": kept["a"].combine_chunks().cast(pa.int64()),
-                "b": kept["doc_id"].combine_chunks().cast(pa.int64()),
-            }
-        )
+        starred = sig.map_batches(star_bcast, batch_format="pyarrow")
+    else:
+        joined = sig.join(mins, "inner", num_partitions, on=("band", "band_hash"))
+
+        def star(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            keep = _pc.not_equal(t["doc_id"], t["a"])
+            kept = t.filter(keep)
+            return pa.table(
+                {
+                    "a": kept["a"].combine_chunks().cast(pa.int64()),
+                    "b": kept["doc_id"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        starred = joined.map_batches(star, batch_format="pyarrow")
 
     edges = (
-        joined.map_batches(star, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        starred.groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
         .materialize()  # bounded: O(candidate edges); reused twice below
     )
@@ -487,6 +536,7 @@ def minhash_near_dups(
         return ray.data.from_arrow(empty)
 
     docs = ds
+    use_csr = False
     if n_edges <= broadcast_budget:
         # broadcast fast path: distinct endpoints collected straight off the
         # (already materialized, bounded) edge table — one pass, no extra
@@ -506,6 +556,12 @@ def minhash_near_dups(
             return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ray.get(ref))))
 
         docs = ds.map_batches(filt, batch_format="pyarrow")
+        # second-tier fast path: when the ENDPOINT set is small enough that
+        # its shingle sets fit the object store comfortably (~KBs per doc),
+        # verify by broadcast CSR lookup instead of two attach joins — the
+        # joins cost ~4 s of fixed exchange overhead at sf0.1 for a
+        # few-hundred-row edge table
+        use_csr = ids_np.size <= endpoint_broadcast_budget
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         packs = [a.tobytes() for a in _shingle_hashes_batch(df["text"].str.split(), n)]
@@ -516,19 +572,10 @@ def minhash_near_dups(
     from ..stages.cc import rename_cols
 
     docs_sh = docs.map_batches(shingle_rows, batch_format="pandas", batch_size=128)
-    e2 = rename_cols(
-        rename_cols(
-            edges.join(docs_sh, "inner", num_partitions, on=("a",), right_on=("doc_id",)),
-            {"sh": "sh_a"},
-        ).join(docs_sh, "inner", num_partitions, on=("b",), right_on=("doc_id",)),
-        {"sh": "sh_b"},
-    )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def _jacc_keep(a_ids, b_ids, ha_list, hb_list):
         ka, kb = [], []
-        for a, b, ba, bb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
-            ha = np.frombuffer(ba, dtype=np.uint64)
-            hb = np.frombuffer(bb, dtype=np.uint64)
+        for a, b, ha, hb in zip(a_ids, b_ids, ha_list, hb_list):
             inter = np.intersect1d(ha, hb, assume_unique=True).size
             union = ha.size + hb.size - inter
             if union and inter / union >= jaccard_threshold:
@@ -538,7 +585,62 @@ def minhash_near_dups(
             {"a": np.asarray(ka, dtype=np.int64), "b": np.asarray(kb, dtype=np.int64)}
         )
 
-    ok_edges = e2.map_batches(verify, batch_format="pandas")
+    if use_csr:
+        # gather the (bounded) endpoint shingle sets once: CSR pack of
+        # sorted doc_ids → offsets → concatenated uint64 hash values
+        gid, gbytes = [], []
+        for b in docs_sh.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                gid.append(b["doc_id"].to_numpy())
+                gbytes.extend(b["sh"].to_pylist())
+        gid = np.concatenate(gid)
+        lens = np.fromiter((len(x) // 8 for x in gbytes), np.int64, count=len(gbytes))
+        vals = np.frombuffer(b"".join(gbytes), dtype=np.uint64)
+        o = np.argsort(gid, kind="stable")
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        order_off = starts[o]
+        order_len = lens[o]
+        sorted_vals = np.concatenate(
+            [vals[order_off[i] : order_off[i] + order_len[i]] for i in range(o.size)]
+        ) if o.size else vals
+        csr_ref = ray.put(
+            (gid[o], np.concatenate([[0], np.cumsum(order_len)]), sorted_vals)
+        )
+
+        def verify_csr(t: pa.Table) -> pd.DataFrame:
+            ids_s, off, vv = ray.get(csr_ref)
+            a_ids = t["a"].to_numpy()
+            b_ids = t["b"].to_numpy()
+            ia = np.searchsorted(ids_s, a_ids)
+            ib = np.searchsorted(ids_s, b_ids)
+            return _jacc_keep(
+                a_ids,
+                b_ids,
+                [vv[off[i] : off[i + 1]] for i in ia],
+                [vv[off[i] : off[i + 1]] for i in ib],
+            )
+
+        ok_edges = edges.map_batches(verify_csr, batch_format="pyarrow")
+    else:
+        e2 = rename_cols(
+            rename_cols(
+                edges.join(
+                    docs_sh, "inner", num_partitions, on=("a",), right_on=("doc_id",)
+                ),
+                {"sh": "sh_a"},
+            ).join(docs_sh, "inner", num_partitions, on=("b",), right_on=("doc_id",)),
+            {"sh": "sh_b"},
+        )
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            return _jacc_keep(
+                df["a"],
+                df["b"],
+                [np.frombuffer(x, dtype=np.uint64) for x in df["sh_a"]],
+                [np.frombuffer(x, dtype=np.uint64) for x in df["sh_b"]],
+            )
+
+        ok_edges = e2.map_batches(verify, batch_format="pandas")
     labels = connected_components(ok_edges, num_partitions=num_partitions)
     if labels.count() == 0:
         return ray.data.from_arrow(empty)

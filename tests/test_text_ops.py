@@ -335,3 +335,28 @@ def test_ngram_dup_synthetic_shared_span(tmp_path):
     # short exact duplicates: one full-token-list window each, duplicated
     assert by.loc[4, "total_windows"] == 1 and by.loc[4, "dup_windows"] == 1
     assert by.loc[5, "dup_windows"] == 1
+
+
+def test_minhash_join_fallback_paths_match_witness():
+    """Force the shuffle-join formulations (zero broadcast budgets) — the
+    at-scale fallbacks must produce the identical clusters as the
+    broadcast fast paths and the scalar witness."""
+    from hydro_raster_ray.text import ops, witness
+
+    got = (
+        ops.minhash_near_dups(
+            SF, bucket_broadcast_budget=0, endpoint_broadcast_budget=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = (
+        witness.minhash_groups_witness(docs)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
