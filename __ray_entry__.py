@@ -425,6 +425,14 @@ FROM read_parquet('{F}/witness_reproject_utm.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_hillshade.parquet')
 """,
+        "slope_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_slope.parquet')
+""",
+        "aspect_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_aspect.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

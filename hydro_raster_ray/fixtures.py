@@ -1085,6 +1085,30 @@ def _ensure_r4_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_terrain_witnesses(tag: str, out: str) -> None:
+    """Slope/aspect witness parquets (own marker → in-place upgrade):
+    whole-array ``oracle.slope_aspect`` then the standard per-tile stats."""
+    done = os.path.join(out, "_TERRAIN_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    sl, asp = oracle.slope_aspect(full)
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(sl)),
+        os.path.join(out, "witness_slope.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(asp)),
+        os.path.join(out, "witness_aspect.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -1129,6 +1153,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_knn_fixture(tag, out)
     _ensure_r4_witnesses(tag, out)
     _ensure_salt_witness(tag, out)
+    _ensure_terrain_witnesses(tag, out)
     return out
 
 

@@ -412,6 +412,31 @@ def hillshade(
     return np.clip(intensity, 0.0, 1.0)
 
 
+def slope_aspect(
+    array: np.ndarray,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    vert_exag: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-array slope/aspect witness — the gradient-derivative companions
+    of ``hillshade`` (same ``np.gradient`` convention: ``dy`` negated, row 0
+    is north). Unlike hillshade there is no NaN pre-fill: NODATA holes
+    propagate through the central differences, so slope/aspect are NaN in
+    the 1-px neighborhood of a hole (the engine's halo path reproduces the
+    identical propagation).
+
+    slope  = degrees(arctan(hypot(dz/d_east, dz/d_north)))
+    aspect = downslope azimuth, degrees CLOCKWISE FROM NORTH in [0, 360):
+             degrees(arctan2(-dz/d_east, -dz/d_north)) mod 360
+             (flat cells: arctan2(0, 0) = 0 → aspect 0 by convention).
+    Returns float64 planes; the engine's halo-tile path must bit-match."""
+    e_dy, e_dx = np.gradient(vert_exag * array, -dy, dx)
+    slope = np.degrees(np.arctan(np.hypot(e_dx, e_dy)))
+    aspect = np.mod(np.degrees(np.arctan2(-e_dx, -e_dy)), 360.0)
+    aspect = np.where(np.isnan(slope), np.nan, aspect)
+    return slope, aspect
+
+
 def components_bfs(arr: np.ndarray):
     """Whole-array 4-connected components of equal finite values via plain
     BFS — the independent witness for the distributed vectorize (same

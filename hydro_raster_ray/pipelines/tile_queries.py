@@ -430,6 +430,24 @@ def q_hillshade_stats(sf_dir: str):
     return per_tile_stats(hillshade(ts))
 
 
+def q_slope_stats(sf_dir: str):
+    """Distributed slope (1-px halo exchange, single streaming phase) —
+    per-tile stats vs the whole-array witness ``oracle.slope_aspect``."""
+    from ..stages.terrain import slope
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(slope(ts))
+
+
+def q_aspect_stats(sf_dir: str):
+    """Distributed downslope-azimuth aspect (same halo exchange) —
+    per-tile stats vs the whole-array witness ``oracle.slope_aspect``."""
+    from ..stages.terrain import aspect
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(aspect(ts))
+
+
 def q_media_audio(sf_dir: str):
     """Audio features over the deterministic pcm16le table (actor-pool
     decode, thin feature rows); witness applies the same formulas to a
@@ -569,6 +587,8 @@ TILE_QUERIES = {
     "reproject_tmerc": q_reproject_tmerc,
     "reproject_utm": q_reproject_utm,
     "hillshade_stats": q_hillshade_stats,
+    "slope_stats": q_slope_stats,
+    "aspect_stats": q_aspect_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -1,0 +1,96 @@
+"""Shared 1-px halo-exchange machinery for window-stencil tile transforms.
+
+Gradient-family operators (hillshade, slope/aspect) need each tile's body
+plus a 1-px ring from its 4-neighbors so central differences at tile edges
+match a whole-array computation exactly. The pattern (originated in
+``stages/hillshade.py``, now shared): each tile emits its body and four
+1-px edge strips keyed to the neighbor tiles, one ``groupby(tkey)``
+co-locates every tile with its halo (~1.03× the corpus through the
+exchange), and the consumer assembles the extended float64 window.
+
+``np.gradient``'s central differences never read diagonal corners, so
+4-neighbor strips are sufficient; a missing halo side occurs exactly at a
+global grid edge, where the whole-array one-sided difference applies too —
+body derivatives are therefore bit-identical to the single-array witness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode, encode
+from ..grid import morton_encode
+from .decode import iter_tiles
+from .mosaic import _frag_table
+
+__all__ = ["emit_halo_frags", "assemble_window"]
+
+
+def emit_halo_frags(batch: pa.Table, grid) -> pa.Table:
+    """Fragment rows for one input batch: per tile, the body (prio=1) plus
+    up to four 1-px edge strips aimed at the 4-neighbor tile keys (prio=0).
+    f32 fragments (lossless by codec contract — half the exchange bytes)."""
+    out = []
+    for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+        tr, tc = info.tile_row, info.tile_col
+
+        def frag(a, key_tr, key_tc, r0, c0, prio=0):
+            out.append(
+                {
+                    "tkey": int(morton_encode(int(key_tr), int(key_tc))),
+                    "t_tr": int(key_tr),
+                    "t_tc": int(key_tc),
+                    "prio": prio,
+                    "fr0": 0,
+                    "fc0": 0,
+                    "fh": a.shape[0],
+                    "fw": a.shape[1],
+                    "payload": encode(np.ascontiguousarray(a), "raw-f32"),
+                    "src_r0": int(r0),
+                    "src_c0": int(c0),
+                }
+            )
+
+        frag(arr, tr, tc, info.gr0, info.gc0, prio=1)  # body
+        if tr > 0:  # my row 0 is the north neighbor's south halo
+            frag(arr[:1, :], tr - 1, tc, info.gr0, info.gc0)
+        if info.gr0 + info.h < grid.nrows:
+            frag(arr[-1:, :], tr + 1, tc, info.gr0 + info.h - 1, info.gc0)
+        if tc > 0:
+            frag(arr[:, :1], tr, tc - 1, info.gr0, info.gc0)
+        if info.gc0 + info.w < grid.ncols:
+            frag(arr[:, -1:], tr, tc + 1, info.gr0, info.gc0 + info.w - 1)
+    return _frag_table(out)
+
+
+def assemble_window(g: pa.Table):
+    """Assemble one tile's extended window from its co-located fragment
+    group. Returns ``(t_tr, t_tc, gr0, gc0, h, w, win, br, bc)`` where
+    ``win`` is the float64 extended window (NaN where no fragment landed)
+    and ``win[br:br+h, bc:bc+w]`` is the tile body — or ``None`` for a
+    body-less group (strips aimed at a missing tile of a sparse set)."""
+    prios = g["prio"].to_numpy(zero_copy_only=False)
+    if prios.max() == 0:
+        return None
+    r0s = g["src_r0"].to_numpy(zero_copy_only=False)
+    c0s = g["src_c0"].to_numpy(zero_copy_only=False)
+    fhs = g["fh"].to_numpy(zero_copy_only=False)
+    fws = g["fw"].to_numpy(zero_copy_only=False)
+    t_tr = int(g["t_tr"][0].as_py())
+    t_tc = int(g["t_tc"][0].as_py())
+    bi = int(np.argmax(prios))
+    h, w = int(fhs[bi]), int(fws[bi])
+    gr0, gc0 = int(r0s[bi]), int(c0s[bi])
+    win_r0 = int(r0s.min())
+    win_c0 = int(c0s.min())
+    win = np.full(
+        (int((r0s + fhs).max()) - win_r0, int((c0s + fws).max()) - win_c0),
+        np.nan,
+    )
+    for i in range(g.num_rows):
+        fragm = decode(g["payload"][i].as_py(), int(fhs[i]), int(fws[i]), "raw-f32")
+        rr = int(r0s[i]) - win_r0
+        cc = int(c0s[i]) - win_c0
+        win[rr : rr + int(fhs[i]), cc : cc + int(fws[i])] = fragm
+    return t_tr, t_tc, gr0, gc0, h, w, win, gr0 - win_r0, gc0 - win_c0

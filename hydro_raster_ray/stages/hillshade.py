@@ -42,8 +42,7 @@ from ..codecs import decode, encode, phash64
 from ..grid import morton_encode
 from ..sources.tiles import TileSet
 from . import stats
-from .decode import iter_tiles
-from .mosaic import _frag_table
+from .halo import assemble_window, emit_halo_frags
 
 __all__ = ["hillshade"]
 
@@ -85,70 +84,19 @@ def hillshade(
     d2 = float(np.sin(alt))
 
     def emit(batch: pa.Table) -> pa.Table:
-        out = []
-        # f32 fragment slicing (lossless); the build window stays float64 so
-        # np.gradient matches the whole-array oracle bit-exactly
-        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
-            tr, tc = info.tile_row, info.tile_col
-
-            def frag(a, key_tr, key_tc, r0, c0, prio=0):
-                out.append(
-                    {
-                        "tkey": int(morton_encode(int(key_tr), int(key_tc))),
-                        "t_tr": int(key_tr),
-                        "t_tc": int(key_tc),
-                        "prio": prio,
-                        "fr0": 0,
-                        "fc0": 0,
-                        "fh": a.shape[0],
-                        "fw": a.shape[1],
-                        "payload": encode(np.ascontiguousarray(a), "raw-f32"),
-                        "src_r0": int(r0),
-                        "src_c0": int(c0),
-                    }
-                )
-
-            frag(arr, tr, tc, info.gr0, info.gc0, prio=1)  # body
-            if tr > 0:  # my row 0 is the north neighbor's south halo
-                frag(arr[:1, :], tr - 1, tc, info.gr0, info.gc0)
-            if info.gr0 + info.h < grid.nrows:
-                frag(arr[-1:, :], tr + 1, tc, info.gr0 + info.h - 1, info.gc0)
-            if tc > 0:
-                frag(arr[:, :1], tr, tc - 1, info.gr0, info.gc0)
-            if info.gc0 + info.w < grid.ncols:
-                frag(arr[:, -1:], tr, tc + 1, info.gr0, info.gc0 + info.w - 1)
-        return _frag_table(out)
+        # the build window stays float64 so np.gradient matches the
+        # whole-array oracle bit-exactly (halo fragments ship as f32)
+        return emit_halo_frags(batch, grid)
 
     def build(g: pa.Table) -> pa.Table:
-        r0s = g["src_r0"].to_numpy(zero_copy_only=False)
-        c0s = g["src_c0"].to_numpy(zero_copy_only=False)
-        fhs = g["fh"].to_numpy(zero_copy_only=False)
-        fws = g["fw"].to_numpy(zero_copy_only=False)
-        # the body fragment is the (unique) prio=1 row of this group; a
-        # body-less group (strips aimed at a missing tile of a sparse set)
-        # produces nothing
-        prios = g["prio"].to_numpy(zero_copy_only=False)
-        if prios.max() == 0:
+        # a body-less group (strips aimed at a missing tile of a sparse
+        # set) produces nothing
+        asm = assemble_window(g)
+        if asm is None:
             return _INTER_SCHEMA.empty_table()
-        t_tr = int(g["t_tr"][0].as_py())
-        t_tc = int(g["t_tc"][0].as_py())
-        bi = int(np.argmax(prios))
-        h, w = int(fhs[bi]), int(fws[bi])
-        gr0, gc0 = int(r0s[bi]), int(c0s[bi])
-        win_r0 = int(r0s.min())
-        win_c0 = int(c0s.min())
-        win = np.full(
-            (int((r0s + fhs).max()) - win_r0, int((c0s + fws).max()) - win_c0),
-            np.nan,
-        )
-        for i in range(g.num_rows):
-            fragm = decode(g["payload"][i].as_py(), int(fhs[i]), int(fws[i]), "raw-f32")
-            rr = int(r0s[i]) - win_r0
-            cc = int(c0s[i]) - win_c0
-            win[rr : rr + int(fhs[i]), cc : cc + int(fws[i])] = fragm
+        t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
         win[np.isnan(win)] = zmax
         g_dy, g_dx = np.gradient(vert_exag * win, -dy, dx)
-        br, bc = gr0 - win_r0, gc0 - win_c0
         e_dy = g_dy[br : br + h, bc : bc + w]
         e_dx = g_dx[br : br + h, bc : bc + w]
         mag = np.sqrt(e_dx * e_dx + e_dy * e_dy + 1.0)

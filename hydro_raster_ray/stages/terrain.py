@@ -1,0 +1,111 @@
+"""Slope / aspect surface derivatives as distributed data transforms.
+
+The gradient-family companions of ``stages/hillshade.py`` (the reference's
+``hillshade``, ``grid_show.py:136-158``, is the shaded member of the same
+``np.gradient`` derivative family): slope in degrees and downslope-azimuth
+aspect in degrees clockwise from north. One 1-px halo exchange
+(``stages/halo.py``), one per-tile kernel, no global pass — unlike
+hillshade there is no contrast stretch, so the pipeline is single-phase
+and fully streaming (no materialize).
+
+NODATA semantics (mirrored by the witness ``oracle.slope_aspect``): NaN
+holes PROPAGATE through the central differences — no pre-fill — so
+derivatives are NaN in the 1-px neighborhood of a hole and outside-grid
+window cells never contaminate a body cell (``np.gradient`` reads no
+diagonal corners; a missing halo side occurs exactly at a global grid
+edge where the witness's one-sided difference applies too).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..grid import morton_encode, tile_id
+from ..sources.tiles import TileSet
+from .decode import rows_to_table
+from .halo import assemble_window, emit_halo_frags
+
+__all__ = ["slope", "aspect"]
+
+
+def _terrain(ts: TileSet, kernel, caption: str, shuffle_blocks: int | None) -> TileSet:
+    grid = ts.grid
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return emit_halo_frags(batch, grid)
+
+    def build(g: pa.Table) -> pa.Table:
+        asm = assemble_window(g)
+        if asm is None:
+            return rows_to_table([]).slice(0, 0)
+        t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
+        plane = kernel(win)[br : br + h, bc : bc + w]
+        info = _Meta(tile_id(t_tr, t_tc), t_tr, t_tc, gr0, gc0, h, w, caption)
+        return rows_to_table([(info, plane)], lossless=True)
+
+    frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if shuffle_blocks is None:
+        from .cc import auto_shuffle_blocks
+
+        shuffle_blocks = auto_shuffle_blocks(floor=64)
+    frags = frags.repartition(shuffle_blocks)
+    out = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
+    return TileSet(ds=out, grid=grid)
+
+
+class _Meta:
+    """Duck-typed tile meta for ``rows_to_table`` (image_id + placement)."""
+
+    __slots__ = (
+        "image_id", "tile_row", "tile_col", "gr0", "gc0", "h", "w", "caption", "cell",
+    )
+
+    def __init__(self, image_id, tile_row, tile_col, gr0, gc0, h, w, caption):
+        self.image_id = image_id
+        self.tile_row = tile_row
+        self.tile_col = tile_col
+        self.gr0 = gr0
+        self.gc0 = gc0
+        self.h = h
+        self.w = w
+        self.caption = caption
+        self.cell = int(morton_encode(int(tile_row), int(tile_col)))
+
+
+def slope(
+    ts: TileSet,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    vert_exag: float = 1.0,
+    shuffle_blocks: int | None = None,
+) -> TileSet:
+    """Slope raster in DEGREES (``raw-f32`` tiles):
+    ``degrees(arctan(hypot(dz/d_east, dz/d_north)))`` with the hillshade
+    gradient convention (row 0 is north → ``dy`` negated)."""
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        e_dy, e_dx = np.gradient(vert_exag * win, -dy, dx)
+        return np.degrees(np.arctan(np.hypot(e_dx, e_dy)))
+
+    return _terrain(ts, kernel, "slope deg", shuffle_blocks)
+
+
+def aspect(
+    ts: TileSet,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    vert_exag: float = 1.0,
+    shuffle_blocks: int | None = None,
+) -> TileSet:
+    """Aspect raster (``raw-f32`` tiles): downslope azimuth in degrees
+    CLOCKWISE FROM NORTH in [0, 360); flat cells get 0 (``arctan2(0, 0)``),
+    NaN-derivative cells stay NaN — identical to ``oracle.slope_aspect``."""
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        e_dy, e_dx = np.gradient(vert_exag * win, -dy, dx)
+        slope_nan = np.isnan(e_dx) | np.isnan(e_dy)
+        asp = np.mod(np.degrees(np.arctan2(-e_dx, -e_dy)), 360.0)
+        return np.where(slope_nan, np.nan, asp)
+
+    return _terrain(ts, kernel, "aspect deg", shuffle_blocks)
