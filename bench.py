@@ -189,6 +189,22 @@ def run_bench() -> dict:
         )
         stats.global_stats(surf)
 
+    # EP3b: partitioned (no-broadcast) exact kNN-IDW — 200k gauges hash-
+    # partitioned with ring replication (stages/knn_join.py); tiles read
+    # geometry-only so the corpus bytes never leave storage
+    def ep3b_knn_partitioned():
+        import ray as _ray
+
+        from hydro_raster_ray.stages.knn_join import knn_idw_partitioned
+
+        ts = read_tiles(
+            BENCH_DIR, scheme, columns=["w", "h", "fmt", "caption", "phash"]
+        )
+        gauges = _ray.data.from_arrow(
+            fixtures.gauges_large_table(scheme, 200_000)
+        ).repartition(max(4, NUM_CPUS // 2))
+        stats.global_stats(knn_idw_partitioned(ts, gauges, k=8, power=2.0))
+
     # EP4: halo-exchange resample (sub-rectangle fragment shuffle)
     def ep4_resample():
         from hydro_raster_ray.stages.resample import resample as _resample
@@ -291,6 +307,14 @@ def run_bench() -> dict:
         full = mosaic.merge_into([ts], target).ds.count()
         assert total == full, (total, full)
 
+    # EP8: slope over the bench grid — the halo-exchange gradient family
+    # (stages/terrain.py), single streaming phase
+    def ep8_terrain_slope():
+        from hydro_raster_ray.stages.terrain import slope as _slope
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(_slope(ts))
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -299,6 +323,11 @@ def run_bench() -> dict:
 
     def minhash_dedup():
         ops.minhash_near_dups(SF_DIR).count()
+
+    # exact duplicated-n-gram windows (window-granular substring dedup):
+    # pair emission + window-hash groupby + count join + per-doc reduce
+    def doc_ngram_dedup():
+        ops.ngram_dup_stats(SF_DIR).count()
 
     # MinHash SIGNATURE computation only (shingle split + blake2b + 64-perm
     # uint64 math, ~kB/doc memory traffic): the arithmetic-dominated real
@@ -365,10 +394,10 @@ def run_bench() -> dict:
 
     stages = [
         ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
-        ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
-        ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle,
-        doc_suite, minhash_dedup, minhash_sigs, ann_topk, doc_quality,
-        sched_probe,
+        ep3b_knn_partitioned, ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
+        ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
+        doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
+        doc_quality, sched_probe,
     ]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for fn in stages:
