@@ -766,6 +766,10 @@ def ngram_dup_stats(
             }
         )
 
+    # consumed twice (count side + join probe side): deliberately NOT
+    # materialized — the tokenize+hash recompute is cheap and the two
+    # consumers pipeline it concurrently, whereas a materialize barrier
+    # serializes the plan (measured slower at sf0.1: 14.9 s vs 8.2 s warm)
     pairs = ds.map_batches(pairs_fn, batch_format="pandas")
     counts = (
         pairs.map_batches(
