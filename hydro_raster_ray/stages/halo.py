@@ -24,13 +24,16 @@ from ..grid import morton_encode
 from .decode import iter_tiles
 from .mosaic import _frag_table
 
-__all__ = ["emit_halo_frags", "assemble_window"]
+__all__ = ["emit_halo_frags", "assemble_window", "collect_strips"]
 
 
-def emit_halo_frags(batch: pa.Table, grid) -> pa.Table:
+def emit_halo_frags(batch: pa.Table, grid, strips_only: bool = False) -> pa.Table:
     """Fragment rows for one input batch: per tile, the body (prio=1) plus
     up to four 1-px edge strips aimed at the 4-neighbor tile keys (prio=0).
-    f32 fragments (lossless by codec contract — half the exchange bytes)."""
+    f32 fragments (lossless by codec contract — half the exchange bytes).
+    ``strips_only=True`` omits the bodies — the strip side alone is ~1.5 %
+    of the corpus bytes (2·(h+w)/(h·w) of each tile), which is what makes
+    the broadcast-halo fast path (``collect_strips``) viable."""
     out = []
     for info, arr in iter_tiles(batch, grid, dtype=np.float32):
         tr, tc = info.tile_row, info.tile_col
@@ -52,7 +55,8 @@ def emit_halo_frags(batch: pa.Table, grid) -> pa.Table:
                 }
             )
 
-        frag(arr, tr, tc, info.gr0, info.gc0, prio=1)  # body
+        if not strips_only:
+            frag(arr, tr, tc, info.gr0, info.gc0, prio=1)  # body
         if tr > 0:  # my row 0 is the north neighbor's south halo
             frag(arr[:1, :], tr - 1, tc, info.gr0, info.gc0)
         if info.gr0 + info.h < grid.nrows:
@@ -62,6 +66,41 @@ def emit_halo_frags(batch: pa.Table, grid) -> pa.Table:
         if info.gc0 + info.w < grid.ncols:
             frag(arr[:, -1:], tr, tc + 1, info.gr0, info.gc0 + info.w - 1)
     return _frag_table(out)
+
+
+def collect_strips(ts, budget_bytes: int):
+    """Broadcast-halo fast path, phase 1: materialize ONLY the 1-px edge
+    strips (≈1.5 % of the corpus through the object store — strictly less
+    than the groupby path, which exchanges strips AND bodies) and, when
+    they fit ``budget_bytes``, collect them into a ``{tkey: [(src_r0,
+    src_c0, fh, fw, payload), ...]}`` dict for ``ray.put``. Returns the
+    dict or ``None`` (caller falls back to the groupby exchange). The
+    small side here is the halo itself — the same broadcast-not-shuffle
+    trade as the gauge/feature broadcasts, so each tile's derivative can
+    be computed in ONE map pass with no all-to-all barrier at all."""
+    grid = ts.grid
+    strips = ts.ds.map_batches(
+        lambda b: emit_halo_frags(b, grid, strips_only=True),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    if strips.size_bytes() > budget_bytes:
+        return None
+    d: dict = {}
+    for b in strips.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        tk = b["tkey"].to_numpy()
+        r0 = b["src_r0"].to_numpy()
+        c0 = b["src_c0"].to_numpy()
+        fh = b["fh"].to_numpy()
+        fw = b["fw"].to_numpy()
+        pay = b["payload"].to_pylist()
+        for i in range(b.num_rows):
+            d.setdefault(int(tk[i]), []).append(
+                (int(r0[i]), int(c0[i]), int(fh[i]), int(fw[i]), pay[i])
+            )
+    return d
 
 
 def assemble_window(g: pa.Table):

@@ -73,3 +73,11 @@ def test_nan_holes_propagate(ray_session):
     got_s = to_array(slope(ts))
     np.testing.assert_array_equal(got_s, want_s)
     assert np.isnan(got_s).any() and not np.isnan(got_s).all()
+
+
+def test_slope_groupby_fallback_bit_matches_broadcast(tileset, small_scheme):
+    """Force the groupby-exchange fallback (zero halo budget) — must be
+    bit-identical to the broadcast-halo fast path and the witness."""
+    fast = to_array(slope(tileset))
+    slow = to_array(slope(tileset, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(fast, slow)
