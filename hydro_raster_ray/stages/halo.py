@@ -24,7 +24,31 @@ from ..grid import morton_encode
 from .decode import iter_tiles
 from .mosaic import _frag_table
 
-__all__ = ["emit_halo_frags", "assemble_window", "collect_strips"]
+__all__ = [
+    "emit_halo_frags",
+    "assemble_window",
+    "collect_strips",
+    "window_from_broadcast",
+]
+
+
+def window_from_broadcast(info, arr: np.ndarray, strips: dict):
+    """Broadcast-halo fast path, phase 2: one tile's extended float64
+    window from its own body plus the broadcast strip entries for its
+    cell key. Returns ``(win, br, bc)`` — same NaN hull, same f32→f64
+    placement as ``assemble_window``, so downstream kernels are
+    bit-identical across the two paths."""
+    ents = [(info.gr0, info.gc0, info.h, info.w, arr)]
+    for r0, c0, fh, fw, pay in strips.get(int(info.cell), ()):
+        ents.append((r0, c0, fh, fw, decode(pay, fh, fw, "raw-f32")))
+    win_r0 = min(e[0] for e in ents)
+    win_c0 = min(e[1] for e in ents)
+    hh = max(e[0] + e[2] for e in ents) - win_r0
+    ww = max(e[1] + e[3] for e in ents) - win_c0
+    win = np.full((hh, ww), np.nan)
+    for r0, c0, fh, fw, a in ents:
+        win[r0 - win_r0 : r0 - win_r0 + fh, c0 - win_c0 : c0 - win_c0 + fw] = a
+    return win, info.gr0 - win_r0, info.gc0 - win_c0
 
 
 def emit_halo_frags(batch: pa.Table, grid, strips_only: bool = False) -> pa.Table:

@@ -42,7 +42,13 @@ from ..codecs import decode, encode, phash64
 from ..grid import morton_encode
 from ..sources.tiles import TileSet
 from . import stats
-from .halo import assemble_window, emit_halo_frags
+from .decode import iter_tiles
+from .halo import (
+    assemble_window,
+    collect_strips,
+    emit_halo_frags,
+    window_from_broadcast,
+)
 
 __all__ = ["hillshade"]
 
@@ -71,6 +77,7 @@ def hillshade(
     dx: float = 1.0,
     dy: float = 1.0,
     shuffle_blocks: int | None = None,
+    halo_broadcast_budget: int = 256 << 20,
 ) -> TileSet:
     """Illumination-intensity raster in [0, 1] (``raw-f32`` tiles) — see
     module docstring. Defaults mirror the reference call (az 315°, alt 45°,
@@ -83,54 +90,85 @@ def hillshade(
     d1 = float(np.sin(az) * np.cos(alt))
     d2 = float(np.sin(alt))
 
-    def emit(batch: pa.Table) -> pa.Table:
-        # the build window stays float64 so np.gradient matches the
-        # whole-array oracle bit-exactly (halo fragments ship as f32)
-        return emit_halo_frags(batch, grid)
-
-    def build(g: pa.Table) -> pa.Table:
-        # a body-less group (strips aimed at a missing tile of a sparse
-        # set) produces nothing
-        asm = assemble_window(g)
-        if asm is None:
-            return _INTER_SCHEMA.empty_table()
-        t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
-        win[np.isnan(win)] = zmax
-        g_dy, g_dx = np.gradient(vert_exag * win, -dy, dx)
-        e_dy = g_dy[br : br + h, bc : bc + w]
-        e_dx = g_dx[br : br + h, bc : bc + w]
-        mag = np.sqrt(e_dx * e_dx + e_dy * e_dy + 1.0)
-        inten = (-e_dx * d0 - e_dy * d1 + d2) / mag
+    def intensity_rows(items) -> pa.Table:
+        """Shared phase-1 kernel: (t_tr, t_tc, gr0, gc0, h, w, win, br, bc)
+        items → _INTER_SCHEMA rows. The window is float64 so np.gradient
+        matches the whole-array oracle bit-exactly on BOTH halo paths."""
         from ..grid import tile_id
 
-        return pa.table(
-            {
-                "image_id": pa.array([tile_id(t_tr, t_tc)], pa.string()),
-                "tile_row": pa.array([t_tr], pa.int32()),
-                "tile_col": pa.array([t_tc], pa.int32()),
-                "gr0": pa.array([gr0], pa.int32()),
-                "gc0": pa.array([gc0], pa.int32()),
-                "h": pa.array([h], pa.int32()),
-                "w": pa.array([w], pa.int32()),
-                "cell": pa.array([int(morton_encode(t_tr, t_tc))], pa.int64()),
-                "payload": pa.array([inten.tobytes()], pa.binary()),
-                "imin": pa.array([float(inten.min())], pa.float64()),
-                "imax": pa.array([float(inten.max())], pa.float64()),
-            },
-            schema=_INTER_SCHEMA,
+        cols: dict = {name: [] for name in _INTER_SCHEMA.names}
+        for t_tr, t_tc, gr0, gc0, h, w, win, br, bc in items:
+            win[np.isnan(win)] = zmax
+            g_dy, g_dx = np.gradient(vert_exag * win, -dy, dx)
+            e_dy = g_dy[br : br + h, bc : bc + w]
+            e_dx = g_dx[br : br + h, bc : bc + w]
+            mag = np.sqrt(e_dx * e_dx + e_dy * e_dy + 1.0)
+            inten = (-e_dx * d0 - e_dy * d1 + d2) / mag
+            cols["image_id"].append(tile_id(t_tr, t_tc))
+            cols["tile_row"].append(t_tr)
+            cols["tile_col"].append(t_tc)
+            cols["gr0"].append(gr0)
+            cols["gc0"].append(gc0)
+            cols["h"].append(h)
+            cols["w"].append(w)
+            cols["cell"].append(int(morton_encode(t_tr, t_tc)))
+            cols["payload"].append(inten.tobytes())
+            cols["imin"].append(float(inten.min()))
+            cols["imax"].append(float(inten.max()))
+        if not cols["image_id"]:
+            return _INTER_SCHEMA.empty_table()
+        return pa.table(cols, schema=_INTER_SCHEMA)
+
+    strips = collect_strips(ts, halo_broadcast_budget)
+    if strips is not None:
+        # broadcast-halo fast path (stages/halo.py): strips ship once via
+        # ray.put and phase 1 is ONE map pass — no groupby/sort barrier
+        import ray as _ray
+
+        sref = _ray.put(strips)
+
+        def apply(batch: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            dd = _ray2.get(sref)
+            items = []
+            for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+                win, br, bc = window_from_broadcast(info, arr, dd)
+                items.append(
+                    (info.tile_row, info.tile_col, info.gr0, info.gc0,
+                     info.h, info.w, win, br, bc)
+                )
+            return intensity_rows(items)
+
+        inter = (
+            ts.ds.map_batches(apply, batch_format="pyarrow")
+            .materialize()  # two-phase stretch: bounds first, then rescale
         )
+    else:
 
-    frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-    if shuffle_blocks is None:
-        from .cc import auto_shuffle_blocks
+        def emit(batch: pa.Table) -> pa.Table:
+            return emit_halo_frags(batch, grid)
 
-        shuffle_blocks = auto_shuffle_blocks(floor=64)
-    frags = frags.repartition(shuffle_blocks)
-    inter = (
-        frags.groupby("tkey")
-        .map_groups(build, batch_format="pyarrow")
-        .materialize()  # two-phase stretch: bounds first, then rescale
-    )
+        def build(g: pa.Table) -> pa.Table:
+            # a body-less group (strips aimed at a missing tile of a sparse
+            # set) produces nothing
+            asm = assemble_window(g)
+            if asm is None:
+                return _INTER_SCHEMA.empty_table()
+            t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
+            return intensity_rows([(t_tr, t_tc, gr0, gc0, h, w, win, br, bc)])
+
+        frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+        if shuffle_blocks is None:
+            from .cc import auto_shuffle_blocks
+
+            shuffle_blocks = auto_shuffle_blocks(floor=64)
+        frags = frags.repartition(shuffle_blocks)
+        inter = (
+            frags.groupby("tkey")
+            .map_groups(build, batch_format="pyarrow")
+            .materialize()  # two-phase stretch: bounds first, then rescale
+        )
     from ray.data.aggregate import Max, Min
 
     mm = inter.map_batches(

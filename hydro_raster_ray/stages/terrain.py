@@ -21,11 +21,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import decode
 from ..grid import morton_encode, tile_id
 from ..sources.tiles import TileSet
 from .decode import iter_tiles, rows_to_table
-from .halo import assemble_window, collect_strips, emit_halo_frags
+from .halo import (
+    assemble_window,
+    collect_strips,
+    emit_halo_frags,
+    window_from_broadcast,
+)
 
 __all__ = ["slope", "aspect"]
 
@@ -58,17 +62,7 @@ def _terrain(
             dd = _ray2.get(sref)
             rows = []
             for info, arr in iter_tiles(batch, grid, dtype=np.float32):
-                ents = [(info.gr0, info.gc0, info.h, info.w, arr)]
-                for r0, c0, fh, fw, pay in dd.get(int(info.cell), ()):
-                    ents.append((r0, c0, fh, fw, decode(pay, fh, fw, "raw-f32")))
-                win_r0 = min(e[0] for e in ents)
-                win_c0 = min(e[1] for e in ents)
-                hh = max(e[0] + e[2] for e in ents) - win_r0
-                ww = max(e[1] + e[3] for e in ents) - win_c0
-                win = np.full((hh, ww), np.nan)
-                for r0, c0, fh, fw, a in ents:
-                    win[r0 - win_r0 : r0 - win_r0 + fh, c0 - win_c0 : c0 - win_c0 + fw] = a
-                br, bc = info.gr0 - win_r0, info.gc0 - win_c0
+                win, br, bc = window_from_broadcast(info, arr, dd)
                 plane = kernel(win)[br : br + info.h, bc : bc + info.w]
                 meta = _Meta(
                     info.image_id, info.tile_row, info.tile_col,

@@ -54,3 +54,11 @@ def test_hillshade_flat_surface_no_stretch(ray_session):
     got = to_array(hillshade(ts, altdeg=45.0))
     want = np.float64(np.float32(np.sin(np.radians(45.0))))
     np.testing.assert_array_equal(got, np.full_like(got, want))
+
+
+def test_hillshade_groupby_fallback_bit_matches_broadcast(tileset, small_scheme):
+    """Force the groupby-exchange fallback (zero halo budget) — must be
+    bit-identical to the broadcast-halo fast path."""
+    fast = to_array(hillshade(tileset))
+    slow = to_array(hillshade(tileset, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(fast, slow)
