@@ -449,7 +449,8 @@ def run_scaling() -> None:
         # arithmetic-dominated PRODUCT stage the ≥0.8 criterion targets
         env.setdefault(
             "GRAFT_BENCH_ONLY",
-            "ep1_edit_dem,sched_probe,ep4b_resample_lanczos,ep6_reproject_tmerc,minhash_sigs",
+            "ep1_edit_dem,sched_probe,ep4b_resample_lanczos,ep6_reproject_tmerc,"
+            "minhash_sigs,ep8_terrain_slope",
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
