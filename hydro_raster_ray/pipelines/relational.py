@@ -270,12 +270,18 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None) -> "r
         orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        # per-batch partials re-emitted as ARROW blocks: join lineages
+        # propagate the pandas block format, and Ray's sort aggregate is
+        # ~10× slower shuffling pandas blocks (ROUND4_NOTES engine lesson)
+        import pyarrow as pa
+
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
         out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "revenue": rev, "n": 1})
-        return out.groupby("o_orderpriority", as_index=False).agg(
+        out = out.groupby("o_orderpriority", as_index=False).agg(
             revenue=("revenue", "sum"), n=("n", "sum")
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     agg = (
         j.map_batches(partial, batch_format="pandas")
