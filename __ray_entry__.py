@@ -425,6 +425,10 @@ FROM read_parquet('{F}/witness_reproject_utm.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_hillshade.parquet')
 """,
+        "tile_png16_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_png16.parquet')
+""",
         "slope_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_slope.parquet')

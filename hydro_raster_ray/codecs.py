@@ -17,8 +17,15 @@ Codecs (all little-endian, vectorized via ``np.frombuffer``):
 - ``qlossy``   — same layout with uint8 pixels (255 = nodata); scale spans the
   tile's min..max over 254 levels ⇒ PSNR ≥ 40 dB for the fixture surface
   (quantization step ≈ range/254, RMSE ≈ step/√12).
+- ``png16``    — raw-u16's quantization wrapped in a real 16-bit grayscale
+  PNG (pure-stdlib codec, ``png.py``): same 16-byte header, then a PNG whose
+  u16 samples carry the identical offset/scale mapping (65535 = nodata).
+  Decodes bit-identically to the raw-u16 of the same plane; DEFLATE + the
+  Up filter compress smooth DEM tiles several-fold, cutting object-store
+  and storage bytes. Variable-length (``payload_nbytes`` returns -1).
 
-All functions are deterministic (retry/resume safe).
+All functions are deterministic (retry/resume safe; zlib output is
+deterministic at a fixed level).
 """
 
 from __future__ import annotations
@@ -43,12 +50,16 @@ _U8_NODATA = np.uint8(255)
 _HDR_FMT = "<dd"  # offset, scale
 _HDR_SIZE = struct.calcsize(_HDR_FMT)
 
-FORMATS = ("raw-f32", "raw-u16", "qlossy")
+FORMATS = ("raw-f32", "raw-u16", "qlossy", "png16")
+# compressed fmts whose payload length depends on content, not just (h, w)
+VARIABLE_FORMATS = frozenset({"png16"})
 
 
 def payload_nbytes(fmt: str, h: int, w: int) -> int:
     """Expected byte length — the per-row consistency check mirroring the
-    reference's array/header shape check (``Raster.py:112-114``)."""
+    reference's array/header shape check (``Raster.py:112-114``). Returns
+    -1 for compressed fmts whose length is content-dependent (callers skip
+    the length check for those; the PNG container carries its own CRCs)."""
     n = int(h) * int(w)
     if fmt == "raw-f32":
         return 4 * n
@@ -56,6 +67,8 @@ def payload_nbytes(fmt: str, h: int, w: int) -> int:
         return _HDR_SIZE + 2 * n
     if fmt == "qlossy":
         return _HDR_SIZE + n
+    if fmt in VARIABLE_FORMATS:
+        return -1
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -94,6 +107,21 @@ def decode(buf: bytes, h: int, w: int, fmt: str, dtype=np.float64) -> np.ndarray
         a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(dtype, copy=False)
         a[u == _U8_NODATA] = np.nan
         return a.reshape(int(h), int(w))
+    if fmt == "png16":
+        from .png import png_decode
+
+        offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
+        u, info = png_decode(memoryview(buf)[_HDR_SIZE:])
+        if u.dtype != np.uint16 or u.ndim != 2:
+            raise ValueError("png16 payload must be a 16-bit grayscale PNG")
+        if u.shape != (int(h), int(w)):
+            raise ValueError(
+                f"png16 payload is {u.shape}, row metadata says {(h, w)}"
+            )
+        # identical value mapping to raw-u16 → decodes bit-identically
+        a = (offset + scale * u.astype(np.float64)).astype(np.float32).astype(dtype, copy=False)
+        a[u == _U16_NODATA] = np.nan
+        return a
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -131,6 +159,15 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         q = np.clip(np.round((a - offset) / scale), 0, 254)
         u = np.where(np.isnan(a), _U8_NODATA, np.nan_to_num(q).astype(np.uint8))
         return struct.pack(_HDR_FMT, offset, scale) + u.astype("u1").tobytes()
+    if fmt == "png16":
+        from .png import png_encode
+
+        offset, scale = _u16_params(a)
+        q = np.clip(np.round((a - offset) / scale), 0, 65534)
+        u = np.where(np.isnan(a), _U16_NODATA, np.nan_to_num(q).astype(np.uint16))
+        return struct.pack(_HDR_FMT, offset, scale) + png_encode(
+            u.astype(np.uint16), filter="up"
+        )
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -1109,6 +1109,53 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_png16_witness(tag: str, out: str) -> None:
+    """png16-transcode witness (own marker → in-place upgrade).
+
+    Independent scalar reproduction of the ``transcode(ts, "png16")`` →
+    per-tile-stats query: per tile, u16-quantize the decoded truth over its
+    finite min..max (the raw-u16/png16 value mapping, 65534 levels) and take
+    the standard stats. Deliberately NEVER calls the PNG container code —
+    a decode bug in ``png.py`` cannot cancel out here.
+    """
+    done = os.path.join(out, "_PNG16_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    ids, npx, nva, sums = [], [], [], []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            z = tile_truth(scheme, tr, tc)
+            m = np.isfinite(z)
+            if m.any():
+                lo = float(z[m].min())
+                hi = float(z[m].max())
+                scale = (hi - lo) / 65534.0 if hi > lo else 1.0
+                q = np.clip(np.round((z - lo) / scale), 0, 65534)
+                rt = (lo + scale * np.nan_to_num(q)).astype(np.float32).astype(np.float64)
+                rt[~m] = np.nan
+            else:
+                rt = z
+            ids.append(f"t{tr:04d}_{tc:04d}")
+            npx.append(rt.size)
+            nva.append(int(m.sum()))
+            sums.append(round(float(rt[m].sum()), 2) if m.any() else 0.0)
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(npx, pa.int64()),
+                "n_valid": pa.array(nva, pa.int64()),
+                "sum_z": pa.array(sums, pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_png16.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -1154,6 +1201,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_r4_witnesses(tag, out)
     _ensure_salt_witness(tag, out)
     _ensure_terrain_witnesses(tag, out)
+    _ensure_png16_witness(tag, out)
     return out
 
 

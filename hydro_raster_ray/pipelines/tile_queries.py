@@ -560,8 +560,21 @@ def q_linear_interp_surface(sf_dir: str):
     return per_tile_stats(surf)
 
 
+def q_tile_png16_stats(sf_dir: str):
+    """Compressed-storage transcode: every tile re-encoded as ``png16``
+    (real pure-stdlib PNG container, ``png.py``), decoded back through the
+    standard tile path, per-tile stats. Oracle: ``witness_png16.parquet`` —
+    a scalar u16-quantization reproduction that never touches the PNG code,
+    so container encode/decode bugs cannot cancel out."""
+    from ..stages.decode import transcode
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(transcode(ts, "png16"))
+
+
 TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
+    "tile_png16_stats": q_tile_png16_stats,
     "grid_global_stats": q_grid_global_stats,
     "rect_clip_stats": q_rect_clip_stats,
     "zonal_stats": q_zonal_stats,

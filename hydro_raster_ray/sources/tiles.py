@@ -69,6 +69,9 @@ def _derive_meta(batch: pa.Table, scheme: TileScheme, validate: bool) -> pa.Tabl
             m = fmts == fmt
             # payload_nbytes is affine in h*w: probe once at (1,1) and (2,1)
             base = payload_nbytes(str(fmt), 1, 1)
+            if base < 0:  # compressed fmt, content-dependent length — the
+                expected[m] = lengths[m]  # container's own CRCs validate it
+                continue
             per = payload_nbytes(str(fmt), 2, 1) - base
             expected[m] = base + per * (h[m] * w[m] - 1)
         bad = np.nonzero(lengths != expected)[0]

@@ -46,7 +46,10 @@ class MediaCodec:
     - ``fake-rgb8``: deterministic stand-in "image" format — blake2b-seeded
       gradient, reproducible per payload (used to exercise pipelines without
       Pillow); decoding is real numpy work with the declared (h, w, 3) shape.
-    - ``png`` / ``jpeg``: require Pillow → NotImplementedError here.
+    - ``png``: REAL decode via the pure-stdlib codec (``png.py``) — gray /
+      gray+alpha / RGB / RGBA / palette, 8- and 16-bit, all five filters.
+    - ``jpeg``: requires Pillow (DCT/Huffman are out of pure-numpy budget)
+      → NotImplementedError here.
     """
 
     def __init__(self):
@@ -67,13 +70,22 @@ class MediaCodec:
             yy, xx = np.mgrid[0:h, 0:w]
             base = ((xx * 3 + yy * 7 + seed) % 256).astype(np.float64)
             return np.stack([base, (base * 2) % 256, (base * 5) % 256], axis=-1)
-        if fmt in ("png", "jpeg"):
+        if fmt == "png":
+            from ..png import png_decode
+
+            img, _info = png_decode(buf)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"png payload is {img.shape[:2]}, row metadata says {(h, w)}"
+                )
+            return img.astype(np.float64)
+        if fmt == "jpeg":
             if not self._pil:
                 raise NotImplementedError(
-                    f"{fmt} decode requires Pillow, which is not available in "
+                    "jpeg decode requires Pillow, which is not available in "
                     "this environment; plug a real codec into MediaCodec"
                 )
-            raise NotImplementedError("real image codec path not wired yet")
+            raise NotImplementedError("real jpeg codec path not wired yet")
         raise ValueError(f"unknown media fmt {fmt!r}")
 
     def decode_audio(self, buf, fmt: str) -> np.ndarray:

@@ -28,8 +28,15 @@ def test_codec_dispatch():
     assert img.shape == (8, 6, 3)
     # deterministic per payload
     np.testing.assert_array_equal(img, c.decode(b"\x01" * 100, 8, 6, "fake-rgb8"))
+    # png is a REAL decode now (pure-stdlib codec)
+    from hydro_raster_ray.png import png_encode
+
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint8) % 251).reshape(5, 7, 3)
+    out = c.decode(png_encode(rgb), 5, 7, "png")
+    assert out.dtype == np.float64
+    np.testing.assert_array_equal(out, rgb.astype(np.float64))
     with pytest.raises(NotImplementedError):
-        c.decode(b"\x89PNG", 4, 4, "png")
+        c.decode(b"\xff\xd8\xff\xe0", 4, 4, "jpeg")
     with pytest.raises(ValueError):
         c.decode(b"", 1, 1, "gif")
 
