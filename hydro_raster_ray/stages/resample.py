@@ -37,6 +37,12 @@ to every overlapping target — ~4× shuffle amplification, now gone);
 tile. The output header follows the reference: dims
 ``round(dim · cs_old/cs_new)``, top-left corner preserved
 (``Raster.py:387-403``).
+
+Exchange: ``exchange="files"`` (default) replaces the groupby sort barrier
+with the map-side bucket-file exchange of ``stages/exchange.py`` (emit
+streams at full width; measured 1.2-2× end-to-end vs the sort at 8-32
+CPUs, bit-identical output); ``"sort"`` keeps Ray's shuffle for
+deployments without a cluster-shared exchange directory.
 """
 
 from __future__ import annotations
@@ -288,6 +294,7 @@ def resample(
     tile_h: int = 64,
     tile_w: int = 64,
     shuffle_blocks: int | None = None,
+    exchange: str = "files",
 ) -> TileSet:
     src = ts.grid
     factor = src.cellsize / new_cellsize
@@ -433,6 +440,13 @@ def resample(
         )
 
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if exchange == "files":
+        # map-side bucket-file exchange: no sort barrier throttling the
+        # emit stage (see stages/exchange.py)
+        from .exchange import fragment_exchange
+
+        built = fragment_exchange(frags, build, key="tkey")
+        return TileSet(ds=built, grid=new_spec)
     if shuffle_blocks is None:
         from .cc import auto_shuffle_blocks
 
