@@ -329,6 +329,7 @@ def merge_into(
     resume_out_dir: str | None = None,
     resume_level: int = 2,
     salt_width: int = 64,
+    exchange: str = "files",
 ) -> TileSet:
     """The scatter-shuffle paste. Origins are pasted in list order (later
     overwrites earlier); an existing target TileSet forms the base layer
@@ -385,7 +386,29 @@ def merge_into(
         min_prio=min(p for _o, p, _q in layers),
         salt_width=salt_width,
         shuffle_blocks=shuffle_blocks,
+        exchange=exchange,
     )
+
+
+def _add_skey_fn(n_salts: int, salt_width: int, min_prio: int):
+    """Vectorized (salt, skey) column append for the salted two-level paste.
+
+    layer_idx ∈ [0, n_layers): shift by the minimum prio (−1 when an
+    existing-target base layer is present, else 0). Out-of-range layer
+    values CLAMP into the boundary salts (still pasted in prio order inside
+    the level-1 group — correct, just less parallel) instead of colliding
+    with a neighbour cell's skey space."""
+
+    def add_skey(t: pa.Table) -> pa.Table:
+        tkey = t["tkey"].to_numpy(zero_copy_only=False)
+        layer_idx = t["prio"].to_numpy(zero_copy_only=False) - min_prio
+        salt = np.clip(layer_idx // salt_width, 0, n_salts - 1)
+        t = t.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))
+        return t.append_column(
+            "skey", pa.array(tkey * n_salts + salt, pa.int64())
+        )
+
+    return add_skey
 
 
 def _combine_frags(
@@ -396,13 +419,44 @@ def _combine_frags(
     min_prio: int,
     salt_width: int,
     shuffle_blocks: int | None,
+    exchange: str = "sort",
 ) -> TileSet:
     """Shared fragment→tile combine: single-level groupby(tkey) for shallow
-    stacks, salted two-level for deep ones (plan-time decision)."""
+    stacks, salted two-level for deep ones (plan-time decision).
+
+    ``exchange="files"`` swaps the groupby sort for the map-side
+    bucket-file exchange (``stages/exchange.py``): fragments stream into
+    Hive-partitioned bucket files at full width and each bucket builds in
+    one task. Paste order stays deterministic — the group builders sort by
+    ``prio`` inside each group, and duplicate fragments from a retried
+    write are idempotent under that order."""
+    n_salts = -(-n_layers // max(salt_width, 1))
+    if exchange == "files":
+        from .exchange import fragment_exchange
+
+        if n_salts <= 1:
+            built = fragment_exchange(
+                frags, _tiles_from_groups(t_scheme, paste_nan_skip), key="tkey"
+            )
+            return TileSet(ds=built, grid=t_scheme.grid)
+        frags = frags.map_batches(
+            _add_skey_fn(n_salts, salt_width, min_prio),
+            batch_format="pyarrow", batch_size=None,
+        )
+        partials = fragment_exchange(
+            frags,
+            _partials_from_groups(
+                t_scheme, paste_nan_skip, need_mask=not paste_nan_skip
+            ),
+            key="skey",
+        )
+        built = fragment_exchange(
+            partials, _tiles_from_partials(t_scheme), key="tkey"
+        )
+        return TileSet(ds=built, grid=t_scheme.grid)
     if shuffle_blocks is None:
         shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)
-    n_salts = -(-n_layers // max(salt_width, 1))
     if n_salts <= 1:
         built = frags.groupby("tkey").map_groups(
             _tiles_from_groups(t_scheme, paste_nan_skip),
@@ -413,22 +467,10 @@ def _combine_frags(
     # hot-cell salting (see the two-level combine note above): prio-range
     # salt, vectorized key append, two groupbys — level 2 moves at most
     # n_salts full-tile partials per cell regardless of layer count
-    def add_skey(t: pa.Table) -> pa.Table:
-        tkey = t["tkey"].to_numpy(zero_copy_only=False)
-        # layer_idx ∈ [0, n_layers): shift by the minimum prio (−1 when an
-        # existing-target base layer is present, else 0)
-        layer_idx = t["prio"].to_numpy(zero_copy_only=False) - min_prio
-        # clamp: out-of-range layer values fold into the boundary salts
-        # (still pasted in prio order inside the level-1 group — correct,
-        # just less parallel) instead of colliding with a neighbour cell's
-        # skey space
-        salt = np.clip(layer_idx // salt_width, 0, n_salts - 1)
-        t = t.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))
-        return t.append_column(
-            "skey", pa.array(tkey * n_salts + salt, pa.int64())
-        )
-
-    frags = frags.map_batches(add_skey, batch_format="pyarrow", batch_size=None)
+    frags = frags.map_batches(
+        _add_skey_fn(n_salts, salt_width, min_prio),
+        batch_format="pyarrow", batch_size=None,
+    )
     partials = frags.groupby("skey").map_groups(
         _partials_from_groups(t_scheme, paste_nan_skip, need_mask=not paste_nan_skip),
         batch_format="pyarrow",
@@ -449,6 +491,7 @@ def merge_stack(
     quirk_gt0: bool = False,
     salt_width: int = 64,
     shuffle_blocks: int | None = None,
+    exchange: str = "files",
 ) -> TileSet:
     """Deep-stack merge from ONE dataset of independently-georeferenced tiles
     — the scalable form of ``merge_into`` when the layer count is large: a
@@ -490,6 +533,7 @@ def merge_stack(
         min_prio=0,
         salt_width=salt_width,
         shuffle_blocks=shuffle_blocks,
+        exchange=exchange,
     )
 
 
@@ -657,6 +701,7 @@ def regrid_nearest(
     tile_w: int = 64,
     clamp: bool = True,
     shuffle_blocks: int | None = None,
+    exchange: str = "files",
 ) -> TileSet:
     """Nearest-neighbour regrid onto an arbitrary new header — the gather
     shuffle shared by ``assign_to`` (clamp=True: border values extend
@@ -712,6 +757,13 @@ def regrid_nearest(
         return _frag_table(out)
 
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if exchange == "files":
+        from .exchange import fragment_exchange
+
+        built = fragment_exchange(
+            frags, _gather_from_groups(target, src, clamp), key="tkey"
+        )
+        return TileSet(ds=built, grid=new_spec)
     if shuffle_blocks is None:
         shuffle_blocks = auto_shuffle_blocks(floor=64)
     frags = frags.repartition(shuffle_blocks)  # see merge_into
