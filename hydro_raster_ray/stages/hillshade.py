@@ -158,15 +158,13 @@ def hillshade(
             t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
             return intensity_rows([(t_tr, t_tc, gr0, gc0, h, w, win, br, bc)])
 
-        frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-        if shuffle_blocks is None:
-            from .cc import auto_shuffle_blocks
+        # at-scale fallback (strips over budget): bucket-file exchange —
+        # same bit-identical windows, no sort barrier (stages/exchange.py)
+        from .exchange import fragment_exchange
 
-            shuffle_blocks = auto_shuffle_blocks(floor=64)
-        frags = frags.repartition(shuffle_blocks)
+        frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
         inter = (
-            frags.groupby("tkey")
-            .map_groups(build, batch_format="pyarrow")
+            fragment_exchange(frags, build, key="tkey")
             .materialize()  # two-phase stretch: bounds first, then rescale
         )
     from ray.data.aggregate import Max, Min

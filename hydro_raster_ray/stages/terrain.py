@@ -89,13 +89,12 @@ def _terrain(
         info = _Meta(tile_id(t_tr, t_tc), t_tr, t_tc, gr0, gc0, h, w, caption)
         return rows_to_table([(info, plane)], lossless=True)
 
+    # at-scale fallback (strips over budget): bucket-file exchange — same
+    # bit-identical windows, no sort barrier (stages/exchange.py)
     frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-    if shuffle_blocks is None:
-        from .cc import auto_shuffle_blocks
+    from .exchange import fragment_exchange
 
-        shuffle_blocks = auto_shuffle_blocks(floor=64)
-    frags = frags.repartition(shuffle_blocks)
-    out = frags.groupby("tkey").map_groups(build, batch_format="pyarrow")
+    out = fragment_exchange(frags, build, key="tkey")
     return TileSet(ds=out, grid=grid)
 
 
