@@ -437,6 +437,10 @@ FROM read_parquet('{F}/witness_slope.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_aspect.parquet')
 """,
+        "flow_dir_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_flowdir.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

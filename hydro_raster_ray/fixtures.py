@@ -1109,6 +1109,25 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_flowdir_witness(tag: str, out: str) -> None:
+    """D8 flow-direction witness (own marker → in-place upgrade):
+    whole-array ``oracle.flow_dir_d8`` then the standard per-tile stats."""
+    done = os.path.join(out, "_FLOWDIR_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.flow_dir_d8(full))),
+        os.path.join(out, "witness_flowdir.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_png16_witness(tag: str, out: str) -> None:
     """png16-transcode witness (own marker → in-place upgrade).
 
@@ -1202,6 +1221,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_salt_witness(tag, out)
     _ensure_terrain_witnesses(tag, out)
     _ensure_png16_witness(tag, out)
+    _ensure_flowdir_witness(tag, out)
     return out
 
 

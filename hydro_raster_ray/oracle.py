@@ -515,3 +515,47 @@ def resample(array, spec: GridSpec, new_cellsize: float, method: str = "bilinear
         spec.nrows / new_nrows, spec.ncols / new_ncols, spec.nrows, spec.ncols,
     )
     return out, new_spec
+
+
+# D8 neighbor table: ESRI direction codes in tie-break order (E first,
+# then clockwise), offsets in (row, col) with row+1 = south (row 0 north).
+_D8 = (
+    (0, 1, 1.0, 1),      # E
+    (1, 1, 2.0 ** 0.5, 2),   # SE
+    (1, 0, 1.0, 4),      # S
+    (1, -1, 2.0 ** 0.5, 8),  # SW
+    (0, -1, 1.0, 16),    # W
+    (-1, -1, 2.0 ** 0.5, 32),  # NW
+    (-1, 0, 1.0, 64),    # N
+    (-1, 1, 2.0 ** 0.5, 128),  # NE
+)
+
+
+def flow_dir_d8(array: np.ndarray) -> np.ndarray:
+    """Whole-array D8 flow-direction witness (ESRI codes: E=1, SE=2, S=4,
+    SW=8, W=16, NW=32, N=64, NE=128).
+
+    Engine-defined semantics, documented because the reference's toolkit
+    stops at the DEM-conditioning inputs of its flood model: direction of
+    the steepest POSITIVE drop rate ``(z - z_n) / dist`` (dist in cells,
+    √2 diagonal — uniform cellsize cancels); ties pick the FIRST code in
+    the table order above; no strictly-lower in-grid finite neighbor
+    (pit/flat) → 0; NaN cell → NaN; NaN and out-of-grid neighbors are not
+    candidates (grid-edge cells drain inward or pit — no phantom outward
+    flow). The engine's halo-tile path must bit-match."""
+    h, w = array.shape
+    p = np.pad(array.astype(np.float64), 1, constant_values=np.nan)
+    z = p[1:-1, 1:-1]
+    best = np.full((h, w), -np.inf)
+    code = np.zeros((h, w))
+    for dr, dc, dist, c in _D8:
+        zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        with np.errstate(invalid="ignore"):
+            d = (z - zn) / dist
+        d = np.where(np.isnan(d), -np.inf, d)
+        take = d > best  # strict: the first code in table order wins ties
+        best = np.where(take, d, best)
+        code = np.where(take, float(c), code)
+    out = np.where(best > 0, code, 0.0)
+    out[np.isnan(z)] = np.nan
+    return out

@@ -560,6 +560,15 @@ def q_linear_interp_surface(sf_dir: str):
     return per_tile_stats(surf)
 
 
+def q_flow_dir_stats(sf_dir: str):
+    """D8 flow direction (8-connected halo with corner pixels) — per-tile
+    stats vs the whole-array witness ``oracle.flow_dir_d8``."""
+    from ..stages.terrain import flow_dir
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(flow_dir(ts))
+
+
 def q_tile_png16_stats(sf_dir: str):
     """Compressed-storage transcode: every tile re-encoded as ``png16``
     (real pure-stdlib PNG container, ``png.py``), decoded back through the
@@ -602,6 +611,7 @@ TILE_QUERIES = {
     "hillshade_stats": q_hillshade_stats,
     "slope_stats": q_slope_stats,
     "aspect_stats": q_aspect_stats,
+    "flow_dir_stats": q_flow_dir_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -51,13 +51,20 @@ def window_from_broadcast(info, arr: np.ndarray, strips: dict):
     return win, info.gr0 - win_r0, info.gc0 - win_c0
 
 
-def emit_halo_frags(batch: pa.Table, grid, strips_only: bool = False) -> pa.Table:
+def emit_halo_frags(
+    batch: pa.Table, grid, strips_only: bool = False, corners: bool = False
+) -> pa.Table:
     """Fragment rows for one input batch: per tile, the body (prio=1) plus
     up to four 1-px edge strips aimed at the 4-neighbor tile keys (prio=0).
     f32 fragments (lossless by codec contract — half the exchange bytes).
     ``strips_only=True`` omits the bodies — the strip side alone is ~1.5 %
     of the corpus bytes (2·(h+w)/(h·w) of each tile), which is what makes
-    the broadcast-halo fast path (``collect_strips``) viable."""
+    the broadcast-halo fast path (``collect_strips``) viable.
+
+    ``corners=True`` additionally ships the four 1×1 corner pixels to the
+    diagonal neighbors — required by 8-connected stencils (D8 flow
+    direction); ``np.gradient``'s axis-aligned differences never read
+    corners, so the gradient family leaves this off."""
     out = []
     for info, arr in iter_tiles(batch, grid, dtype=np.float32):
         tr, tc = info.tile_row, info.tile_col
@@ -89,10 +96,24 @@ def emit_halo_frags(batch: pa.Table, grid, strips_only: bool = False) -> pa.Tabl
             frag(arr[:, :1], tr, tc - 1, info.gr0, info.gc0)
         if info.gc0 + info.w < grid.ncols:
             frag(arr[:, -1:], tr, tc + 1, info.gr0, info.gc0 + info.w - 1)
+        if corners:
+            n_ok = tr > 0
+            s_ok = info.gr0 + info.h < grid.nrows
+            w_ok = tc > 0
+            e_ok = info.gc0 + info.w < grid.ncols
+            r1, c1 = info.gr0 + info.h - 1, info.gc0 + info.w - 1
+            if n_ok and w_ok:
+                frag(arr[:1, :1], tr - 1, tc - 1, info.gr0, info.gc0)
+            if n_ok and e_ok:
+                frag(arr[:1, -1:], tr - 1, tc + 1, info.gr0, c1)
+            if s_ok and w_ok:
+                frag(arr[-1:, :1], tr + 1, tc - 1, r1, info.gc0)
+            if s_ok and e_ok:
+                frag(arr[-1:, -1:], tr + 1, tc + 1, r1, c1)
     return _frag_table(out)
 
 
-def collect_strips(ts, budget_bytes: int):
+def collect_strips(ts, budget_bytes: int, corners: bool = False):
     """Broadcast-halo fast path, phase 1: materialize ONLY the 1-px edge
     strips (≈1.5 % of the corpus through the object store — strictly less
     than the groupby path, which exchanges strips AND bodies) and, when
@@ -104,7 +125,7 @@ def collect_strips(ts, budget_bytes: int):
     be computed in ONE map pass with no all-to-all barrier at all."""
     grid = ts.grid
     strips = ts.ds.map_batches(
-        lambda b: emit_halo_frags(b, grid, strips_only=True),
+        lambda b: emit_halo_frags(b, grid, strips_only=True, corners=corners),
         batch_format="pyarrow",
         batch_size=None,
     ).materialize()

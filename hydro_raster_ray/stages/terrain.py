@@ -31,7 +31,7 @@ from .halo import (
     window_from_broadcast,
 )
 
-__all__ = ["slope", "aspect"]
+__all__ = ["slope", "aspect", "flow_dir"]
 
 
 def _terrain(
@@ -40,6 +40,7 @@ def _terrain(
     caption: str,
     shuffle_blocks: int | None,
     halo_broadcast_budget: int = 256 << 20,
+    corners: bool = False,
 ) -> TileSet:
     grid = ts.grid
 
@@ -50,7 +51,7 @@ def _terrain(
     # pipeline idles ~2/3 of CPU slots on this family). Fallback below is
     # the exchange path; both produce bit-identical windows (same f32
     # round-trip, same NaN hull), asserted by tests.
-    strips = collect_strips(ts, halo_broadcast_budget)
+    strips = collect_strips(ts, halo_broadcast_budget, corners=corners)
     if strips is not None:
         import ray as _ray
 
@@ -78,7 +79,7 @@ def _terrain(
         )
 
     def emit(batch: pa.Table) -> pa.Table:
-        return emit_halo_frags(batch, grid)
+        return emit_halo_frags(batch, grid, corners=corners)
 
     def build(g: pa.Table) -> pa.Table:
         asm = assemble_window(g)
@@ -155,3 +156,63 @@ def aspect(
         return np.where(slope_nan, np.nan, asp)
 
     return _terrain(ts, kernel, "aspect deg", shuffle_blocks, halo_broadcast_budget)
+
+
+# D8 neighbor table (ESRI codes in tie-break order) — must match the
+# witness table in ``oracle.flow_dir_d8``
+_D8 = (
+    (0, 1, 1.0, 1.0),        # E
+    (1, 1, 2.0 ** 0.5, 2.0),     # SE
+    (1, 0, 1.0, 4.0),        # S
+    (1, -1, 2.0 ** 0.5, 8.0),    # SW
+    (0, -1, 1.0, 16.0),      # W
+    (-1, -1, 2.0 ** 0.5, 32.0),  # NW
+    (-1, 0, 1.0, 64.0),      # N
+    (-1, 1, 2.0 ** 0.5, 128.0),  # NE
+)
+
+
+def flow_dir(
+    ts: TileSet,
+    shuffle_blocks: int | None = None,
+    halo_broadcast_budget: int = 256 << 20,
+) -> TileSet:
+    """D8 flow direction — the hydrology stencil the reference's flood
+    toolkit conditions DEMs for. ESRI codes (E=1 … NE=128), steepest
+    positive drop rate ``(z - z_n)/dist``, first-code tie-break, 0 for
+    pits/flats, NaN holes stay NaN; semantics defined by the witness
+    ``oracle.flow_dir_d8``.
+
+    An 8-CONNECTED stencil: unlike the gradient family it reads diagonal
+    corners, so the halo exchange ships the four 1×1 corner pixels too
+    (``emit_halo_frags(corners=True)``). Same two paths as slope/aspect:
+    broadcast-halo single map pass when the strips fit the budget, the
+    bucket-file exchange at scale — bit-identical either way.
+
+    The stacked-argmax kernel is a different formulation from the
+    witness's running-max loop; both reduce to "first code of the maximal
+    positive drop", asserted equal by the goldens.
+    """
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        h, w = win.shape
+        p = np.pad(win.astype(np.float64, copy=False), 1,
+                   constant_values=np.nan)
+        z = p[1:-1, 1:-1]
+        drops = np.empty((8, h, w))
+        for k, (dr, dc, dist, _c) in enumerate(_D8):
+            zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            with np.errstate(invalid="ignore"):
+                drops[k] = (z - zn) / dist
+        drops[np.isnan(drops)] = -np.inf
+        best = np.argmax(drops, axis=0)  # first max in table order
+        bestv = np.take_along_axis(drops, best[None], 0)[0]
+        codes = np.array([c for *_x, c in _D8])
+        out = np.where(bestv > 0, codes[best], 0.0)
+        out[np.isnan(z)] = np.nan
+        return out
+
+    return _terrain(
+        ts, kernel, "flow_dir d8", shuffle_blocks, halo_broadcast_budget,
+        corners=True,
+    )

@@ -81,3 +81,70 @@ def test_slope_groupby_fallback_bit_matches_broadcast(tileset, small_scheme):
     fast = to_array(slope(tileset))
     slow = to_array(slope(tileset, halo_broadcast_budget=0))
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_flow_dir_matches_witness(tileset, small_scheme):
+    from hydro_raster_ray.stages.terrain import flow_dir
+
+    full = fixtures.assemble_truth(small_scheme)
+    want = _f32(oracle.flow_dir_d8(full))
+    got = to_array(flow_dir(tileset))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flow_dir_hand_case():
+    """Pin the D8 semantics with a hand-verified 3x3 bowl: codes, pit=0,
+    tie-break (W before N), diagonal preference."""
+    a = np.array([[3.0, 2.0, 3.0], [2.0, 1.0, 2.0], [3.0, 2.0, 9.0]])
+    want = np.array(
+        [[2.0, 4.0, 8.0], [1.0, 0.0, 16.0], [128.0, 64.0, 16.0]]
+    )
+    np.testing.assert_array_equal(oracle.flow_dir_d8(a), want)
+
+
+def test_flow_dir_needs_corners(ray_session):
+    """A cell whose steepest drop is the DIAGONAL neighbor across a tile
+    boundary — wrong without the corner-pixel halo (the gradient family's
+    4-neighbor strips would miss it)."""
+    from hydro_raster_ray.stages.terrain import flow_dir
+
+    scheme = fixtures.make_scheme(2, 2, tile_h=16, tile_w=16, ragged=False)
+    full = fixtures.assemble_truth(scheme).copy()
+    full[:] = 0.0
+    # tile boundary is at row/col 16; cell (15,15) is tile (0,0)'s SE corner
+    full[15, 15] = 10.0
+    full[16, 16] = -50.0  # diagonal neighbor in tile (1,1): steepest drop
+    full[15, 16] = -1.0
+    full[16, 15] = -1.0
+    import pyarrow as pa
+
+    from hydro_raster_ray import codecs
+
+    t = fixtures.tiles_table(scheme)
+    rows_b = []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            h, w = scheme.tile_shape(tr, tc)
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            rows_b.append(codecs.encode(full[r0 : r0 + h, c0 : c0 + w], "raw-f32"))
+    t = t.set_column(
+        t.schema.get_field_index("bytes"), "bytes", pa.array(rows_b, pa.binary())
+    )
+    t = t.set_column(
+        t.schema.get_field_index("fmt"),
+        "fmt",
+        pa.array(["raw-f32"] * t.num_rows, pa.string()),
+    )
+    ts = from_arrow_tiles(t, scheme)
+    got = to_array(flow_dir(ts))
+    want = _f32(oracle.flow_dir_d8(_f32(full)))
+    np.testing.assert_array_equal(got, want)
+    assert got[15, 15] == 2.0  # SE across both tile borders
+
+
+def test_flow_dir_exchange_fallback_bit_matches_broadcast(tileset):
+    from hydro_raster_ray.stages.terrain import flow_dir
+
+    fast = to_array(flow_dir(tileset))
+    slow = to_array(flow_dir(tileset, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(fast, slow)
