@@ -559,3 +559,26 @@ def flow_dir_d8(array: np.ndarray) -> np.ndarray:
     out = np.where(best > 0, code, 0.0)
     out[np.isnan(z)] = np.nan
     return out
+
+
+def fill_pits(array: np.ndarray) -> np.ndarray:
+    """Whole-array single-cell pit-fill witness (DEM conditioning for D8).
+
+    Engine-defined semantics: a PIT is a finite cell strictly lower than
+    all eight of its neighbors, all of which must be in-grid and finite —
+    global-edge cells drain outward and hole-adjacent cells drain into the
+    hole, so neither is a pit. Each pit is raised to its neighborhood
+    minimum (one pass — single-cell depressions only; basin-scale filling
+    is an iterative/global op out of this operator's scope, documented).
+    The engine's corner-halo tile path must bit-match."""
+    h, w = array.shape
+    p = np.pad(array.astype(np.float64), 1, constant_values=np.nan)
+    z = p[1:-1, 1:-1]
+    nmin = np.full((h, w), np.inf)
+    all_finite = np.ones((h, w), dtype=bool)
+    for dr, dc, _dist, _c in _D8:
+        zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        all_finite &= np.isfinite(zn)
+        nmin = np.fmin(nmin, np.where(np.isnan(zn), np.inf, zn))
+    pit = np.isfinite(z) & all_finite & (z < nmin)
+    return np.where(pit, nmin, z)

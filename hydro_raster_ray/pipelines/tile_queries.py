@@ -569,6 +569,15 @@ def q_flow_dir_stats(sf_dir: str):
     return per_tile_stats(flow_dir(ts))
 
 
+def q_fill_pits_stats(sf_dir: str):
+    """Single-cell pit fill (8-connected corner halo) — per-tile stats vs
+    the whole-array witness ``oracle.fill_pits``."""
+    from ..stages.terrain import fill_pits
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(fill_pits(ts))
+
+
 def q_tile_png16_stats(sf_dir: str):
     """Compressed-storage transcode: every tile re-encoded as ``png16``
     (real pure-stdlib PNG container, ``png.py``), decoded back through the
@@ -612,6 +621,7 @@ TILE_QUERIES = {
     "slope_stats": q_slope_stats,
     "aspect_stats": q_aspect_stats,
     "flow_dir_stats": q_flow_dir_stats,
+    "fill_pits_stats": q_fill_pits_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

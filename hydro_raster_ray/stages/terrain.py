@@ -31,7 +31,7 @@ from .halo import (
     window_from_broadcast,
 )
 
-__all__ = ["slope", "aspect", "flow_dir"]
+__all__ = ["slope", "aspect", "flow_dir", "fill_pits"]
 
 
 def _terrain(
@@ -214,5 +214,37 @@ def flow_dir(
 
     return _terrain(
         ts, kernel, "flow_dir d8", shuffle_blocks, halo_broadcast_budget,
+        corners=True,
+    )
+
+
+def fill_pits(
+    ts: TileSet,
+    shuffle_blocks: int | None = None,
+    halo_broadcast_budget: int = 256 << 20,
+) -> TileSet:
+    """Single-cell pit fill (DEM conditioning for ``flow_dir``): a finite
+    cell strictly below all eight in-grid finite neighbors rises to the
+    neighborhood minimum; global-edge and hole-adjacent cells are never
+    pits (they drain outward / into the hole). Semantics defined by the
+    witness ``oracle.fill_pits``; 8-connected, so the halo ships corner
+    pixels like ``flow_dir``."""
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        h, w = win.shape
+        p = np.pad(win.astype(np.float64, copy=False), 1,
+                   constant_values=np.nan)
+        z = p[1:-1, 1:-1]
+        nmin = np.full((h, w), np.inf)
+        all_finite = np.ones((h, w), dtype=bool)
+        for dr, dc, _dist, _c in _D8:
+            zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            all_finite &= np.isfinite(zn)
+            nmin = np.fmin(nmin, np.where(np.isnan(zn), np.inf, zn))
+        pit = np.isfinite(z) & all_finite & (z < nmin)
+        return np.where(pit, nmin, z)
+
+    return _terrain(
+        ts, kernel, "fill_pits", shuffle_blocks, halo_broadcast_budget,
         corners=True,
     )

@@ -148,3 +148,26 @@ def test_flow_dir_exchange_fallback_bit_matches_broadcast(tileset):
     fast = to_array(flow_dir(tileset))
     slow = to_array(flow_dir(tileset, halo_broadcast_budget=0))
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_fill_pits_matches_witness(tileset, small_scheme):
+    from hydro_raster_ray.stages.terrain import fill_pits
+
+    full = fixtures.assemble_truth(small_scheme)
+    want = _f32(oracle.fill_pits(full))
+    got = to_array(fill_pits(tileset))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fill_pits_semantics():
+    a = np.full((5, 5), 5.0)
+    a[2, 2] = 1.0
+    a[2, 3] = 3.0
+    assert oracle.fill_pits(a)[2, 2] == 3.0  # raised to min neighbor
+    e = np.full((5, 5), 5.0)
+    e[0, 0] = 1.0
+    assert oracle.fill_pits(e)[0, 0] == 1.0  # edge cells drain outward
+    h = np.full((5, 5), 5.0)
+    h[2, 2] = 1.0
+    h[1, 1] = np.nan
+    assert oracle.fill_pits(h)[2, 2] == 1.0  # hole-adjacent drains into hole
