@@ -445,6 +445,10 @@ FROM read_parquet('{F}/witness_flowdir.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_fillpits.parquet')
 """,
+        "flow_acc_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_flowacc.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

@@ -1110,10 +1110,11 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
 
 
 def _ensure_flowdir_witness(tag: str, out: str) -> None:
-    """D8 flow-direction + pit-fill witnesses (own marker → in-place
-    upgrade): whole-array ``oracle.flow_dir_d8`` / ``oracle.fill_pits``
-    then the standard per-tile stats."""
-    done = os.path.join(out, "_FLOWDIR_WITNESS_V2")
+    """D8 flow-direction + pit-fill + flow-accumulation witnesses (own
+    marker → in-place upgrade): whole-array ``oracle.flow_dir_d8`` /
+    ``oracle.fill_pits`` / ``oracle.flow_accumulation`` then the standard
+    per-tile stats."""
+    done = os.path.join(out, "_FLOWDIR_WITNESS_V3")
     if os.path.exists(done):
         return
     from . import oracle
@@ -1128,6 +1129,10 @@ def _ensure_flowdir_witness(tag: str, out: str) -> None:
     _write_atomic(
         _per_tile_stats_table(scheme, _f32(oracle.fill_pits(full))),
         os.path.join(out, "witness_fillpits.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.flow_accumulation(full))),
+        os.path.join(out, "witness_flowacc.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

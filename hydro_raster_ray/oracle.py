@@ -582,3 +582,31 @@ def fill_pits(array: np.ndarray) -> np.ndarray:
         nmin = np.fmin(nmin, np.where(np.isnan(zn), np.inf, zn))
     pit = np.isfinite(z) & all_finite & (z < nmin)
     return np.where(pit, nmin, z)
+
+
+def flow_accumulation(array: np.ndarray) -> np.ndarray:
+    """Whole-array D8 flow-accumulation witness: the number of cells
+    (weight 1 each, SELF INCLUDED) whose downstream D8 path passes through
+    each cell. NaN cells stay NaN; pit/flat cells (``flow_dir_d8`` = 0)
+    accumulate inflow but pass nothing on.
+
+    D8 flow strictly descends (drop > 0), so descending elevation is a
+    topological order: one pass pushing each cell's count to its receiver
+    resolves every path — the scalar reproduction the engine's tiled
+    Barnes-style two-pass must match exactly."""
+    h, w = array.shape
+    d = flow_dir_d8(array)
+    acc = np.where(np.isnan(array), np.nan, 1.0)
+    off = {c: (dr, dc) for dr, dc, _dist, c in _D8}
+    flat = array.ravel()
+    finite = np.flatnonzero(np.isfinite(flat))
+    order = finite[np.argsort(-flat[finite], kind="stable")]
+    af = acc.ravel()
+    df = d.ravel()
+    for idx in order:
+        c = int(df[idx])
+        if c == 0:
+            continue
+        dr, dc = off[c]
+        af[idx + dr * w + dc] += af[idx]
+    return af.reshape(h, w)

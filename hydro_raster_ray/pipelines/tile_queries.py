@@ -578,6 +578,16 @@ def q_fill_pits_stats(sf_dir: str):
     return per_tile_stats(fill_pits(ts))
 
 
+def q_flow_acc_stats(sf_dir: str):
+    """Distributed D8 flow accumulation (Barnes-style tile contraction:
+    haloed local pass → driver border solve → resolved second pass) —
+    per-tile stats vs the whole-array witness ``oracle.flow_accumulation``."""
+    from ..stages.flowacc import flow_accumulation
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(flow_accumulation(ts))
+
+
 def q_tile_png16_stats(sf_dir: str):
     """Compressed-storage transcode: every tile re-encoded as ``png16``
     (real pure-stdlib PNG container, ``png.py``), decoded back through the
@@ -622,6 +632,7 @@ TILE_QUERIES = {
     "aspect_stats": q_aspect_stats,
     "flow_dir_stats": q_flow_dir_stats,
     "fill_pits_stats": q_fill_pits_stats,
+    "flow_acc_stats": q_flow_acc_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -124,8 +124,10 @@ def fragment_exchange(
     if not bucket_dirs:  # zero fragments: empty groupby yields empty output
         return frags.groupby(key).map_groups(build, batch_format=build_batch_format)
 
-    def build_bucket(batch: pa.Table) -> pa.Table:
-        outs = []
+    def build_bucket(batch: pa.Table):
+        # generator UDF: zero-output buckets (every group built to None —
+        # e.g. halo strips aimed at missing tiles of a sparse set) yield
+        # nothing instead of forcing an empty table of unknown schema
         for path in batch["item"].to_pylist():
             t = pq.read_table(path)
             if t.num_rows == 0:
@@ -138,8 +140,9 @@ def fragment_exchange(
             starts = np.concatenate([[0], bounds])
             stops = np.concatenate([bounds, [len(ks)]])
             for lo, hi in zip(starts, stops):
-                outs.append(build(t.slice(int(lo), int(hi - lo))))
-        return pa.concat_tables(outs)
+                out = build(t.slice(int(lo), int(hi - lo)))
+                if out is not None and out.num_rows:
+                    yield out
 
     items = ray.data.from_items(bucket_dirs, override_num_blocks=len(bucket_dirs))
     return items.map_batches(

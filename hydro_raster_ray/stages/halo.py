@@ -178,3 +178,55 @@ def assemble_window(g: pa.Table):
         cc = int(c0s[i]) - win_c0
         win[rr : rr + int(fhs[i]), cc : cc + int(fws[i])] = fragm
     return t_tr, t_tc, gr0, gc0, h, w, win, gr0 - win_r0, gc0 - win_c0
+
+
+def halo_map(ts, fn, corners: bool = False, budget_bytes: int = 256 << 20):
+    """Generic haloed-window map: run ``fn(t_tr, t_tc, gr0, gc0, h, w, win,
+    br, bc) -> pa.Table`` once per tile over its halo-extended float64
+    window (``win[br:br+h, bc:bc+w]`` is the body). Output schema is the
+    caller's — unlike ``stages/terrain._terrain`` the result need not be
+    tile rows, which is what the flow-accumulation passes need (border
+    edge tables in pass 1, accumulation tiles in pass 2).
+
+    Same two paths as the terrain family, bit-identical windows either
+    way: broadcast-halo single map pass when the strips fit
+    ``budget_bytes``; the bucket-file exchange (``stages/exchange.py``)
+    at scale."""
+    import pyarrow as _pa
+
+    grid = ts.grid
+    strips = collect_strips(ts, budget_bytes, corners=corners)
+    if strips is not None:
+        import ray as _ray
+
+        sref = _ray.put(strips)
+
+        def apply(batch: _pa.Table):
+            # generator UDF — a batch whose every tile yields None produces
+            # zero output blocks (no empty-schema fabrication needed)
+            import ray as _ray2
+
+            dd = _ray2.get(sref)
+            for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+                win, br, bc = window_from_broadcast(info, arr, dd)
+                out = fn(info.tile_row, info.tile_col, info.gr0, info.gc0,
+                         info.h, info.w, win, br, bc)
+                if out is not None and out.num_rows:
+                    yield out
+
+        return ts.ds.map_batches(apply, batch_format="pyarrow")
+
+    def emit(batch: _pa.Table) -> _pa.Table:
+        return emit_halo_frags(batch, grid, corners=corners)
+
+    def build(g: _pa.Table) -> _pa.Table:
+        asm = assemble_window(g)
+        if asm is None:
+            return None
+        t_tr, t_tc, gr0, gc0, h, w, win, br, bc = asm
+        return fn(t_tr, t_tc, gr0, gc0, h, w, win, br, bc)
+
+    from .exchange import fragment_exchange
+
+    frags = ts.ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    return fragment_exchange(frags, build, key="tkey")

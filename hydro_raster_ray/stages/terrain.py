@@ -31,7 +31,7 @@ from .halo import (
     window_from_broadcast,
 )
 
-__all__ = ["slope", "aspect", "flow_dir", "fill_pits"]
+__all__ = ["slope", "aspect", "flow_dir", "fill_pits", "d8_codes"]
 
 
 def _terrain(
@@ -194,28 +194,32 @@ def flow_dir(
     positive drop", asserted equal by the goldens.
     """
 
-    def kernel(win: np.ndarray) -> np.ndarray:
-        h, w = win.shape
-        p = np.pad(win.astype(np.float64, copy=False), 1,
-                   constant_values=np.nan)
-        z = p[1:-1, 1:-1]
-        drops = np.empty((8, h, w))
-        for k, (dr, dc, dist, _c) in enumerate(_D8):
-            zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
-            with np.errstate(invalid="ignore"):
-                drops[k] = (z - zn) / dist
-        drops[np.isnan(drops)] = -np.inf
-        best = np.argmax(drops, axis=0)  # first max in table order
-        bestv = np.take_along_axis(drops, best[None], 0)[0]
-        codes = np.array([c for *_x, c in _D8])
-        out = np.where(bestv > 0, codes[best], 0.0)
-        out[np.isnan(z)] = np.nan
-        return out
-
     return _terrain(
-        ts, kernel, "flow_dir d8", shuffle_blocks, halo_broadcast_budget,
+        ts, d8_codes, "flow_dir d8", shuffle_blocks, halo_broadcast_budget,
         corners=True,
     )
+
+
+def d8_codes(win: np.ndarray) -> np.ndarray:
+    """The D8 kernel over one (haloed) window: ESRI code plane (0 =
+    pit/flat, NaN preserved). Shared by ``flow_dir`` and the
+    flow-accumulation passes (``stages/flowacc``) so the two operators
+    agree cell-for-cell by construction."""
+    h, w = win.shape
+    p = np.pad(win.astype(np.float64, copy=False), 1, constant_values=np.nan)
+    z = p[1:-1, 1:-1]
+    drops = np.empty((8, h, w))
+    for k, (dr, dc, dist, _c) in enumerate(_D8):
+        zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        with np.errstate(invalid="ignore"):
+            drops[k] = (z - zn) / dist
+    drops[np.isnan(drops)] = -np.inf
+    best = np.argmax(drops, axis=0)  # first max in table order
+    bestv = np.take_along_axis(drops, best[None], 0)[0]
+    codes = np.array([c for *_x, c in _D8])
+    out = np.where(bestv > 0, codes[best], 0.0)
+    out[np.isnan(z)] = np.nan
+    return out
 
 
 def fill_pits(
