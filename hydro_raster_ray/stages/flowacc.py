@@ -9,8 +9,10 @@ accumulation for trillion cell DEMs" — public literature, pattern only):
 1. **Pass 1 (haloed map, ``halo.halo_map``)**: per tile, D8 directions
    from the corner halo (``terrain.d8_codes`` — shared kernel, so
    ``flow_dir`` and accumulation agree by construction), then a LOCAL
-   accumulation over in-tile paths only (descending-z push — D8 drops are
-   strictly positive, so elevation is a topological order). Emits only
+   accumulation over in-tile paths only. D8 drops are strictly positive,
+   so elevation is a topological order: ONE descending-z push resolves
+   the tile, and one ascending-z sweep resolves every cell's in-tile
+   TERMINAL (pit or exit cell) — no per-path walking anywhere. Emits only
    tiny border rows: a *transfer* per cell whose receiver lies outside
    the tile (src gid, dst gid, local amount, src z) and a *pass-through*
    per border-ring cell mapping external inflow to its in-tile exit cell.
@@ -26,10 +28,13 @@ accumulation for trillion cell DEMs" — public literature, pattern only):
    level's border table this small — not a distributed fixpoint loop.
 
 3. **Pass 2 (haloed map)**: broadcast the resolved in-flow dict
-   (``ray.put``), recompute the cheap local state per tile, walk each
-   external in-flow down its in-tile path, and emit final accumulation
-   tiles (lossless ``raw-f32``; counts are exact integers below 2²⁴ —
-   beyond that scale, sink the plane to an int64 column table instead).
+   (``ray.put``) and rerun the SAME descending-z push with initial
+   weights ``1 + in_flow(cell)`` — the push distributes external amounts
+   down their in-tile paths as a side effect of the same topological
+   order, so pass 2 costs exactly one pass-1 kernel. Emits final
+   accumulation tiles (lossless ``raw-f32``; counts are exact integers
+   below 2²⁴ — beyond that scale, sink the plane to an int64 column
+   table instead).
 
 Every pass streams; the only materialized artifacts are the border rows
 and the in-flow dict. Re-entrant rivers (leave a tile, come back) are
@@ -42,73 +47,78 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.tiles import TileSet
+from .decode import rows_to_table
 from .halo import halo_map
 from .terrain import _D8, _Meta, d8_codes
-from .decode import rows_to_table
 
 __all__ = ["flow_accumulation"]
 
-# window-flat step per ESRI code (filled per window width at use time)
 _CODE_TO_K = {int(c): k for k, (_r, _c2, _d, c) in enumerate(_D8)}
 _DR = np.array([d[0] for d in _D8])
 _DC = np.array([d[1] for d in _D8])
-_CODES = np.array([d[3] for d in _D8])
+_LUT = np.zeros(256, dtype=np.int64)
+for _c, _k in _CODE_TO_K.items():
+    _LUT[_c] = _k
 
 
-def _tile_flow(win: np.ndarray, br: int, bc: int, h: int, w: int):
-    """Shared per-tile state: body D8 codes, each body cell's receiver in
-    BODY-flat coords (-1 = none / exits tile), the window coords of
-    out-of-body receivers, and the body's local accumulation.
+def _tile_flow(win, br, bc, h, w, weights=None, want_term=False):
+    """Per-tile flow state from the haloed window.
 
-    Local accumulation: descending-z push over in-body edges only —
-    elevation is a topological order because D8 drops are strictly
-    positive."""
+    Returns ``(nxt, exits, acc, order, term)``:
+    - ``nxt``: body-flat receiver index per cell (−1 = pit/flat or exits)
+    - ``exits``: (body-flat exit cells, receiver window rows, cols)
+    - ``acc``: accumulation with initial weights ``1 (+ weights)`` pushed
+      down every in-tile path (descending-z = topological order)
+    - ``order``: body-flat descending-z order of finite cells
+    - ``term``: each cell's in-tile terminal (ascending-z sweep), or None
+    """
     codes = d8_codes(win)[br : br + h, bc : bc + w]
     zbody = win[br : br + h, bc : bc + w]
     m = np.isfinite(codes) & (codes > 0)
-    # code → table-row lookup (codes are powers of two, not ordered)
-    lut = np.zeros(256, dtype=np.int64)
-    for c, k in _CODE_TO_K.items():
-        lut[c] = k
     rr, cc = np.nonzero(m)
-    k = lut[codes[rr, cc].astype(np.int64)]
+    k = _LUT[codes[rr, cc].astype(np.int64)]
     tr_w = rr + br + _DR[k]  # receiver in window coords
     tc_w = cc + bc + _DC[k]
-    inside = (
-        (tr_w >= br) & (tr_w < br + h) & (tc_w >= bc) & (tc_w < bc + w)
-    )
-    nxt = np.full(h * w, -1, dtype=np.int64)  # body-flat receiver
+    inside = (tr_w >= br) & (tr_w < br + h) & (tc_w >= bc) & (tc_w < bc + w)
+    nxt = np.full(h * w, -1, dtype=np.int64)
     bidx = rr * w + cc
     nxt[bidx[inside]] = (tr_w[inside] - br) * w + (tc_w[inside] - bc)
-    # out-of-body receivers (window coords) per exiting body cell
-    exit_cells = bidx[~inside]
-    exit_tr_w = tr_w[~inside]
-    exit_tc_w = tc_w[~inside]
+    exits = (bidx[~inside], tr_w[~inside], tc_w[~inside])
 
-    acc = np.where(np.isnan(zbody), np.nan, 1.0).ravel()
     zf = zbody.ravel()
+    acc = np.where(np.isnan(zf), np.nan, 1.0)
+    if weights is not None:
+        acc = acc + weights
     finite = np.flatnonzero(np.isfinite(zf))
     order = finite[np.argsort(-zf[finite], kind="stable")]
-    nx = nxt
-    for idx in order:
-        t = nx[idx]
+    # tight loops over Python lists — ~4× faster than numpy scalar indexing
+    ol = order.tolist()
+    nl = nxt.tolist()
+    al = acc.tolist()
+    for idx in ol:
+        t = nl[idx]
         if t >= 0:
-            acc[t] += acc[idx]
-    return codes, nxt, (exit_cells, exit_tr_w, exit_tc_w), acc
+            al[t] += al[idx]
+    acc = np.asarray(al)
+    term = None
+    if want_term:
+        tl = list(range(h * w))
+        for idx in reversed(ol):  # ascending z: receiver resolved first
+            t = nl[idx]
+            if t >= 0:
+                tl[idx] = tl[t]
+        term = tl
+    return nxt, exits, acc, order, term
 
 
-def _border_ring_flat(h: int, w: int) -> np.ndarray:
+def _border_ring_flat(h: int, w: int) -> list[int]:
     """Body-flat indices of the tile's border ring (the only cells that can
     receive flow from outside the tile)."""
-    idx = []
-    idx.extend(range(w))  # top row
-    if h > 1:
-        idx.extend(range((h - 1) * w, h * w))  # bottom row
+    idx = set(range(w)) | set(range((h - 1) * w, h * w))
     for r in range(1, h - 1):
-        idx.append(r * w)
-        if w > 1:
-            idx.append(r * w + w - 1)
-    return np.array(sorted(set(idx)), dtype=np.int64)
+        idx.add(r * w)
+        idx.add(r * w + w - 1)
+    return sorted(idx)
 
 
 _EDGE_SCHEMA = pa.schema(
@@ -132,58 +142,47 @@ def flow_accumulation(
     ncols = grid.ncols
 
     def pass1(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
-        codes, nxt, (exit_cells, exit_tr_w, exit_tc_w), acc = _tile_flow(
-            win, br, bc, h, w
+        nxt, (ex_cells, ex_tr, ex_tc), acc, order, term = _tile_flow(
+            win, br, bc, h, w, want_term=True
         )
         zbody = win[br : br + h, bc : bc + w].ravel()
-        # window top-left in global pixel coords
-        g_r0, g_c0 = gr0 - br, gc0 - bc
-        rows = {"kind": [], "src": [], "dst": [], "amount": [], "z": []}
+        g_r0, g_c0 = gr0 - br, gc0 - bc  # window top-left in global coords
+        kind, src, dst, amount, zs = [], [], [], [], []
         # transfers: every body cell whose receiver is outside the body
-        for j in range(exit_cells.size):
-            u = int(exit_cells[j])
-            rows["kind"].append(0)
-            rows["src"].append((gr0 + u // w) * ncols + (gc0 + u % w))
-            rows["dst"].append(
-                (g_r0 + int(exit_tr_w[j])) * ncols + (g_c0 + int(exit_tc_w[j]))
-            )
-            rows["amount"].append(float(acc[u]))
-            rows["z"].append(float(zbody[u]))
-        # pass-throughs: border-ring entry → its in-tile exit cell
-        exit_set = set(int(x) for x in exit_cells)
+        for j in range(ex_cells.size):
+            u = int(ex_cells[j])
+            kind.append(0)
+            src.append((gr0 + u // w) * ncols + (gc0 + u % w))
+            dst.append((g_r0 + int(ex_tr[j])) * ncols + (g_c0 + int(ex_tc[j])))
+            amount.append(float(acc[u]))
+            zs.append(float(zbody[u]))
+        # pass-throughs: border-ring entry → its in-tile terminal, when
+        # that terminal is an exit cell (ascending-z sweep, no walking)
+        exit_set = set(int(x) for x in ex_cells)
         for v in _border_ring_flat(h, w):
-            v = int(v)
             if not np.isfinite(zbody[v]):
                 continue
-            cur = v
-            seen = 0
-            while True:
-                if cur in exit_set:
-                    rows["kind"].append(1)
-                    rows["src"].append((gr0 + v // w) * ncols + (gc0 + v % w))
-                    rows["dst"].append(
-                        (gr0 + cur // w) * ncols + (gc0 + cur % w)
-                    )
-                    rows["amount"].append(0.0)
-                    rows["z"].append(0.0)
-                    break
-                nx = int(nxt[cur])
-                if nx < 0:
-                    break  # terminates inside the tile (pit/flat)
-                cur = nx
-                seen += 1
-                if seen > h * w:  # pragma: no cover - cycle guard
-                    raise RuntimeError("flow cycle inside tile")
-        if not rows["kind"]:
+            t = term[v]
+            if t in exit_set:
+                kind.append(1)
+                src.append((gr0 + v // w) * ncols + (gc0 + v % w))
+                dst.append((gr0 + t // w) * ncols + (gc0 + t % w))
+                amount.append(0.0)
+                zs.append(0.0)
+        if not kind:
             return None
         return pa.table(
-            {k: pa.array(vs, _EDGE_SCHEMA.field(k).type) for k, vs in rows.items()},
+            {
+                "kind": pa.array(kind, pa.int8()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "amount": pa.array(amount, pa.float64()),
+                "z": pa.array(zs, pa.float64()),
+            },
             schema=_EDGE_SCHEMA,
         )
 
-    edges = halo_map(
-        ts, pass1, corners=True, budget_bytes=halo_broadcast_budget
-    )
+    edges = halo_map(ts, pass1, corners=True, budget_bytes=halo_broadcast_budget)
 
     # ---- border solve (driver): one descending-z sweep ----
     import pandas as pd
@@ -203,19 +202,20 @@ def flow_accumulation(
             "apply the recursive tiles-of-tiles contraction (module note)"
         )
     passthru = df[df["kind"] == 1]
-    # exit cell gid → entry gids routed through it
     exit_to_entries: dict[int, list[int]] = {}
     for s, d in zip(passthru["src"].to_numpy(), passthru["dst"].to_numpy()):
         exit_to_entries.setdefault(int(d), []).append(int(s))
     tr = df[df["kind"] == 0].sort_values("z", ascending=False, kind="stable")
     in_amt: dict[int, float] = {}
     for s, d, a in zip(
-        tr["src"].to_numpy(), tr["dst"].to_numpy(), tr["amount"].to_numpy()
+        tr["src"].to_numpy().tolist(),
+        tr["dst"].to_numpy().tolist(),
+        tr["amount"].to_numpy().tolist(),
     ):
-        c = float(a)
-        for entry in exit_to_entries.get(int(s), ()):
+        c = a
+        for entry in exit_to_entries.get(s, ()):
             c += in_amt.get(entry, 0.0)
-        in_amt[int(d)] = in_amt.get(int(d), 0.0) + c
+        in_amt[d] = in_amt.get(d, 0.0) + c
 
     import ray as _ray
 
@@ -225,17 +225,18 @@ def flow_accumulation(
         import ray as _ray2
 
         amounts = _ray2.get(aref)
-        codes, nxt, _exits, acc = _tile_flow(win, br, bc, h, w)
+        # external in-flows become initial weights: the SAME topological
+        # push distributes them down their in-tile paths — no walking
+        weights = np.zeros(h * w)
+        any_w = False
         for v in _border_ring_flat(h, w):
-            v = int(v)
-            gid = (gr0 + v // w) * ncols + (gc0 + v % w)
-            a = amounts.get(gid)
-            if not a:
-                continue
-            cur = v
-            while cur >= 0:
-                acc[cur] += a
-                cur = int(nxt[cur])
+            a = amounts.get((gr0 + v // w) * ncols + (gc0 + v % w))
+            if a:
+                weights[v] = a
+                any_w = True
+        _nxt, _ex, acc, _o, _t = _tile_flow(
+            win, br, bc, h, w, weights=weights if any_w else None
+        )
         meta = _Meta(
             f"t{t_tr:04d}_{t_tc:04d}", t_tr, t_tc, gr0, gc0, h, w,
             "flow_acc d8",
