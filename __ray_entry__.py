@@ -449,6 +449,14 @@ FROM read_parquet('{F}/witness_fillpits.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_flowacc.parquet')
 """,
+        "basin_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_basins.parquet')
+""",
+        "basin_sizes": f"""
+SELECT basin, n_cells
+FROM read_parquet('{F}/witness_basin_sizes.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

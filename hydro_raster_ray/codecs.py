@@ -23,6 +23,14 @@ Codecs (all little-endian, vectorized via ``np.frombuffer``):
   Decodes bit-identically to the raw-u16 of the same plane; DEFLATE + the
   Up filter compress smooth DEM tiles several-fold, cutting object-store
   and storage bytes. Variable-length (``payload_nbytes`` returns -1).
+- ``raw-f64``  — float64 pixels, NaN = nodata. The EXACT-INTEGER plane
+  format for id/count planes (basin labels are global cell ids, flow
+  accumulation counts) whose values exceed float32's 2²⁴ contiguous-integer
+  range on large grids: f64 holds integers exactly to 2⁵³ (~9·10¹⁵ cells).
+  Deliberately OUTSIDE the f32 decoded-value contract the measurement
+  codecs share — ``decode(dtype=float32)`` raises rather than silently
+  rounding ids together, so the f32 pixel hot paths (halo exchange,
+  bandwidth-lean kernels) can never ingest one by accident.
 
 All functions are deterministic (retry/resume safe; zlib output is
 deterministic at a fixed level).
@@ -50,7 +58,10 @@ _U8_NODATA = np.uint8(255)
 _HDR_FMT = "<dd"  # offset, scale
 _HDR_SIZE = struct.calcsize(_HDR_FMT)
 
-FORMATS = ("raw-f32", "raw-u16", "qlossy", "png16")
+FORMATS = ("raw-f32", "raw-u16", "qlossy", "png16", "raw-f64")
+# codecs under the f32 decoded-value contract (raw-f64 is the documented
+# exact-integer carve-out — see module docstring)
+F32_CONTRACT_FORMATS = ("raw-f32", "raw-u16", "qlossy", "png16")
 # compressed fmts whose payload length depends on content, not just (h, w)
 VARIABLE_FORMATS = frozenset({"png16"})
 
@@ -67,6 +78,8 @@ def payload_nbytes(fmt: str, h: int, w: int) -> int:
         return _HDR_SIZE + 2 * n
     if fmt == "qlossy":
         return _HDR_SIZE + n
+    if fmt == "raw-f64":
+        return 8 * n
     if fmt in VARIABLE_FORMATS:
         return -1
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -92,6 +105,13 @@ def decode(buf: bytes, h: int, w: int, fmt: str, dtype=np.float64) -> np.ndarray
         if dtype != np.float32:
             a = a.astype(dtype)
         return a.reshape(int(h), int(w))
+    if fmt == "raw-f64":
+        if dtype != np.float64:
+            raise ValueError(
+                "raw-f64 planes carry exact integer ids/counts beyond f32 "
+                "range; decode at float64 (dtype=float32 would merge ids)"
+            )
+        return np.frombuffer(buf, dtype="<f8", count=n).reshape(int(h), int(w))
     if fmt == "raw-u16":
         offset, scale = struct.unpack_from(_HDR_FMT, buf, 0)
         u = np.frombuffer(buf, dtype="<u2", count=n, offset=_HDR_SIZE)
@@ -149,6 +169,8 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
     """float array (NaN holes) → bytes (NaN→sentinel semantics)."""
     if fmt == "raw-f32":
         return np.ascontiguousarray(a, dtype="<f4").tobytes()
+    if fmt == "raw-f64":
+        return np.ascontiguousarray(a, dtype="<f8").tobytes()
     if fmt == "raw-u16":
         offset, scale = _u16_params(a)
         q = np.clip(np.round((a - offset) / scale), 0, 65534)

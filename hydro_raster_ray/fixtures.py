@@ -1138,6 +1138,38 @@ def _ensure_flowdir_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_basin_witness(tag: str, out: str) -> None:
+    """D8 basin-delineation witnesses (own marker → in-place upgrade):
+    whole-array ``oracle.basin_labels`` then (a) the standard per-tile
+    stats of the label plane — NO f32 quantization: labels are global cell
+    ids, exact only in f64, matching the engine's ``raw-f64`` storage —
+    and (b) the exact per-basin cell-count table."""
+    done = os.path.join(out, "_BASIN_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    lab = oracle.basin_labels(assemble_truth(scheme))
+    _write_atomic(
+        _per_tile_stats_table(scheme, lab),
+        os.path.join(out, "witness_basins.parquet"),
+    )
+    u, cnt = np.unique(lab[np.isfinite(lab)], return_counts=True)
+    _write_atomic(
+        pa.table(
+            {
+                "basin": pa.array(u.astype(np.int64), pa.int64()),
+                "n_cells": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        ),
+        os.path.join(out, "witness_basin_sizes.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_png16_witness(tag: str, out: str) -> None:
     """png16-transcode witness (own marker → in-place upgrade).
 
@@ -1232,6 +1264,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_terrain_witnesses(tag, out)
     _ensure_png16_witness(tag, out)
     _ensure_flowdir_witness(tag, out)
+    _ensure_basin_witness(tag, out)
     return out
 
 

@@ -584,6 +584,35 @@ def fill_pits(array: np.ndarray) -> np.ndarray:
     return np.where(pit, nmin, z)
 
 
+def basin_labels(array: np.ndarray) -> np.ndarray:
+    """Whole-array D8 basin (watershed) delineation witness: each finite
+    cell is labeled with the GLOBAL FLAT INDEX (``r*ncols + c``) of the
+    terminal cell of its D8 path — the pit/flat cell (``flow_dir_d8`` = 0)
+    where its flow ends. NaN cells stay NaN.
+
+    D8 flow strictly descends, so ASCENDING elevation is a topological
+    order for terminals: a cell's receiver is strictly lower and therefore
+    already carries its final label when the cell is visited — one sweep
+    labels every path. Labels are exact in float64 to 2⁵³ cells (the
+    engine's tiled path stores them as ``raw-f64`` for the same reason).
+    The scalar reproduction the engine's contraction must match exactly."""
+    h, w = array.shape
+    d = flow_dir_d8(array)
+    off = {c: (dr, dc) for dr, dc, _dist, c in _D8}
+    flat = array.ravel()
+    df = d.ravel()
+    lab = np.arange(h * w, dtype=np.float64)
+    lab[np.isnan(flat)] = np.nan
+    finite = np.flatnonzero(np.isfinite(flat))
+    order = finite[np.argsort(flat[finite], kind="stable")]  # ascending z
+    for idx in order:
+        c = int(df[idx])
+        if c:
+            dr, dc = off[c]
+            lab[idx] = lab[idx + dr * w + dc]
+    return lab.reshape(h, w)
+
+
 def flow_accumulation(array: np.ndarray) -> np.ndarray:
     """Whole-array D8 flow-accumulation witness: the number of cells
     (weight 1 each, SELF INCLUDED) whose downstream D8 path passes through

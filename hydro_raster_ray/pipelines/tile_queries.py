@@ -588,6 +588,25 @@ def q_flow_acc_stats(sf_dir: str):
     return per_tile_stats(flow_accumulation(ts))
 
 
+def q_basin_stats(sf_dir: str):
+    """Distributed D8 basin (watershed) delineation — per-tile stats of the
+    raw-f64 label plane vs the whole-array witness ``oracle.basin_labels``
+    (labels are global pit cell ids, exact only in f64)."""
+    from ..stages.basins import basin_labels
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(basin_labels(ts))
+
+
+def q_basin_sizes(sf_dir: str):
+    """Exact per-basin cell counts (fused pass-2 partial counts → one
+    small groupby) vs the witness's whole-array ``np.unique`` counts."""
+    from ..stages.basins import basin_sizes
+
+    ts, _ = tiles_for(sf_dir)
+    return basin_sizes(ts)
+
+
 def q_tile_png16_stats(sf_dir: str):
     """Compressed-storage transcode: every tile re-encoded as ``png16``
     (real pure-stdlib PNG container, ``png.py``), decoded back through the
@@ -633,6 +652,8 @@ TILE_QUERIES = {
     "flow_dir_stats": q_flow_dir_stats,
     "fill_pits_stats": q_fill_pits_stats,
     "flow_acc_stats": q_flow_acc_stats,
+    "basin_stats": q_basin_stats,
+    "basin_sizes": q_basin_sizes,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -61,14 +61,15 @@ for _c, _k in _CODE_TO_K.items():
     _LUT[_c] = _k
 
 
-def _tile_flow(win, br, bc, h, w, weights=None, want_term=False):
+def _tile_flow(win, br, bc, h, w, weights=None, want_term=False, want_acc=True):
     """Per-tile flow state from the haloed window.
 
     Returns ``(nxt, exits, acc, order, term)``:
     - ``nxt``: body-flat receiver index per cell (−1 = pit/flat or exits)
     - ``exits``: (body-flat exit cells, receiver window rows, cols)
     - ``acc``: accumulation with initial weights ``1 (+ weights)`` pushed
-      down every in-tile path (descending-z = topological order)
+      down every in-tile path (descending-z = topological order), or None
+      when ``want_acc=False`` (basin labeling needs only terminals)
     - ``order``: body-flat descending-z order of finite cells
     - ``term``: each cell's in-tile terminal (ascending-z sweep), or None
     """
@@ -86,20 +87,22 @@ def _tile_flow(win, br, bc, h, w, weights=None, want_term=False):
     exits = (bidx[~inside], tr_w[~inside], tc_w[~inside])
 
     zf = zbody.ravel()
-    acc = np.where(np.isnan(zf), np.nan, 1.0)
-    if weights is not None:
-        acc = acc + weights
     finite = np.flatnonzero(np.isfinite(zf))
     order = finite[np.argsort(-zf[finite], kind="stable")]
     # tight loops over Python lists — ~4× faster than numpy scalar indexing
     ol = order.tolist()
     nl = nxt.tolist()
-    al = acc.tolist()
-    for idx in ol:
-        t = nl[idx]
-        if t >= 0:
-            al[t] += al[idx]
-    acc = np.asarray(al)
+    acc = None
+    if want_acc:
+        acc = np.where(np.isnan(zf), np.nan, 1.0)
+        if weights is not None:
+            acc = acc + weights
+        al = acc.tolist()
+        for idx in ol:
+            t = nl[idx]
+            if t >= 0:
+                al[t] += al[idx]
+        acc = np.asarray(al)
     term = None
     if want_term:
         tl = list(range(h * w))

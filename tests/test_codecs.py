@@ -159,16 +159,17 @@ def test_mix64_rows_matches_witness_scalar():
 
 def test_decode_f32_parity_all_codecs():
     """f32 planes are lossless by contract: decode(dtype=float32) equals the
-    float64 decode bit-exactly for every codec (the invariant the pixel hot
-    paths rely on), and the raw-f32 fast path is zero-copy (read-only)."""
+    float64 decode bit-exactly for every f32-contract codec (the invariant
+    the pixel hot paths rely on), and the raw-f32 fast path is zero-copy
+    (read-only)."""
     import numpy as np
 
-    from hydro_raster_ray.codecs import FORMATS, decode, encode
+    from hydro_raster_ray.codecs import F32_CONTRACT_FORMATS, decode, encode
 
     rng = np.random.default_rng(7)
     a = rng.normal(42.0, 9.0, (33, 21))
     a[rng.random(a.shape) < 0.1] = np.nan
-    for fmt in FORMATS:
+    for fmt in F32_CONTRACT_FORMATS:
         buf = encode(a, fmt)
         d64 = decode(buf, 33, 21, fmt)
         d32 = decode(buf, 33, 21, fmt, dtype=np.float32)
@@ -178,3 +179,26 @@ def test_decode_f32_parity_all_codecs():
         assert encode(d32, "raw-f32") == encode(d64, "raw-f32")
     assert not decode(encode(a, "raw-f32"), 33, 21, "raw-f32",
                       dtype=np.float32).flags.writeable
+
+
+def test_raw_f64_exact_integer_carveout():
+    """raw-f64 is the exact-integer plane format: ids beyond f32's 2^24
+    round-trip bit-exactly (they would merge under any f32-contract codec),
+    NaN holes survive, and the f32 decode path refuses the fmt loudly."""
+    import numpy as np
+    import pytest
+
+    from hydro_raster_ray import codecs
+
+    ids = np.array(
+        [[2**25 + 1, 2**25 + 2, 2**53 - 1], [0.0, np.nan, 85_000_001.0]]
+    )
+    buf = codecs.encode(ids, "raw-f64")
+    assert len(buf) == codecs.payload_nbytes("raw-f64", 2, 3)
+    back = codecs.decode(buf, 2, 3, "raw-f64")
+    np.testing.assert_array_equal(back, ids)
+    # adjacent big ids are DISTINCT here but merge under the f32 contract
+    assert back[0, 0] != back[0, 1]
+    assert np.float32(ids[0, 0]) == np.float32(ids[0, 1])
+    with pytest.raises(ValueError, match="raw-f64"):
+        codecs.decode(buf, 2, 3, "raw-f64", dtype=np.float32)
