@@ -457,6 +457,10 @@ FROM read_parquet('{F}/witness_basins.parquet')
 SELECT basin, n_cells
 FROM read_parquet('{F}/witness_basin_sizes.parquet')
 """,
+        "fill_depressions_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_filldep.parquet')
+""",
         "media_audio_features": f"""
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio.parquet')

@@ -1138,6 +1138,31 @@ def _ensure_flowdir_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_depression_witness(tag: str, out: str) -> None:
+    """Depression-filling witness (own marker → in-place upgrade):
+    deterministically carve depressions into the decoded truth (the
+    fixture surface has none — ``oracle.carve_depressions``), f32-quantize
+    (the engine's carve stage stores raw-f32), run the whole-array
+    Priority-Flood witness, then the standard per-tile stats."""
+    done = os.path.join(out, "_DEPRESSION_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    carved = _f32(
+        oracle.carve_depressions(assemble_truth(scheme), 0, 0, g.nrows, g.ncols)
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.fill_depressions(carved))),
+        os.path.join(out, "witness_filldep.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_basin_witness(tag: str, out: str) -> None:
     """D8 basin-delineation witnesses (own marker → in-place upgrade):
     whole-array ``oracle.basin_labels`` then (a) the standard per-tile
@@ -1265,6 +1290,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_png16_witness(tag, out)
     _ensure_flowdir_witness(tag, out)
     _ensure_basin_witness(tag, out)
+    _ensure_depression_witness(tag, out)
     return out
 
 

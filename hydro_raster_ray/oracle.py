@@ -584,6 +584,80 @@ def fill_pits(array: np.ndarray) -> np.ndarray:
     return np.where(pit, nmin, z)
 
 
+def carve_depressions(
+    z: np.ndarray, gr0: int, gc0: int, nrows: int, ncols: int
+) -> np.ndarray:
+    """Deterministically carve three compact-support depressions into a
+    surface patch — the fill_depressions test input (the smooth fixture
+    surface has no depressions at all, so filling it would be an identity
+    no-op and the oracle would not exercise the solve). Parameterized by
+    GLOBAL coordinates so the per-tile engine carve and the whole-array
+    witness carve are the same elementwise arithmetic, hence bit-equal."""
+    rr = (gr0 + np.arange(z.shape[0], dtype=np.float64))[:, None]
+    cc = (gc0 + np.arange(z.shape[1], dtype=np.float64))[None, :]
+    out = z.astype(np.float64, copy=True)
+    scale = float(min(nrows, ncols))
+    for fr, fc, frad, depth in (
+        (0.30, 0.35, 0.08, 12.0),
+        (0.62, 0.70, 0.10, 20.0),
+        (0.75, 0.25, 0.06, 8.0),
+    ):
+        d2 = ((rr - fr * nrows) / (frad * scale)) ** 2 + (
+            (cc - fc * ncols) / (frad * scale)
+        ) ** 2
+        out -= depth * np.maximum(0.0, 1.0 - d2)
+    return out
+
+
+def fill_depressions(array: np.ndarray) -> np.ndarray:
+    """Whole-array depression-filling witness — classic Priority-Flood
+    (Barnes 2014, "Priority-flood: an optimal depression-filling and
+    watershed-labeling algorithm" — public literature, textbook form).
+
+    Engine-defined semantics, consistent with ``fill_pits``: water drains
+    off the GLOBAL grid edge and into NaN holes, so the drain set is every
+    finite cell on the grid edge plus every finite cell 8-adjacent to a
+    NaN. ``fill(c)`` = the minimal water level at which ``c`` drains =
+    min over finite 8-connected paths from ``c`` to a drain of the max
+    elevation along the path (including both endpoints); always ≥ z(c).
+    NaN cells stay NaN. Pure max/min over input values — no arithmetic —
+    so the engine's tiled contraction must match bit-exactly.
+
+    Implementation: heap seeded with drains at their own z; pop the lowest
+    level, fix it, push unvisited neighbors at ``max(level, z_n)``."""
+    import heapq
+
+    h, w = array.shape
+    z = array.astype(np.float64)
+    finite = np.isfinite(z)
+    p = np.pad(finite, 1, constant_values=False)
+    nan_adj = np.zeros((h, w), dtype=bool)
+    for dr, dc, _dist, _c in _D8:
+        nan_adj |= ~p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+    drain = finite & (
+        nan_adj
+        | (np.arange(h)[:, None] == 0)
+        | (np.arange(h)[:, None] == h - 1)
+        | (np.arange(w)[None, :] == 0)
+        | (np.arange(w)[None, :] == w - 1)
+    )
+    fill = np.full((h, w), np.nan)
+    heap = [(float(z[r, c]), int(r), int(c)) for r, c in zip(*np.nonzero(drain))]
+    heapq.heapify(heap)
+    done = np.zeros((h, w), dtype=bool)
+    while heap:
+        lvl, r, c = heapq.heappop(heap)
+        if done[r, c]:
+            continue
+        done[r, c] = True
+        fill[r, c] = lvl
+        for dr, dc, _dist, _cc in _D8:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and finite[nr, nc] and not done[nr, nc]:
+                heapq.heappush(heap, (max(lvl, float(z[nr, nc])), nr, nc))
+    return fill
+
+
 def basin_labels(array: np.ndarray) -> np.ndarray:
     """Whole-array D8 basin (watershed) delineation witness: each finite
     cell is labeled with the GLOBAL FLAT INDEX (``r*ncols + c``) of the

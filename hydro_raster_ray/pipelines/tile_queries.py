@@ -588,6 +588,30 @@ def q_flow_acc_stats(sf_dir: str):
     return per_tile_stats(flow_accumulation(ts))
 
 
+def q_fill_depressions_stats(sf_dir: str):
+    """Distributed depression filling (Barnes-style spill-graph
+    contraction: per-tile Kruskal spill graphs → driver minimax Dijkstra
+    from the ocean → per-tile event-sweep fill). The fixture surface has
+    no depressions, so the query first carves deterministic ones
+    (``oracle.carve_depressions`` — the same elementwise arithmetic the
+    witness applies whole-array); per-tile stats vs the whole-array
+    Priority-Flood witness ``oracle.fill_depressions``."""
+    from .. import oracle
+    from ..stages.decode import map_tiles
+    from ..stages.depressions import fill_depressions
+
+    ts, _ = tiles_for(sf_dir)
+    g = ts.grid
+    carved = map_tiles(
+        ts,
+        lambda arr, info: oracle.carve_depressions(
+            arr, info.gr0, info.gc0, g.nrows, g.ncols
+        ),
+        lossless=True,
+    )
+    return per_tile_stats(fill_depressions(carved))
+
+
 def q_basin_stats(sf_dir: str):
     """Distributed D8 basin (watershed) delineation — per-tile stats of the
     raw-f64 label plane vs the whole-array witness ``oracle.basin_labels``
@@ -654,6 +678,7 @@ TILE_QUERIES = {
     "flow_acc_stats": q_flow_acc_stats,
     "basin_stats": q_basin_stats,
     "basin_sizes": q_basin_sizes,
+    "fill_depressions_stats": q_fill_depressions_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,
