@@ -1138,6 +1138,27 @@ def _ensure_flowdir_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_stream_witness(tag: str, out: str) -> None:
+    """Stream-network witness (own marker → in-place upgrade): whole-array
+    flow accumulation, threshold ≥ 50 upstream cells → 0/1/NaN mask, then
+    the standard per-tile stats."""
+    done = os.path.join(out, "_STREAM_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    acc = oracle.flow_accumulation(assemble_truth(scheme))
+    mask = np.where(np.isnan(acc), np.nan, (acc >= 50.0).astype(np.float64))
+    _write_atomic(
+        _per_tile_stats_table(scheme, mask),
+        os.path.join(out, "witness_streams.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_depression_witness(tag: str, out: str) -> None:
     """Depression-filling witness (own marker → in-place upgrade):
     deterministically carve depressions into the decoded truth (the
@@ -1291,6 +1312,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_flowdir_witness(tag, out)
     _ensure_basin_witness(tag, out)
     _ensure_depression_witness(tag, out)
+    _ensure_stream_witness(tag, out)
     return out
 
 

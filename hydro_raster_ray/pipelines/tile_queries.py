@@ -588,6 +588,15 @@ def q_flow_acc_stats(sf_dir: str):
     return per_tile_stats(flow_accumulation(ts))
 
 
+def q_stream_stats(sf_dir: str):
+    """Stream-network extraction (flow accumulation ≥ 50 upstream cells →
+    0/1/NaN channel mask) — per-tile stats vs the whole-array witness."""
+    from ..stages.flowacc import stream_mask
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(stream_mask(ts, threshold=50.0))
+
+
 def q_fill_depressions_stats(sf_dir: str):
     """Distributed depression filling (Barnes-style spill-graph
     contraction: per-tile Kruskal spill graphs → driver minimax Dijkstra
@@ -679,6 +688,7 @@ TILE_QUERIES = {
     "basin_stats": q_basin_stats,
     "basin_sizes": q_basin_sizes,
     "fill_depressions_stats": q_fill_depressions_stats,
+    "stream_stats": q_stream_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -51,7 +51,7 @@ from .decode import rows_to_table
 from .halo import halo_map
 from .terrain import _D8, _Meta, d8_codes
 
-__all__ = ["flow_accumulation"]
+__all__ = ["flow_accumulation", "stream_mask"]
 
 _CODE_TO_K = {int(c): k for k, (_r, _c2, _d, c) in enumerate(_D8)}
 _DR = np.array([d[0] for d in _D8])
@@ -248,3 +248,21 @@ def flow_accumulation(
 
     out = halo_map(ts, pass2, corners=True, budget_bytes=halo_broadcast_budget)
     return TileSet(ds=out, grid=grid)
+
+
+def stream_mask(ts: TileSet, threshold: float = 50.0, **kwargs) -> TileSet:
+    """Stream-network extraction: cells whose D8 flow accumulation reaches
+    ``threshold`` upstream cells form the channel network — the standard
+    accumulation-threshold definition. 0/1/NaN ``raw-f32`` tiles; a pure
+    vectorized map over ``flow_accumulation``, so the contraction's
+    scale behavior carries over unchanged."""
+    from .decode import map_tiles
+
+    acc = flow_accumulation(ts, **kwargs)
+    return map_tiles(
+        acc,
+        lambda arr, info: np.where(
+            np.isnan(arr), np.nan, (arr >= threshold).astype(np.float64)
+        ),
+        lossless=True,
+    )

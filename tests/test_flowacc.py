@@ -86,3 +86,20 @@ def test_conservation(ray_session, small_scheme):
     finite = np.isfinite(got)
     assert (got[finite] >= 1.0).all()
     assert got[finite].max() <= finite.sum()
+
+
+def test_stream_mask_matches_witness(ray_session, small_scheme):
+    """Threshold mask over the distributed accumulation equals the
+    whole-array accumulation thresholded — and is a genuine network
+    (some stream cells, far fewer than total cells)."""
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import stream_mask
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    acc = oracle.flow_accumulation(_f32(full))
+    want = np.where(np.isnan(acc), np.nan, (acc >= 20.0).astype(np.float64))
+    got = to_array(stream_mask(ts, threshold=20.0))
+    np.testing.assert_array_equal(got, want)
+    n_stream = np.nansum(got)
+    assert 0 < n_stream < np.isfinite(got).sum()
