@@ -315,6 +315,22 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(_slope(ts))
 
+    # EP9: D8 flow accumulation — Barnes-style tile contraction (two haloed
+    # passes around a driver border solve), the hydrology-family headline
+    def ep9_flowacc():
+        from hydro_raster_ray.stages.flowacc import flow_accumulation
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(flow_accumulation(ts))
+
+    # EP10: depression filling — per-tile Kruskal spill graphs, driver
+    # minimax Dijkstra, no-halo event-sweep fill (heaviest per-tile kernel)
+    def ep10_filldep():
+        from hydro_raster_ray.stages.depressions import fill_depressions
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(fill_depressions(ts))
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -396,6 +412,7 @@ def run_bench() -> dict:
         ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
         ep3b_knn_partitioned, ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
+        ep9_flowacc, ep10_filldep,
         doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
         doc_quality, sched_probe,
     ]

@@ -25,13 +25,23 @@ literature, pattern only):
    contraction applied recursively (tiles-of-tiles), as with flowacc.
 
 3. **Pass 2 (plain map, NO halo)**: broadcast ``{ring gid → L}``
-   (``ray.put``); per tile an event sweep (cell inserts at z, seed
-   activations at L, same Kruskal union order) assigns every cell's fill:
-   a component's pending cells fill at the threshold where it first
-   reaches an active drain; cells joining a drained component fill at
-   their own z. Every fill value is one of the input z values (max/min
-   only, no arithmetic) — bit-identical to the scalar witness, and
-   losslessly stored as ``raw-f32``.
+   (``ray.put``); per tile the fill is the MORPHOLOGICAL RECONSTRUCTION
+   BY EROSION of the elevation from the drain-level marker (seeds at
+   ``max(z, L)``, in-tile drains at z, +inf elsewhere): the unique
+   fixpoint ``F ≤ marker`` of ``F = max(z, min(F, erode8(F)))`` equals
+   ``min over 8-paths to a seed of max(seed level, path max z)`` — the
+   priority-flood fill. Computed by vectorized directional raster scans
+   (Vincent 1993's sequential reconstruction), PROVEN converged by a full
+   8-neighbor erosion fixpoint check (any fixpoint ≤ marker is the
+   reconstruction: walk the optimal path from a violating cell — each hop
+   bounds F by the path max, so F ≤ the true fill everywhere, and
+   monotone iteration keeps F ≥ it). Pathological spiral topography that
+   exceeds the cycle cap falls back to the exact event sweep
+   (``_event_fill`` — cell inserts at z, seed activations at L, Kruskal
+   union order, pending components fill when first drained). Both paths
+   compute the same function exactly; every fill value is one of the
+   input z values (max/min only, no arithmetic) — bit-identical to the
+   scalar witness, and losslessly stored as ``raw-f32``.
 
 Assumes the mosaic's tile grid is fully populated (missing interior tiles
 would read as NaN ocean) — the same full-mosaic contract as the other
@@ -75,33 +85,176 @@ class _DSU:
 
 
 def _rank_pairs(zf: np.ndarray, h: int, w: int):
-    """Ascending-z processing order plus the union pair list (i, j) —
-    8-neighbor pairs of finite cells with rank[j] < rank[i] — sorted by
-    rank[i], so the sweep consumes each cell's unions at its insertion."""
+    """Ascending-z processing order plus the union pair list (i, j),
+    sorted by rank[i] so the sweep consumes each cell's unions at its
+    insertion.
+
+    Arc reduction: a cell's lower-ranked (already-inserted) 8-neighbors
+    form connected ARCS around its king-move ring (_D8 is in cyclic
+    order; consecutive ring positions are grid-adjacent). Cells within an
+    arc are pairwise connected before this cell inserts (induction on
+    rank: each consecutive arc pair is adjacent, both lower-ranked, so
+    already united at a threshold ≤ this cell's z), so ONE union per arc
+    — the arc's first position — suffices; the dropped pairs would be
+    union no-ops. ~3× fewer union calls than all rank-filtered pairs."""
     fin = np.isfinite(zf)
     fidx = np.flatnonzero(fin)
     order = fidx[np.argsort(zf[fidx], kind="stable")]
     rank = np.full(h * w, -1, dtype=np.int64)
     rank[order] = np.arange(order.size)
     fin2 = fin.reshape(h, w)
-    pi, pj = [], []
-    for dr, dc in _OFFS:
+    rank2 = rank.reshape(h, w)
+    M = np.zeros((8, h, w), dtype=bool)
+    for p, (dr, dc) in enumerate(_OFFS):
         r0a, r1a = max(0, -dr), min(h, h - dr)
         c0a, c1a = max(0, -dc), min(w, w - dc)
         if r0a >= r1a or c0a >= c1a:
             continue
-        rr, cc = np.nonzero(
-            fin2[r0a:r1a, c0a:c1a] & fin2[r0a + dr : r1a + dr, c0a + dc : c1a + dc]
+        M[p, r0a:r1a, c0a:c1a] = (
+            fin2[r0a:r1a, c0a:c1a]
+            & fin2[r0a + dr : r1a + dr, c0a + dc : c1a + dc]
+            & (
+                rank2[r0a + dr : r1a + dr, c0a + dc : c1a + dc]
+                < rank2[r0a:r1a, c0a:c1a]
+            )
         )
-        i = (rr + r0a) * w + (cc + c0a)
-        j = (rr + r0a + dr) * w + (cc + c0a + dc)
-        m = rank[j] < rank[i]
-        pi.append(i[m])
-        pj.append(j[m])
+    keeps = M & ~np.roll(M, 1, axis=0)  # arc starts (cyclic)
+    keeps[0] |= M.all(axis=0)  # full ring: one arc, keep one union
+    pi, pj = [], []
+    for p, (dr, dc) in enumerate(_OFFS):
+        rr, cc = np.nonzero(keeps[p])
+        if rr.size:
+            pi.append(rr * w + cc)
+            pj.append((rr + dr) * w + (cc + dc))
     pi = np.concatenate(pi) if pi else np.empty(0, dtype=np.int64)
     pj = np.concatenate(pj) if pj else np.empty(0, dtype=np.int64)
     o = np.argsort(rank[pi], kind="stable")
     return order, pi[o], pj[o]
+
+
+def _dir_scans(z: np.ndarray, F: np.ndarray) -> None:
+    """One down+up directional-scan pair, in place: each row relaxes
+    against the adjacent already-relaxed row's 3-neighborhood (N/NW/NE
+    downward, S/SW/SE upward) — information crosses the whole tile along
+    the scan axis in a single pass, vectorized per row."""
+    h = z.shape[0]
+    for r in range(1, h):
+        m = F[r - 1]
+        e = m.copy()
+        np.minimum(e[1:], m[:-1], out=e[1:])  # NW
+        np.minimum(e[:-1], m[1:], out=e[:-1])  # NE
+        np.maximum(z[r], np.minimum(F[r], e), out=F[r])
+    for r in range(h - 2, -1, -1):
+        m = F[r + 1]
+        e = m.copy()
+        np.minimum(e[1:], m[:-1], out=e[1:])  # SW
+        np.minimum(e[:-1], m[1:], out=e[:-1])  # SE
+        np.maximum(z[r], np.minimum(F[r], e), out=F[r])
+
+
+def _recon_fill(
+    z: np.ndarray, marker: np.ndarray, max_cycles: int | None = None
+) -> np.ndarray | None:
+    """Reconstruction-by-erosion fill (module docstring step 3): ``z`` is
+    the elevation with NaN holes replaced by +inf, ``marker`` the drain
+    levels (+inf off drains, ≥ z on them). Returns the fill, or None if
+    the scan cycles hit the cap without a PROVEN fixpoint (caller falls
+    back to the exact event sweep)."""
+    h, w = z.shape
+    if max_cycles is None:
+        max_cycles = h + w + 8
+    F = marker.copy()
+    zT = np.ascontiguousarray(z.T)
+    for _ in range(max_cycles):
+        _dir_scans(z, F)  # vertical axis (N/NW/NE, S/SW/SE)
+        FT = np.ascontiguousarray(F.T)
+        _dir_scans(zT, FT)  # horizontal axis (W/NW/SW, E/NE/SE)
+        F = np.ascontiguousarray(FT.T)
+        # fixpoint proof: one full 8-neighbor erosion changes nothing
+        E = np.full((h, w), np.inf)
+        for dr, dc in _OFFS:
+            r0a, r1a = max(0, -dr), min(h, h - dr)
+            c0a, c1a = max(0, -dc), min(w, w - dc)
+            if r0a >= r1a or c0a >= c1a:
+                continue
+            np.minimum(
+                E[r0a:r1a, c0a:c1a],
+                F[r0a + dr : r1a + dr, c0a + dc : c1a + dc],
+                out=E[r0a:r1a, c0a:c1a],
+            )
+        Fn = np.maximum(z, np.minimum(F, E))
+        if np.array_equal(Fn, F):
+            return F
+        F = Fn
+    return None  # pragma: no cover - pathological topography
+
+
+def _event_fill(zf, h, w, sd_i, sd_t) -> list:
+    """Exact event-sweep fill (the scan path's fallback and its oracle in
+    tests): cell inserts at z and drain activations at their level, in
+    ascending threshold order over the Kruskal union structure; a
+    component's pending cells fill at the threshold where it first
+    reaches an active drain."""
+    order, pi, pj = _rank_pairs(zf, h, w)
+    fill = np.full(h * w, np.nan)
+    ev_t = np.concatenate([zf[order], np.asarray(sd_t, dtype=np.float64)])
+    ev_kind = np.concatenate(
+        [np.zeros(order.size, np.int8), np.ones(len(sd_i), np.int8)]
+    )
+    ev_idx = np.concatenate([order, np.asarray(sd_i, dtype=np.int64)])
+    eo = np.lexsort((ev_kind, ev_t))  # inserts before activations
+
+    dsu = _DSU(h * w)
+    drained = {}
+    pending: dict[int, list] = {}
+    fl = fill.tolist()
+    zl = zf.tolist()
+    pil = pi.tolist()
+    pjl = pj.tolist()
+    ptr = 0
+    npairs = len(pil)
+
+    def union(a, b, t):
+        ra, rb = dsu.find(a), dsu.find(b)
+        if ra == rb:
+            return
+        da, db = drained.get(ra, False), drained.get(rb, False)
+        if da != db:
+            und = rb if da else ra
+            for c in pending.pop(und, ()):
+                fl[c] = t
+        pa_, pb_ = pending.get(ra), pending.get(rb)
+        dsu.parent[rb] = ra
+        if da or db:
+            drained[ra] = True
+            pending.pop(ra, None)
+            pending.pop(rb, None)
+        elif pb_:
+            if pa_ is None:
+                pending[ra] = pending.pop(rb)
+            elif len(pa_) < len(pb_):  # union by size
+                pb_.extend(pa_)
+                pending[ra] = pb_
+                del pending[rb]
+            else:
+                pa_.extend(pb_)
+                del pending[rb]
+
+    for k in eo.tolist():
+        i = int(ev_idx[k])
+        if ev_kind[k] == 0:
+            t = zl[i]
+            pending[i] = [i]
+            while ptr < npairs and pil[ptr] == i:
+                union(i, pjl[ptr], t)
+                ptr += 1
+        else:
+            r = dsu.find(i)
+            if not drained.get(r, False):
+                drained[r] = True
+                for c in pending.pop(r, ()):
+                    fl[c] = float(ev_t[k])
+    return fl
 
 
 def _ocean_mask(win, br, bc, h, w, gr0, gc0, grid) -> np.ndarray:
@@ -127,8 +280,11 @@ def fill_depressions(
     ts: TileSet,
     halo_broadcast_budget: int = 256 << 20,
     edge_budget_rows: int = 50_000_000,
+    force_event_fill: bool = False,
 ) -> TileSet:
-    """Depression-filled DEM over the mosaic (see module docstring)."""
+    """Depression-filled DEM over the mosaic (see module docstring).
+    ``force_event_fill`` skips the reconstruction fast path so tests can
+    pin the two pass-2 implementations bit-identical."""
     grid = ts.grid
     ncols = grid.ncols
 
@@ -260,19 +416,20 @@ def fill_depressions(
 
     lref = _ray.put(dist)
 
-    # ---- pass 2 (no halo): event sweep fills each tile ----
+    # ---- pass 2 (no halo): reconstruction fill, event-sweep fallback ----
     def pass2(batch: pa.Table) -> pa.Table:
         import ray as _ray2
 
+        force_event = force_event_fill
         levels = _ray2.get(lref)
         rows = []
         for info, zb in iter_tiles(batch, grid):
             h, w, gr0, gc0 = info.h, info.w, info.gr0, info.gc0
             zf = zb.ravel()
             fill = np.full(h * w, np.nan)
-            order, pi, pj = _rank_pairs(zf, h, w)
-            if order.size:
-                # drains: ring cells activate at their global level L; cells
+            fin = np.isfinite(zf)
+            if fin.any():
+                # drains: ring cells at their global level L; cells
                 # 8-adjacent to an IN-BODY NaN or on the global edge at z
                 # (non-ring cells can't touch a neighbor tile's NaN)
                 pf = np.pad(np.isfinite(zb), 1, constant_values=True)
@@ -294,71 +451,29 @@ def fill_depressions(
 
                 sd_i, sd_t = [], []
                 for v in ring:
-                    if np.isfinite(zf[v]):
+                    if fin[v]:
                         sd_i.append(v)
                         sd_t.append(levels[int(gid[v])])
                 ldr = np.flatnonzero(local_drain)
                 sd_i.extend(ldr.tolist())
                 sd_t.extend(zf[ldr].tolist())
 
-                ev_t = np.concatenate([zf[order], np.asarray(sd_t, dtype=np.float64)])
-                ev_kind = np.concatenate(
-                    [np.zeros(order.size, np.int8), np.ones(len(sd_i), np.int8)]
+                zi = np.where(fin, zf, np.inf).reshape(h, w)
+                marker = np.full(h * w, np.inf)
+                np.minimum.at(
+                    marker,
+                    np.asarray(sd_i, dtype=np.int64),
+                    np.asarray(sd_t, dtype=np.float64),
                 )
-                ev_idx = np.concatenate([order, np.asarray(sd_i, dtype=np.int64)])
-                eo = np.lexsort((ev_kind, ev_t))  # inserts before activations
-
-                dsu = _DSU(h * w)
-                drained = {}
-                pending: dict[int, list] = {}
-                fl = fill.tolist()
-                zl = zf.tolist()
-                pil = pi.tolist()
-                pjl = pj.tolist()
-                ptr = 0
-                npairs = len(pil)
-
-                def union(a, b, t):
-                    ra, rb = dsu.find(a), dsu.find(b)
-                    if ra == rb:
-                        return
-                    da, db = drained.get(ra, False), drained.get(rb, False)
-                    if da != db:
-                        und = rb if da else ra
-                        for c in pending.pop(und, ()):
-                            fl[c] = t
-                    pa_, pb_ = pending.get(ra), pending.get(rb)
-                    dsu.parent[rb] = ra
-                    if da or db:
-                        drained[ra] = True
-                        pending.pop(ra, None)
-                        pending.pop(rb, None)
-                    elif pb_:
-                        if pa_ is None:
-                            pending[ra] = pending.pop(rb)
-                        elif len(pa_) < len(pb_):  # union by size
-                            pb_.extend(pa_)
-                            pending[ra] = pb_
-                            del pending[rb]
-                        else:
-                            pa_.extend(pb_)
-                            del pending[rb]
-
-                for k in eo.tolist():
-                    i = int(ev_idx[k])
-                    if ev_kind[k] == 0:
-                        t = zl[i]
-                        pending[i] = [i]
-                        while ptr < npairs and pil[ptr] == i:
-                            union(i, pjl[ptr], t)
-                            ptr += 1
-                    else:
-                        r = dsu.find(i)
-                        if not drained.get(r, False):
-                            drained[r] = True
-                            for c in pending.pop(r, ()):
-                                fl[c] = float(ev_t[k])
-                fill = np.asarray(fl)
+                F = (
+                    None
+                    if force_event
+                    else _recon_fill(zi, marker.reshape(h, w))
+                )
+                if F is not None:
+                    fill = np.where(fin, F.ravel(), np.nan)
+                else:
+                    fill = np.asarray(_event_fill(zf, h, w, sd_i, sd_t))
             rows.append(
                 (
                     _Meta(

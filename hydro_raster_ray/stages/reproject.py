@@ -40,7 +40,11 @@ from .mosaic import _frag_table
 __all__ = [
     "AffineTransform",
     "TransverseMercator",
+    "LambertConformalConic",
+    "AlbersEqualArea",
     "bng_tmerc",
+    "lambert93",
+    "conus_albers",
     "utm_tmerc",
     "compose",
     "web_mercator",
@@ -194,6 +198,159 @@ def utm_tmerc(zone: int, south: bool = False) -> TransverseMercator:
     )
 
 
+@dataclass(frozen=True)
+class LambertConformalConic:
+    """Ellipsoidal Lambert conformal conic, two standard parallels —
+    Snyder 1987 ("Map Projections: A Working Manual", USGS PP 1395, §15,
+    eqs 14-15, 15-1..15-11; public literature), pure numpy. Together with
+    the TM core this covers the second dominant projected-CRS family the
+    reference warps between (``Raster.py:695-733``). Defaults are the
+    RGF93 / Lambert-93 projection constants (EPSG:2154, GRS80 ellipsoid —
+    projection math only, no datum shift, same scoping as BNG/UTM). The
+    inverse's latitude iteration runs a FIXED count so results are
+    bit-identical regardless of how cells are batched across tiles."""
+
+    a: float = 6378137.0  # GRS80 semi-major
+    b: float = 6356752.314140356  # GRS80 semi-minor
+    sp1: float = 44.0  # standard parallels (deg)
+    sp2: float = 49.0
+    lat0: float = 46.5  # grid origin (deg)
+    lon0: float = 3.0
+    e0: float = 700000.0  # false easting / northing
+    n0: float = 6600000.0
+    iters: int = 12
+
+    def _e(self) -> float:
+        return float(np.sqrt(1.0 - (self.b / self.a) ** 2))
+
+    def _m(self, phi):
+        e = self._e()
+        return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+    def _t(self, phi):
+        e = self._e()
+        s = np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    def _consts(self):
+        p1, p2 = np.deg2rad(self.sp1), np.deg2rad(self.sp2)
+        p0 = np.deg2rad(self.lat0)
+        m1, m2 = self._m(p1), self._m(p2)
+        t0, t1, t2 = self._t(p0), self._t(p1), self._t(p2)
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        F = m1 / (n * t1**n)
+        rho0 = self.a * F * t0**n
+        return n, F, rho0
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        n, F, rho0 = self._consts()
+        rho = self.a * F * self._t(phi) ** n
+        th = n * (lam - np.deg2rad(self.lon0))
+        return self.e0 + rho * np.sin(th), self.n0 + rho0 - rho * np.cos(th)
+
+    def inverse(self, E, N):
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        n, F, rho0 = self._consts()
+        e = self._e()
+        dx, dy = E - self.e0, rho0 - (N - self.n0)
+        rho = np.sign(n) * np.sqrt(dx**2 + dy**2)
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        t = (rho / (self.a * F)) ** (1.0 / n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(self.iters):  # fixed count: batch-invariant
+            s = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+            )
+        lam = th / n + np.deg2rad(self.lon0)
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """Ellipsoidal Albers equal-area conic, two standard parallels —
+    Snyder 1987 §14 (eqs 3-12, 14-12..14-21, 3-16; public literature),
+    pure numpy. The authalic complement of the conformal conic: the
+    continental-statistics family (EPSG:5070-style CRSs). Defaults are
+    the NAD83 / Conus Albers projection constants (EPSG:5070, GRS80 —
+    projection math only, no datum shift). Fixed-count inverse iteration
+    for batch invariance."""
+
+    a: float = 6378137.0
+    b: float = 6356752.314140356
+    sp1: float = 29.5
+    sp2: float = 45.5
+    lat0: float = 23.0
+    lon0: float = -96.0
+    e0: float = 0.0
+    n0: float = 0.0
+    iters: int = 12
+
+    def _e2(self) -> float:
+        return float(1.0 - (self.b / self.a) ** 2)
+
+    def _m(self, phi):
+        e2 = self._e2()
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+    def _q(self, phi):
+        e2 = self._e2()
+        e = np.sqrt(e2)
+        s = np.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s**2)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def _consts(self):
+        p1, p2 = np.deg2rad(self.sp1), np.deg2rad(self.sp2)
+        p0 = np.deg2rad(self.lat0)
+        m1, m2 = self._m(p1), self._m(p2)
+        q0, q1, q2 = self._q(p0), self._q(p1), self._q(p2)
+        n = (m1**2 - m2**2) / (q2 - q1)
+        C = m1**2 + n * q1
+        rho0 = self.a * np.sqrt(C - n * q0) / n
+        return n, C, rho0
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        n, C, rho0 = self._consts()
+        rho = self.a * np.sqrt(C - n * self._q(phi)) / n
+        th = n * (lam - np.deg2rad(self.lon0))
+        return self.e0 + rho * np.sin(th), self.n0 + rho0 - rho * np.cos(th)
+
+    def inverse(self, E, N):
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        n, C, rho0 = self._consts()
+        e2 = self._e2()
+        e = np.sqrt(e2)
+        dx, dy = E - self.e0, rho0 - (N - self.n0)
+        rho = np.sqrt(dx**2 + dy**2)
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        q = (C - (rho * n / self.a) ** 2) / n
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(self.iters):  # Snyder eq. 3-16, fixed count
+            s = np.sin(phi)
+            phi = phi + (1.0 - e2 * s**2) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s**2)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        lam = th / n + np.deg2rad(self.lon0)
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+
+lambert93 = LambertConformalConic()  # EPSG:2154 projection constants
+conus_albers = AlbersEqualArea()  # EPSG:5070 projection constants
+
+
 def compose(outer, inner):
     """Coordinate-transform composition ``(x, y) → outer(*inner(x, y))`` —
     e.g. projected→projected warps via geographic coordinates:
@@ -231,9 +388,14 @@ def epsg_transform(code: int):
     if 32701 <= code <= 32760:
         t = utm_tmerc(code - 32700, south=True)
         return t.forward, t.inverse
+    if code == 2154:
+        return lambert93.forward, lambert93.inverse
+    if code == 5070:
+        return conus_albers.forward, conus_albers.inverse
     raise ValueError(
         f"EPSG:{code} is outside the supported projection families "
-        "(4326, 3857, 27700, UTM 326xx/327xx); datum-shifted CRSs need a "
+        "(4326, 3857, 27700, UTM 326xx/327xx, 2154 Lambert conformal "
+        "conic, 5070 Albers equal-area); datum-shifted CRSs need a "
         "Helmert step composed in front (out of scope per SURVEY §2.4)"
     )
 

@@ -89,3 +89,19 @@ def test_side_pit_fills_to_its_own_spill(ray_session):
     inside = got[31, 11]
     assert inside > z[31, 11]  # pit floor raised
     assert inside < z[:, [0, -1]].max()  # but nowhere near the global max
+
+
+def test_event_fill_bit_matches_reconstruction(ray_session):
+    """The exact event sweep (fallback) and the reconstruction-by-erosion
+    fast path compute the same fixpoint bit-exactly."""
+    rng = np.random.default_rng(23)
+    scheme = fixtures.make_scheme(3, 3, tile_h=16, tile_w=16, ragged=False)
+    g = scheme.grid
+    full = rng.normal(100.0, 10.0, (g.nrows, g.ncols))
+    full[rng.random(full.shape) < 0.04] = np.nan
+    full[20:28, 20:28] -= 40.0  # cross-tile depression
+    ts = _tileset_from(full, scheme)
+    fast = to_array(fill_depressions(ts))
+    slow = to_array(fill_depressions(ts, force_event_fill=True))
+    np.testing.assert_array_equal(fast, slow)
+    np.testing.assert_array_equal(fast, oracle.fill_depressions(_f32(full)))
