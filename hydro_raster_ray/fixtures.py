@@ -1138,6 +1138,42 @@ def _ensure_flowdir_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_lcc_witness(tag: str, out: str) -> None:
+    """Lambert-conformal-conic warp witness (own marker → in-place
+    upgrade): BNG metres → Lambert-93 metres through geographic
+    coordinates, whole-array nearest lookup, then per-tile stats —
+    the same scalar mirror as the UTM witness."""
+    done = os.path.join(out, "_LCC_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .grid import map2sub, sub2map
+    from .sources.tiles import TileScheme
+    from .stages.reproject import bng_tmerc, compose, lambert93, target_grid_for
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    full = assemble_truth(scheme)
+    fwd = compose(lambert93.forward, bng_tmerc.inverse)
+    inv = compose(bng_tmerc.forward, lambert93.inverse)
+    spec = target_grid_for(g, fwd, g.cellsize, crs="lambert93")
+    lcc_scheme = TileScheme(grid=spec, tile_h=64, tile_w=64)
+    X, Y = sub2map(np.arange(spec.nrows), np.arange(spec.ncols), spec)
+    XX, YY = np.meshgrid(X, Y)
+    sx, sy = inv(XX.ravel(), YY.ravel())
+    rr, cc = map2sub(sx, sy, g)
+    ok = (rr >= 0) & (rr < g.nrows) & (cc >= 0) & (cc < g.ncols)
+    warped = np.full(XX.size, np.nan)
+    warped[ok] = full[rr[ok], cc[ok]]
+    warped = _f32(warped.reshape(spec.nrows, spec.ncols))
+    _write_atomic(
+        _per_tile_stats_table(lcc_scheme, warped),
+        os.path.join(out, "witness_reproject_lcc.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_stream_witness(tag: str, out: str) -> None:
     """Stream-network witness (own marker → in-place upgrade): whole-array
     flow accumulation, threshold ≥ 50 upstream cells → 0/1/NaN mask, then
@@ -1313,6 +1349,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_basin_witness(tag, out)
     _ensure_depression_witness(tag, out)
     _ensure_stream_witness(tag, out)
+    _ensure_lcc_witness(tag, out)
     return out
 
 

@@ -421,6 +421,24 @@ def q_reproject_utm(sf_dir: str):
     return per_tile_stats(warped)
 
 
+def q_reproject_lcc(sf_dir: str):
+    """Projected→projected warp into the Lambert-conformal-conic family:
+    BNG metres → Lambert-93 metres (EPSG:2154 projection constants,
+    Snyder §15 ellipsoidal series) composed through geographic
+    coordinates; per-tile stats vs the whole-array witness."""
+    from ..stages.reproject import bng_tmerc, compose, lambert93, reproject
+
+    ts, scheme = tiles_for(sf_dir)
+    warped = reproject(
+        ts,
+        compose(lambert93.forward, bng_tmerc.inverse),
+        compose(bng_tmerc.forward, lambert93.inverse),
+        scheme.grid.cellsize,
+        crs="lambert93",
+    )
+    return per_tile_stats(warped)
+
+
 def q_hillshade_stats(sf_dir: str):
     """Distributed hillshade (halo strips + global contrast stretch) —
     per-tile stats vs the whole-array witness ``oracle.hillshade``."""
@@ -679,6 +697,7 @@ TILE_QUERIES = {
     "reproject_affine": q_reproject_affine,
     "reproject_tmerc": q_reproject_tmerc,
     "reproject_utm": q_reproject_utm,
+    "reproject_lcc": q_reproject_lcc,
     "hillshade_stats": q_hillshade_stats,
     "slope_stats": q_slope_stats,
     "aspect_stats": q_aspect_stats,
