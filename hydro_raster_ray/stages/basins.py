@@ -57,7 +57,9 @@ _LINK_SCHEMA = pa.schema(
 )
 
 
-def _solve_exit_labels(ts: TileSet, halo_broadcast_budget: int, border_budget_rows: int):
+def _solve_exit_labels(
+    ts: TileSet, halo_broadcast_budget: int, border_budget_rows: int, strips
+):
     """Passes 1 + the driver border solve. Returns ``ray.put`` handle of
     the resolved ``{exit gid → pit gid}`` dict."""
     grid = ts.grid
@@ -97,7 +99,10 @@ def _solve_exit_labels(ts: TileSet, halo_broadcast_budget: int, border_budget_ro
             schema=_LINK_SCHEMA,
         )
 
-    links = halo_map(ts, pass1, corners=True, budget_bytes=halo_broadcast_budget)
+    links = halo_map(
+        ts, pass1, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
 
     recv: dict[int, int] = {}
     ringt: dict[int, tuple[int, bool]] = {}
@@ -170,9 +175,15 @@ def basin_labels(
 ) -> TileSet:
     """D8 watershed labeling over the mosaic (see module docstring):
     ``raw-f64`` tiles whose pixels are the terminal-pit global cell ids."""
+    from .halo import collect_strips
+
     grid = ts.grid
     ncols = grid.ncols
-    aref = _solve_exit_labels(ts, halo_broadcast_budget, border_budget_rows)
+    # one strip collection serves both haloed passes (see flowacc)
+    strips = collect_strips(ts, halo_broadcast_budget, corners=True)
+    aref = _solve_exit_labels(
+        ts, halo_broadcast_budget, border_budget_rows, strips
+    )
 
     def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         lab = _label_plane(aref, ncols, gr0, gc0, h, w, win, br, bc)
@@ -181,7 +192,10 @@ def basin_labels(
         )
         return rows_to_table([(meta, lab)], fmt="raw-f64")
 
-    out = halo_map(ts, pass2, corners=True, budget_bytes=halo_broadcast_budget)
+    out = halo_map(
+        ts, pass2, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
     return TileSet(ds=out, grid=grid)
 
 
@@ -195,9 +209,14 @@ def basin_sizes(
     rows. Exact at any scale (never stores labels in a float plane)."""
     from ray.data.aggregate import Sum
 
+    from .halo import collect_strips
+
     grid = ts.grid
     ncols = grid.ncols
-    aref = _solve_exit_labels(ts, halo_broadcast_budget, border_budget_rows)
+    strips = collect_strips(ts, halo_broadcast_budget, corners=True)
+    aref = _solve_exit_labels(
+        ts, halo_broadcast_budget, border_budget_rows, strips
+    )
 
     def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         lab = _label_plane(aref, ncols, gr0, gc0, h, w, win, br, bc).ravel()
@@ -212,5 +231,8 @@ def basin_sizes(
             }
         )
 
-    partials = halo_map(ts, pass2, corners=True, budget_bytes=halo_broadcast_budget)
+    partials = halo_map(
+        ts, pass2, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
     return partials.groupby("basin").aggregate(Sum("n_cells", alias_name="n_cells"))

@@ -141,8 +141,13 @@ def flow_accumulation(
     border_budget_rows: int = 50_000_000,
 ) -> TileSet:
     """D8 flow accumulation over the mosaic (see module docstring)."""
+    from .halo import collect_strips
+
     grid = ts.grid
     ncols = grid.ncols
+    # one strip collection serves both haloed passes (a collection is a
+    # full corpus read — halving it is ~10% of the operator's wall time)
+    strips = collect_strips(ts, halo_broadcast_budget, corners=True)
 
     def pass1(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         nxt, (ex_cells, ex_tr, ex_tc), acc, order, term = _tile_flow(
@@ -185,7 +190,10 @@ def flow_accumulation(
             schema=_EDGE_SCHEMA,
         )
 
-    edges = halo_map(ts, pass1, corners=True, budget_bytes=halo_broadcast_budget)
+    edges = halo_map(
+        ts, pass1, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
 
     # ---- border solve (driver): one descending-z sweep ----
     import pandas as pd
@@ -246,7 +254,10 @@ def flow_accumulation(
         )
         return rows_to_table([(meta, acc.reshape(h, w))], lossless=True)
 
-    out = halo_map(ts, pass2, corners=True, budget_bytes=halo_broadcast_budget)
+    out = halo_map(
+        ts, pass2, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
     return TileSet(ds=out, grid=grid)
 
 

@@ -180,7 +180,8 @@ def assemble_window(g: pa.Table):
     return t_tr, t_tc, gr0, gc0, h, w, win, gr0 - win_r0, gc0 - win_c0
 
 
-def halo_map(ts, fn, corners: bool = False, budget_bytes: int = 256 << 20):
+def halo_map(ts, fn, corners: bool = False, budget_bytes: int = 256 << 20,
+             strips="auto"):
     """Generic haloed-window map: run ``fn(t_tr, t_tc, gr0, gc0, h, w, win,
     br, bc) -> pa.Table`` once per tile over its halo-extended float64
     window (``win[br:br+h, bc:bc+w]`` is the body). Output schema is the
@@ -191,11 +192,15 @@ def halo_map(ts, fn, corners: bool = False, budget_bytes: int = 256 << 20):
     Same two paths as the terrain family, bit-identical windows either
     way: broadcast-halo single map pass when the strips fit
     ``budget_bytes``; the bucket-file exchange (``stages/exchange.py``)
-    at scale."""
+    at scale. Multi-pass callers (flow accumulation, basins) collect the
+    strips ONCE and pass the dict via ``strips`` — the collection is a
+    full corpus read, so re-collecting per pass doubles that cost;
+    ``strips=None`` forces the exchange path without re-collecting."""
     import pyarrow as _pa
 
     grid = ts.grid
-    strips = collect_strips(ts, budget_bytes, corners=corners)
+    if strips == "auto":
+        strips = collect_strips(ts, budget_bytes, corners=corners)
     if strips is not None:
         import ray as _ray
 

@@ -208,16 +208,19 @@ def d8_codes(win: np.ndarray) -> np.ndarray:
     h, w = win.shape
     p = np.pad(win.astype(np.float64, copy=False), 1, constant_values=np.nan)
     z = p[1:-1, 1:-1]
-    drops = np.empty((8, h, w))
-    for k, (dr, dc, dist, _c) in enumerate(_D8):
-        zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
-        with np.errstate(invalid="ignore"):
-            drops[k] = (z - zn) / dist
-    drops[np.isnan(drops)] = -np.inf
-    best = np.argmax(drops, axis=0)  # first max in table order
-    bestv = np.take_along_axis(drops, best[None], 0)[0]
-    codes = np.array([c for *_x, c in _D8])
-    out = np.where(bestv > 0, codes[best], 0.0)
+    best = np.full((h, w), -np.inf)
+    code = np.zeros((h, w))
+    with np.errstate(invalid="ignore"):
+        for dr, dc, dist, c in _D8:
+            zn = p[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            d = z - zn
+            if dist != 1.0:  # unit-distance divides are identity, skip them
+                d = d / dist
+            # NaN drops compare False, so holes never win — no -inf rewrite
+            take = d > best  # strict: the first code in table order wins ties
+            best = np.where(take, d, best)
+            code = np.where(take, float(c), code)
+    out = np.where(best > 0, code, 0.0)
     out[np.isnan(z)] = np.nan
     return out
 

@@ -217,13 +217,13 @@ def test_epsg_registry_families():
     # identity for geographic; known code families resolve; others raise
     f, i = epsg_transform(4326)
     assert f(1.5, 52.0) == (1.5, 52.0)
-    for code in (3857, 27700, 32630, 32730):
+    for code in (3857, 27700, 32630, 32730, 2154, 5070):
         f, i = epsg_transform(code)
         x, y = f(np.array([-1.5]), np.array([52.0]))
         lon, lat = i(x, y)
         np.testing.assert_allclose([lon[0], lat[0]], [-1.5, 52.0], atol=1e-6)
     with pytest.raises(ValueError):
-        epsg_transform(2154)  # Lambert conformal conic: unsupported family
+        epsg_transform(31370)  # datum-shifted CRS: needs a Helmert step
 
     # projected->projected composition round-trips through geographic
     fwd, inv = crs_transform(27700, 32630)
