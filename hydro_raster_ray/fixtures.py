@@ -1175,21 +1175,27 @@ def _ensure_lcc_witness(tag: str, out: str) -> None:
 
 
 def _ensure_stream_witness(tag: str, out: str) -> None:
-    """Stream-network witness (own marker → in-place upgrade): whole-array
-    flow accumulation, threshold ≥ 50 upstream cells → 0/1/NaN mask, then
-    the standard per-tile stats."""
-    done = os.path.join(out, "_STREAM_WITNESS_V1")
+    """Stream-network + flow-length witnesses (own marker → in-place
+    upgrade): whole-array flow accumulation, threshold ≥ 50 upstream cells
+    → 0/1/NaN mask; whole-array downstream flow length; standard per-tile
+    stats for each."""
+    done = os.path.join(out, "_STREAM_WITNESS_V2")
     if os.path.exists(done):
         return
     from . import oracle
 
     tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
     scheme = make_scheme(tr_n, tc_n)
-    acc = oracle.flow_accumulation(assemble_truth(scheme))
+    full = assemble_truth(scheme)
+    acc = oracle.flow_accumulation(full)
     mask = np.where(np.isnan(acc), np.nan, (acc >= 50.0).astype(np.float64))
     _write_atomic(
         _per_tile_stats_table(scheme, mask),
         os.path.join(out, "witness_streams.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.flow_length(full))),
+        os.path.join(out, "witness_flowlen.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -658,6 +658,39 @@ def fill_depressions(array: np.ndarray) -> np.ndarray:
     return fill
 
 
+def flow_length(array: np.ndarray) -> np.ndarray:
+    """Whole-array downstream flow-path length witness: the D8 distance
+    (cellsize units) from each cell to the terminal pit/flat where its
+    flow ends — ``n_straight + n_diagonal·√2`` where the HOP COUNTS are
+    exact integers accumulated downstream (ascending-z sweep: a cell's
+    receiver is strictly lower, hence already resolved). Forming the
+    value as ONE multiply-add of exact counts makes it independent of
+    summation association — float chains like ``(...((√2+1)+√2)...)``
+    round differently per grouping, which would make a tiled reproduction
+    impossible; counts are associative, so the engine's contraction must
+    match bit-exactly. Pits/flats are 0; NaN stays NaN."""
+    h, w = array.shape
+    d = flow_dir_d8(array)
+    off = {c: (dr, dc) for dr, dc, _dist, c in _D8}
+    flat = array.ravel()
+    df = d.ravel()
+    ns = np.zeros(h * w, dtype=np.int64)
+    nd = np.zeros(h * w, dtype=np.int64)
+    finite = np.flatnonzero(np.isfinite(flat))
+    order = finite[np.argsort(flat[finite], kind="stable")]  # ascending z
+    for idx in order:
+        c = int(df[idx])
+        if c:
+            dr, dc = off[c]
+            r = idx + dr * w + dc
+            diag = dr != 0 and dc != 0
+            ns[idx] = ns[r] + (0 if diag else 1)
+            nd[idx] = nd[r] + (1 if diag else 0)
+    out = ns.astype(np.float64) + nd.astype(np.float64) * np.sqrt(2.0)
+    out[np.isnan(flat)] = np.nan
+    return out.reshape(h, w)
+
+
 def basin_labels(array: np.ndarray) -> np.ndarray:
     """Whole-array D8 basin (watershed) delineation witness: each finite
     cell is labeled with the GLOBAL FLAT INDEX (``r*ncols + c``) of the

@@ -615,6 +615,16 @@ def q_stream_stats(sf_dir: str):
     return per_tile_stats(stream_mask(ts, threshold=50.0))
 
 
+def q_flow_length_stats(sf_dir: str):
+    """Downstream D8 flow-path length (exact integer hop-count
+    contraction, value n_s + n_d·√2) — per-tile stats vs the whole-array
+    witness ``oracle.flow_length``."""
+    from ..stages.flowacc import flow_length
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(flow_length(ts))
+
+
 def q_fill_depressions_stats(sf_dir: str):
     """Distributed depression filling (Barnes-style spill-graph
     contraction: per-tile Kruskal spill graphs → driver minimax Dijkstra
@@ -708,6 +718,7 @@ TILE_QUERIES = {
     "basin_sizes": q_basin_sizes,
     "fill_depressions_stats": q_fill_depressions_stats,
     "stream_stats": q_stream_stats,
+    "flow_length_stats": q_flow_length_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

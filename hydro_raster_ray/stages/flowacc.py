@@ -51,7 +51,7 @@ from .decode import rows_to_table
 from .halo import halo_map
 from .terrain import _D8, _Meta, d8_codes
 
-__all__ = ["flow_accumulation", "stream_mask"]
+__all__ = ["flow_accumulation", "flow_length", "stream_mask"]
 
 _CODE_TO_K = {int(c): k for k, (_r, _c2, _d, c) in enumerate(_D8)}
 _DR = np.array([d[0] for d in _D8])
@@ -253,6 +253,211 @@ def flow_accumulation(
             "flow_acc d8",
         )
         return rows_to_table([(meta, acc.reshape(h, w))], lossless=True)
+
+    out = halo_map(
+        ts, pass2, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
+    return TileSet(ds=out, grid=grid)
+
+
+def _tile_counts(win, br, bc, h, w):
+    """Per-tile flow-length state: body-flat receiver ``nxt``, exits with
+    their step kind, in-tile hop counts to each cell's terminal (ns
+    straight, nd diagonal — exact integers, one ascending-z sweep), and
+    the terminal index per cell."""
+    codes = d8_codes(win)[br : br + h, bc : bc + w]
+    zbody = win[br : br + h, bc : bc + w]
+    m = np.isfinite(codes) & (codes > 0)
+    rr, cc = np.nonzero(m)
+    k = _LUT[codes[rr, cc].astype(np.int64)]
+    diag = (_DR[k] != 0) & (_DC[k] != 0)
+    tr_w = rr + br + _DR[k]
+    tc_w = cc + bc + _DC[k]
+    inside = (tr_w >= br) & (tr_w < br + h) & (tc_w >= bc) & (tc_w < bc + w)
+    nxt = np.full(h * w, -1, dtype=np.int64)
+    bidx = rr * w + cc
+    nxt[bidx[inside]] = (tr_w[inside] - br) * w + (tc_w[inside] - bc)
+    sd = np.zeros(h * w, dtype=np.int64)
+    sd[bidx] = diag  # step kind of each flowing cell's OWN hop
+    exits = (bidx[~inside], tr_w[~inside], tc_w[~inside], diag[~inside])
+
+    zf = zbody.ravel()
+    finite = np.flatnonzero(np.isfinite(zf))
+    order = finite[np.argsort(-zf[finite], kind="stable")]
+    ol = order.tolist()
+    nl = nxt.tolist()
+    sdl = sd.tolist()
+    ns = [0] * (h * w)
+    nd = [0] * (h * w)
+    tl = list(range(h * w))
+    for idx in reversed(ol):  # ascending z: receiver resolved first
+        t = nl[idx]
+        if t >= 0:
+            d = sdl[idx]
+            ns[idx] = ns[t] + 1 - d
+            nd[idx] = nd[t] + d
+            tl[idx] = tl[t]
+    return nxt, exits, ns, nd, tl, zf
+
+
+_LEN_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = exit step, 1 = ring-cell in-tile counts
+        ("src", pa.int64()),
+        ("dst", pa.int64()),  # exit: receiver gid; ring: terminal gid
+        ("z", pa.float64()),  # exit: z(src) — the ascending solve order
+        ("a", pa.int64()),  # exit: step is diagonal (0/1); ring: ns
+        ("b", pa.int64()),  # ring: nd
+        ("pit", pa.bool_()),  # ring: terminal is a true pit
+    ]
+)
+
+
+def flow_length(
+    ts: TileSet,
+    halo_broadcast_budget: int = 256 << 20,
+    border_budget_rows: int = 50_000_000,
+) -> TileSet:
+    """Downstream D8 flow-path length (``oracle.flow_length`` semantics:
+    exact straight/diagonal hop counts to the terminal, value
+    ``n_s + n_d·√2`` in cellsize units). Same contraction as
+    ``flow_accumulation`` but propagating INTEGER count pairs — exact and
+    associative at any scale, so tiling cannot perturb the result:
+
+    1. haloed pass: in-tile counts per cell (ascending-z sweep) + border
+       rows (per exit its step kind, per ring cell its in-tile counts);
+    2. driver solve: exits resolved in one ascending-z sweep (the chain
+       strictly descends, so each exit's continuation is already done);
+    3. haloed pass: counts = in-tile + broadcast continuation of the
+       cell's terminal exit; one multiply-add forms the value plane."""
+    from .halo import collect_strips
+
+    grid = ts.grid
+    ncols = grid.ncols
+    strips = collect_strips(ts, halo_broadcast_budget, corners=True)
+
+    def pass1(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
+        _nxt, (ex, ex_tr, ex_tc, ex_sd), ns, nd, term, zf = _tile_counts(
+            win, br, bc, h, w
+        )
+        g_r0, g_c0 = gr0 - br, gc0 - bc
+        kind, src, dst, zs, aa, bb, pit = [], [], [], [], [], [], []
+        exit_set = set(int(x) for x in ex)
+        for j in range(ex.size):
+            u = int(ex[j])
+            kind.append(0)
+            src.append((gr0 + u // w) * ncols + (gc0 + u % w))
+            dst.append((g_r0 + int(ex_tr[j])) * ncols + (g_c0 + int(ex_tc[j])))
+            zs.append(float(zf[u]))
+            aa.append(int(ex_sd[j]))
+            bb.append(0)
+            pit.append(False)
+        for v in _border_ring_flat(h, w):
+            if not np.isfinite(zf[v]):
+                continue
+            t = term[v]
+            kind.append(1)
+            src.append((gr0 + v // w) * ncols + (gc0 + v % w))
+            dst.append((gr0 + t // w) * ncols + (gc0 + t % w))
+            zs.append(0.0)
+            aa.append(ns[v])
+            bb.append(nd[v])
+            pit.append(t not in exit_set)
+        if not kind:
+            return None
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.int8()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "z": pa.array(zs, pa.float64()),
+                "a": pa.array(aa, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "pit": pa.array(pit, pa.bool_()),
+            },
+            schema=_LEN_SCHEMA,
+        )
+
+    rows = halo_map(
+        ts, pass1, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
+
+    # ---- driver solve: one ascending-z sweep over the exits ----
+    import pandas as pd
+
+    frames = [
+        b.to_pandas()
+        for b in rows.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    df = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=[f.name for f in _LEN_SCHEMA])
+    )
+    if len(df) > border_budget_rows:  # pragma: no cover - budget guard
+        raise MemoryError(
+            f"border table has {len(df)} rows > budget {border_budget_rows}; "
+            "apply the recursive tiles-of-tiles contraction (module note)"
+        )
+    ring = df[df["kind"] == 1]
+    ringinfo = {
+        int(s): (int(t), int(a), int(b), bool(p))
+        for s, t, a, b, p in zip(
+            ring["src"].to_numpy(),
+            ring["dst"].to_numpy(),
+            ring["a"].to_numpy(),
+            ring["b"].to_numpy(),
+            ring["pit"].to_numpy(),
+        )
+    }
+    ex = df[df["kind"] == 0].sort_values("z", ascending=True, kind="stable")
+    NS: dict[int, int] = {}
+    ND: dict[int, int] = {}
+    for u, r, sd in zip(
+        ex["src"].to_numpy().tolist(),
+        ex["dst"].to_numpy().tolist(),
+        ex["a"].to_numpy().tolist(),
+    ):
+        t, ns_r, nd_r, pit = ringinfo[r]
+        tot_ns = (1 - sd) + ns_r
+        tot_nd = sd + nd_r
+        if not pit:
+            tot_ns += NS[t]
+            tot_nd += ND[t]
+        NS[u] = tot_ns
+        ND[u] = tot_nd
+
+    import ray as _ray
+
+    cref = _ray.put((NS, ND))
+
+    def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
+        import ray as _ray2
+
+        NSd, NDd = _ray2.get(cref)
+        _nxt, (exc, _tr, _tc, _sd), ns, nd, term, zf = _tile_counts(
+            win, br, bc, h, w
+        )
+        idx = np.arange(h * w, dtype=np.int64)
+        gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
+        addn = np.zeros(h * w, dtype=np.int64)
+        addd = np.zeros(h * w, dtype=np.int64)
+        for u in exc.tolist():  # border-scale loop
+            g = int(gid[u])
+            addn[u] = NSd[g]
+            addd[u] = NDd[g]
+        ta = np.asarray(term, dtype=np.int64)
+        tot_ns = np.asarray(ns, dtype=np.float64) + addn[ta]
+        tot_nd = np.asarray(nd, dtype=np.float64) + addd[ta]
+        val = tot_ns + tot_nd * np.sqrt(2.0)
+        val[np.isnan(zf)] = np.nan
+        meta = _Meta(
+            f"t{t_tr:04d}_{t_tc:04d}", t_tr, t_tc, gr0, gc0, h, w,
+            "flow_length d8",
+        )
+        return rows_to_table([(meta, val.reshape(h, w))], lossless=True)
 
     out = halo_map(
         ts, pass2, corners=True, budget_bytes=halo_broadcast_budget,

@@ -103,3 +103,46 @@ def test_stream_mask_matches_witness(ray_session, small_scheme):
     np.testing.assert_array_equal(got, want)
     n_stream = np.nansum(got)
     assert 0 < n_stream < np.isfinite(got).sum()
+
+
+def test_flow_length_matches_witness(ray_session, small_scheme):
+    """Distributed flow length (integer hop-count contraction) equals the
+    whole-array witness bit-exactly, including the √2 diagonal steps."""
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import flow_length
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    want = _f32(oracle.flow_length(_f32(full)))
+    got = to_array(flow_length(ts))
+    np.testing.assert_array_equal(got, want)
+    finite = np.isfinite(got)
+    assert (got[finite] >= 0).all() and got[finite].max() > 1.0
+
+
+def test_flow_length_cross_tile_river(ray_session):
+    """The valley channel's outlet-adjacent cells carry path lengths that
+    grow monotonically upstream across all three tile rows."""
+    from hydro_raster_ray.sources import to_array
+    from hydro_raster_ray.stages.flowacc import flow_length
+
+    scheme = fixtures.make_scheme(3, 3, tile_h=16, tile_w=16, ragged=False)
+    n = 48
+    cc, rr = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float))
+    full = np.abs(cc - 24.0) * 2.0 - rr * 0.5
+    ts = _tileset_from(full, scheme)
+    got = to_array(flow_length(ts))
+    want = _f32(oracle.flow_length(_f32(full)))
+    np.testing.assert_array_equal(got, want)
+    chan = got[:, 24]
+    assert chan[0] > chan[24] > chan[n - 1] == 0.0  # outlet pit is 0
+
+
+def test_flow_length_exchange_fallback(ray_session, small_scheme):
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import flow_length
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    fast = to_array(flow_length(ts))
+    slow = to_array(flow_length(ts, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(fast, slow)
