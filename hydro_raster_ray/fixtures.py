@@ -1175,11 +1175,12 @@ def _ensure_lcc_witness(tag: str, out: str) -> None:
 
 
 def _ensure_stream_witness(tag: str, out: str) -> None:
-    """Stream-network + flow-length witnesses (own marker → in-place
-    upgrade): whole-array flow accumulation, threshold ≥ 50 upstream cells
-    → 0/1/NaN mask; whole-array downstream flow length; standard per-tile
+    """Stream-network + flow-length + Strahler witnesses (own marker →
+    in-place upgrade): whole-array flow accumulation, threshold ≥ 50
+    upstream cells → 0/1/NaN mask; whole-array downstream flow length;
+    whole-array Strahler order at the same threshold; standard per-tile
     stats for each."""
-    done = os.path.join(out, "_STREAM_WITNESS_V2")
+    done = os.path.join(out, "_STREAM_WITNESS_V3")
     if os.path.exists(done):
         return
     from . import oracle
@@ -1196,6 +1197,10 @@ def _ensure_stream_witness(tag: str, out: str) -> None:
     _write_atomic(
         _per_tile_stats_table(scheme, _f32(oracle.flow_length(full))),
         os.path.join(out, "witness_flowlen.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, oracle.strahler(full, threshold=50.0)),
+        os.path.join(out, "witness_strahler.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

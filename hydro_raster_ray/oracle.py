@@ -658,6 +658,44 @@ def fill_depressions(array: np.ndarray) -> np.ndarray:
     return fill
 
 
+def strahler(array: np.ndarray, threshold: float = 50.0) -> np.ndarray:
+    """Whole-array Strahler stream-order witness over the channel network
+    (cells with ``flow_accumulation ≥ threshold`` — the network is closed
+    under D8 because accumulation is monotone downstream). Classic
+    definition: a head cell (no stream inflow) is order 1; a cell's order
+    is the max of its stream inflows' orders, +1 when that max arrives
+    from two or more inflows. One descending-z sweep resolves the forest
+    (inflows are strictly higher, hence already done). Non-stream finite
+    cells are 0; NaN stays NaN."""
+    h, w = array.shape
+    acc = flow_accumulation(array)
+    d = flow_dir_d8(array)
+    off = {c: (dr, dc) for dr, dc, _dist, c in _D8}
+    flat = array.ravel()
+    df = d.ravel()
+    stream = np.isfinite(acc.ravel()) & (acc.ravel() >= threshold)
+    order_z = np.flatnonzero(stream)
+    order_z = order_z[np.argsort(-flat[order_z], kind="stable")]
+    mx = np.zeros(h * w, dtype=np.int64)  # max inflow order per cell
+    cnt = np.zeros(h * w, dtype=np.int64)  # how many inflows carry it
+    order = np.zeros(h * w, dtype=np.int64)
+    for idx in order_z:
+        o = 1 if mx[idx] == 0 else mx[idx] + (1 if cnt[idx] >= 2 else 0)
+        order[idx] = o
+        c = int(df[idx])
+        if c:
+            dr, dc = off[c]
+            r = idx + dr * w + dc
+            if o > mx[r]:
+                mx[r] = o
+                cnt[r] = 1
+            elif o == mx[r]:
+                cnt[r] += 1
+    out = order.astype(np.float64)
+    out[np.isnan(flat)] = np.nan
+    return out.reshape(h, w)
+
+
 def flow_length(array: np.ndarray) -> np.ndarray:
     """Whole-array downstream flow-path length witness: the D8 distance
     (cellsize units) from each cell to the terminal pit/flat where its

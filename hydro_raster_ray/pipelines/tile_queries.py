@@ -615,6 +615,17 @@ def q_stream_stats(sf_dir: str):
     return per_tile_stats(stream_mask(ts, threshold=50.0))
 
 
+def q_strahler_stats(sf_dir: str):
+    """Strahler stream order over the accumulation-threshold network
+    (stream-forest extraction → driver descending-z order sweep →
+    vectorized broadcast lookup) — per-tile stats vs the whole-array
+    witness ``oracle.strahler``."""
+    from ..stages.flowacc import strahler
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(strahler(ts, threshold=50.0))
+
+
 def q_flow_length_stats(sf_dir: str):
     """Downstream D8 flow-path length (exact integer hop-count
     contraction, value n_s + n_d·√2) — per-tile stats vs the whole-array
@@ -719,6 +730,7 @@ TILE_QUERIES = {
     "fill_depressions_stats": q_fill_depressions_stats,
     "stream_stats": q_stream_stats,
     "flow_length_stats": q_flow_length_stats,
+    "strahler_stats": q_strahler_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_image_features": q_media_image_features,

@@ -135,18 +135,18 @@ _EDGE_SCHEMA = pa.schema(
 )
 
 
-def flow_accumulation(
-    ts: TileSet,
-    halo_broadcast_budget: int = 256 << 20,
-    border_budget_rows: int = 50_000_000,
-) -> TileSet:
-    """D8 flow accumulation over the mosaic (see module docstring)."""
+def _acc_solve(
+    ts: TileSet, halo_broadcast_budget: int, border_budget_rows: int
+):
+    """Pass 1 + the driver border solve shared by ``flow_accumulation``
+    and ``strahler``: returns ``(strips, aref)`` — the collected halo
+    strips (one collection serves every subsequent haloed pass; a
+    collection is a full corpus read) and the ``ray.put`` handle of the
+    resolved external in-flow dict."""
     from .halo import collect_strips
 
     grid = ts.grid
     ncols = grid.ncols
-    # one strip collection serves both haloed passes (a collection is a
-    # full corpus read — halving it is ~10% of the operator's wall time)
     strips = collect_strips(ts, halo_broadcast_budget, corners=True)
 
     def pass1(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
@@ -230,7 +230,30 @@ def flow_accumulation(
 
     import ray as _ray
 
-    aref = _ray.put(in_amt)
+    return strips, _ray.put(in_amt)
+
+
+def _weights_for(amounts, gr0, gc0, h, w, ncols):
+    """External in-flow weights for one tile from the broadcast dict."""
+    weights = np.zeros(h * w)
+    any_w = False
+    for v in _border_ring_flat(h, w):
+        a = amounts.get((gr0 + v // w) * ncols + (gc0 + v % w))
+        if a:
+            weights[v] = a
+            any_w = True
+    return weights if any_w else None
+
+
+def flow_accumulation(
+    ts: TileSet,
+    halo_broadcast_budget: int = 256 << 20,
+    border_budget_rows: int = 50_000_000,
+) -> TileSet:
+    """D8 flow accumulation over the mosaic (see module docstring)."""
+    grid = ts.grid
+    ncols = grid.ncols
+    strips, aref = _acc_solve(ts, halo_broadcast_budget, border_budget_rows)
 
     def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
@@ -238,16 +261,8 @@ def flow_accumulation(
         amounts = _ray2.get(aref)
         # external in-flows become initial weights: the SAME topological
         # push distributes them down their in-tile paths — no walking
-        weights = np.zeros(h * w)
-        any_w = False
-        for v in _border_ring_flat(h, w):
-            a = amounts.get((gr0 + v // w) * ncols + (gc0 + v % w))
-            if a:
-                weights[v] = a
-                any_w = True
-        _nxt, _ex, acc, _o, _t = _tile_flow(
-            win, br, bc, h, w, weights=weights if any_w else None
-        )
+        weights = _weights_for(amounts, gr0, gc0, h, w, ncols)
+        _nxt, _ex, acc, _o, _t = _tile_flow(win, br, bc, h, w, weights=weights)
         meta = _Meta(
             f"t{t_tr:04d}_{t_tc:04d}", t_tr, t_tc, gr0, gc0, h, w,
             "flow_acc d8",
@@ -464,6 +479,146 @@ def flow_length(
         strips=strips,
     )
     return TileSet(ds=out, grid=grid)
+
+
+def strahler(
+    ts: TileSet,
+    threshold: float = 50.0,
+    halo_broadcast_budget: int = 256 << 20,
+    border_budget_rows: int = 50_000_000,
+    stream_budget_rows: int = 50_000_000,
+) -> TileSet:
+    """Strahler stream order over the channel network (``oracle.strahler``
+    semantics: cells with accumulation ≥ ``threshold``; head = 1; a cell
+    is max of stream inflows, +1 when the max arrives twice).
+
+    The network is CLOSED under D8 (accumulation is monotone downstream),
+    so the solve runs on the extracted stream forest, which is a small
+    fraction of the corpus at a realistic threshold:
+
+    1. ``_acc_solve`` (the shared flowacc pass 1 + border sweep);
+    2. haloed pass: per tile, recompute accumulation with the broadcast
+       in-flows (exactly flowacc pass 2) and EMIT one row per stream cell
+       ``(gid, receiver gid | −1, z)`` — the stream forest as a table;
+    3. driver: one descending-z sweep resolves every order (an inflow is
+       strictly higher, hence already resolved) — budget-guarded like the
+       border solves, same recursive-contraction growth path;
+    4. no-halo pass: broadcast sorted (gid, order) arrays; each tile's
+       order plane is one vectorized ``searchsorted`` lookup (0 for
+       non-stream finite cells, NaN holes preserved).
+    """
+    grid = ts.grid
+    ncols = grid.ncols
+    strips, aref = _acc_solve(ts, halo_broadcast_budget, border_budget_rows)
+
+    _STREAM_SCHEMA = pa.schema(
+        [("gid", pa.int64()), ("rgid", pa.int64()), ("z", pa.float64())]
+    )
+
+    def edge_pass(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
+        import ray as _ray2
+
+        amounts = _ray2.get(aref)
+        weights = _weights_for(amounts, gr0, gc0, h, w, ncols)
+        nxt, (ex, ex_tr, ex_tc), acc, _o, _t = _tile_flow(
+            win, br, bc, h, w, weights=weights
+        )
+        stream = np.isfinite(acc) & (acc >= threshold)
+        sidx = np.flatnonzero(stream)
+        if not sidx.size:
+            return None
+        idx = np.arange(h * w, dtype=np.int64)
+        gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
+        # receiver gid: in-tile via nxt; exits via their window receiver
+        rg = np.full(h * w, -1, dtype=np.int64)
+        m = nxt >= 0
+        rg[m] = gid[nxt[m]]
+        g_r0, g_c0 = gr0 - br, gc0 - bc
+        rg[ex] = (g_r0 + ex_tr) * ncols + (g_c0 + ex_tc)
+        zf = win[br : br + h, bc : bc + w].ravel()
+        return pa.table(
+            {
+                "gid": pa.array(gid[sidx], pa.int64()),
+                "rgid": pa.array(rg[sidx], pa.int64()),
+                "z": pa.array(zf[sidx], pa.float64()),
+            },
+            schema=_STREAM_SCHEMA,
+        )
+
+    rows = halo_map(
+        ts, edge_pass, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
+
+    # ---- driver: descending-z Strahler sweep over the stream forest ----
+    gids, rgids, zs = [], [], []
+    n_rows = 0
+    for b in rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > stream_budget_rows:  # pragma: no cover - budget guard
+            raise MemoryError(
+                f"stream forest exceeds budget {stream_budget_rows} rows "
+                f"at threshold {threshold}; raise the threshold or apply "
+                "the recursive contraction (module note)"
+            )
+        gids.append(b["gid"].to_numpy())
+        rgids.append(b["rgid"].to_numpy())
+        zs.append(b["z"].to_numpy())
+    if gids:
+        gid = np.concatenate(gids)
+        rgid = np.concatenate(rgids)
+        z = np.concatenate(zs)
+    else:
+        gid = rgid = np.empty(0, dtype=np.int64)
+        z = np.empty(0)
+    o = np.argsort(-z, kind="stable")
+    gid, rgid = gid[o], rgid[o]
+    pos = {int(g): k for k, g in enumerate(gid)}  # gid → row (unique rows)
+    mx = np.zeros(gid.size, dtype=np.int64)
+    cnt = np.zeros(gid.size, dtype=np.int64)
+    order = np.zeros(gid.size, dtype=np.int64)
+    mxl, cntl, ordl = mx.tolist(), cnt.tolist(), order.tolist()
+    rl = rgid.tolist()
+    for k in range(gid.size):
+        m = mxl[k]
+        oo = 1 if m == 0 else m + (1 if cntl[k] >= 2 else 0)
+        ordl[k] = oo
+        r = rl[k]
+        if r >= 0:
+            kr = pos[r]  # receiver is a stream cell (acc monotone)
+            if oo > mxl[kr]:
+                mxl[kr] = oo
+                cntl[kr] = 1
+            elif oo == mxl[kr]:
+                cntl[kr] += 1
+
+    sg = np.argsort(gid, kind="stable")
+    sorted_gid = gid[sg]
+    sorted_ord = np.asarray(ordl, dtype=np.float64)[sg]
+
+    import ray as _ray
+
+    oref = _ray.put((sorted_gid, sorted_ord))
+
+    # ---- no-halo pass: vectorized order-plane lookup per tile ----
+    from .decode import map_tiles
+
+    def plane(arr, info):
+        import ray as _ray2
+
+        sgid, sord = _ray2.get(oref)
+        h, w = arr.shape
+        idx = np.arange(h * w, dtype=np.int64)
+        g = (info.gr0 + idx // w) * ncols + (info.gc0 + idx % w)
+        k = np.searchsorted(sgid, g)
+        k[k >= sgid.size] = 0
+        hit = sgid[k] == g if sgid.size else np.zeros(g.size, dtype=bool)
+        out = np.zeros(h * w)
+        out[hit] = sord[k[hit]]
+        out[np.isnan(arr.ravel())] = np.nan
+        return out.reshape(h, w)
+
+    return map_tiles(ts, plane, lossless=True)
 
 
 def stream_mask(ts: TileSet, threshold: float = 50.0, **kwargs) -> TileSet:

@@ -146,3 +146,49 @@ def test_flow_length_exchange_fallback(ray_session, small_scheme):
     fast = to_array(flow_length(ts))
     slow = to_array(flow_length(ts, halo_broadcast_budget=0))
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_strahler_matches_witness(ray_session, small_scheme):
+    """Distributed Strahler order (stream-forest contraction) equals the
+    whole-array witness exactly, and the network has confluences (order
+    ≥ 2 somewhere) so the +1-on-equal-max rule is actually exercised."""
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import strahler
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    want = oracle.strahler(_f32(full), threshold=20.0)
+    got = to_array(strahler(ts, threshold=20.0))
+    np.testing.assert_array_equal(got, want)
+    assert np.nanmax(got) >= 2.0
+
+
+def test_strahler_confluence_rule(ray_session):
+    """Two symmetric order-1 channels meeting must produce order 2 below
+    the confluence; a third order-1 tributary joining later must NOT bump
+    it to 3 (max stays 2, count of max is 1)."""
+    from hydro_raster_ray.sources import to_array
+    from hydro_raster_ray.stages.flowacc import strahler
+
+    scheme = fixtures.make_scheme(3, 3, tile_h=16, tile_w=16, ragged=False)
+    n = 48
+    cc, rr = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float))
+    # twin V-valleys at cols 12 and 36 merging into one at col 24 below row 24
+    upper = np.minimum(np.abs(cc - 12.0), np.abs(cc - 36.0)) * 2.0
+    lower = np.abs(cc - 24.0) * 2.0
+    full = np.where(rr < 24, upper, lower) - rr * 0.5
+    ts = _tileset_from(full, scheme)
+    want = oracle.strahler(_f32(full), threshold=8.0)
+    got = to_array(strahler(ts, threshold=8.0))
+    np.testing.assert_array_equal(got, want)
+    assert np.nanmax(got) >= 2.0
+
+
+def test_strahler_exchange_fallback(ray_session, small_scheme):
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import strahler
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    fast = to_array(strahler(ts, threshold=20.0))
+    slow = to_array(strahler(ts, threshold=20.0, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(fast, slow)
