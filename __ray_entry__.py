@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_simhash"] = ops.simhash_docs
     q["doc_fingerprint"] = ops.fingerprint_docs
     q["doc_ngram_dedup"] = ops.ngram_dup_stats
+    q["doc_pii_scrub"] = ops.pii_scrub
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -282,6 +283,28 @@ SELECT source, CAST(count(*) AS BIGINT) n,
       + 0.3*(1.0 - stop_n::DOUBLE/greatest(wc, 1))
       + 0.3*(uniq_n::DOUBLE/greatest(wc, 1))), 4) AS DOUBLE) avg_quality
 FROM q GROUP BY source
+""",
+        "doc_pii_scrub": f"""
+WITH inj AS (
+  SELECT source,
+    CASE WHEN doc_id % 11 = 0
+         THEN base || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE base END AS text
+  FROM (
+    SELECT source, doc_id,
+      CASE WHEN doc_id % 7 = 0
+           THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE text END AS base
+    FROM documents)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) n_docs,
+  CAST(sum(len(regexp_extract_all(text, '{ops.PII_EMAIL_RE}'))) AS BIGINT) n_emails,
+  CAST(sum(len(regexp_extract_all(text, '{ops.PII_PHONE_RE}'))) AS BIGINT) n_phones,
+  CAST(sum(length(text) - length(
+    regexp_replace(regexp_replace(text, '{ops.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{ops.PII_PHONE_RE}', '[PHONE]', 'g'))) AS BIGINT) chars_removed
+FROM inj GROUP BY source
 """,
         "doc_lang_id": _lang_sql(),
         "doc_jaccard_query": """

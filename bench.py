@@ -324,12 +324,20 @@ def run_bench() -> dict:
         stats.global_stats(flow_accumulation(ts))
 
     # EP10: depression filling — per-tile Kruskal spill graphs, driver
-    # minimax Dijkstra, no-halo event-sweep fill (heaviest per-tile kernel)
+    # minimax Dijkstra, reconstruction-by-erosion fill
     def ep10_filldep():
         from hydro_raster_ray.stages.depressions import fill_depressions
 
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(fill_depressions(ts))
+
+    # EP11: basin delineation (terminal contraction, raw-f64 labels) +
+    # the fused exact basin-size aggregate
+    def ep11_basins():
+        from hydro_raster_ray.stages.basins import basin_sizes
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        basin_sizes(ts).count()
 
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
@@ -412,7 +420,7 @@ def run_bench() -> dict:
         ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
         ep3b_knn_partitioned, ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
-        ep9_flowacc, ep10_filldep,
+        ep9_flowacc, ep10_filldep, ep11_basins,
         doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
         doc_quality, sched_probe,
     ]

@@ -814,3 +814,69 @@ def ngram_dup_stats(
         return df
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+# PII redaction regexes — simple enough that Python re and DuckDB RE2 agree
+# on every span (no backrefs/lookaround; greedy quantifiers both engines)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction stats per source — the training-data scrubbing stage.
+
+    The fixture corpus contains no PII, so (like the depression-filling
+    query's carve step) deterministic PII is INJECTED first, from doc_id
+    arithmetic that the SQL oracle reproduces expression-for-expression:
+    docs with ``doc_id % 7 == 0`` gain an email, ``doc_id % 11 == 0`` a
+    phone number. The scrub counts matches of each pattern and replaces
+    them with ``[EMAIL]`` / ``[PHONE]``; ``chars_removed`` is the length
+    delta — sensitive to the exact match spans, so the oracle catches a
+    regex-semantics divergence, not just a count. Vectorized pandas
+    ``.str`` ops per batch, partial per-source aggregation, one small
+    groupby."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(np.int64)
+        t = df["text"]
+        em_inj = ids % 7 == 0
+        t = t.where(
+            ~em_inj, t + " contact: user" + ids.astype(str) + "@example.com"
+        )
+        ph_inj = ids % 11 == 0
+        t = t.where(~ph_inj, t + " call 555-" + (1000 + ids % 9000).astype(str))
+        n_em = t.str.count(PII_EMAIL_RE)
+        n_ph = t.str.count(PII_PHONE_RE)
+        clean = t.str.replace(PII_EMAIL_RE, "[EMAIL]", regex=True).str.replace(
+            PII_PHONE_RE, "[PHONE]", regex=True
+        )
+        removed = t.str.len() - clean.str.len()
+        g = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": 1,
+                "n_emails": n_em.astype(np.int64),
+                "n_phones": n_ph.astype(np.int64),
+                "chars_removed": removed.astype(np.int64),
+            }
+        ).groupby("source", as_index=False).sum()
+        return g
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas", batch_size=256)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_emails", alias_name="n_emails"),
+            Sum("n_phones", alias_name="n_phones"),
+            Sum("chars_removed", alias_name="chars_removed"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "n_emails", "n_phones", "chars_removed"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas")
