@@ -331,8 +331,12 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(fill_depressions(ts))
 
-    # EP11: basin delineation (terminal contraction, raw-f64 labels) +
-    # the fused exact basin-size aggregate
+    # EP11: basin delineation (terminal contraction) — the fused exact
+    # basin-size aggregate. NOT in the default timed list: its per-tile
+    # kernels match ep9's profile (two haloed passes + border solve), and
+    # the full bench must stay inside the driver's wall budget even under
+    # co-tenant steal; run via GRAFT_BENCH_ONLY=ep11_basins (measured
+    # 44.4 s at 21% steal — see BASELINE.md).
     def ep11_basins():
         from hydro_raster_ray.stages.basins import basin_sizes
 
@@ -420,7 +424,7 @@ def run_bench() -> dict:
         ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
         ep3b_knn_partitioned, ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
-        ep9_flowacc, ep10_filldep, ep11_basins,
+        ep9_flowacc, ep10_filldep,
         doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
         doc_quality, sched_probe,
     ]
@@ -471,11 +475,13 @@ def run_scaling() -> None:
         # ep1 = the memory-bound headline; sched_probe = pure-compute
         # control; lanczos resample + transverse-Mercator warp = heavy
         # pixel kernels (still DRAM-bound on one box); minhash_sigs = the
-        # arithmetic-dominated PRODUCT stage the ≥0.8 criterion targets
+        # arithmetic-dominated PRODUCT stage the ≥0.8 criterion targets;
+        # ep10_filldep = the hydrology contraction (per-tile topological
+        # sweeps — CPU-dense, low memory traffic)
         env.setdefault(
             "GRAFT_BENCH_ONLY",
             "ep1_edit_dem,sched_probe,ep4b_resample_lanczos,ep6_reproject_tmerc,"
-            "minhash_sigs,ep8_terrain_slope",
+            "minhash_sigs,ep8_terrain_slope,ep10_filldep",
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -104,8 +104,7 @@ def _solve_exit_labels(
         strips=strips,
     )
 
-    recv: dict[int, int] = {}
-    ringt: dict[int, tuple[int, bool]] = {}
+    kb, sb, db, pb = [], [], [], []
     n_rows = 0
     for b in links.iter_batches(batch_size=None, batch_format="pyarrow"):
         n_rows += b.num_rows
@@ -114,38 +113,53 @@ def _solve_exit_labels(
                 f"border link table exceeds budget {border_budget_rows}; "
                 "apply the recursive tiles-of-tiles contraction (module note)"
             )
-        kinds = b["kind"].to_numpy().tolist()
-        srcs = b["src"].to_numpy().tolist()
-        dsts = b["dst"].to_numpy().tolist()
-        pits = b["pit"].to_numpy(zero_copy_only=False).tolist()
-        for k, s, d, p in zip(kinds, srcs, dsts, pits):
-            if k == 0:
-                recv[s] = d
-            else:
-                ringt[s] = (d, p)
+        kb.append(b["kind"].to_numpy())
+        sb.append(b["src"].to_numpy())
+        db.append(b["dst"].to_numpy())
+        pb.append(b["pit"].to_numpy(zero_copy_only=False))
+    if kb:
+        kind = np.concatenate(kb)
+        src = np.concatenate(sb)
+        dst = np.concatenate(db)
+        pit = np.concatenate(pb)
+    else:
+        kind = src = dst = np.empty(0, dtype=np.int64)
+        pit = np.empty(0, dtype=bool)
 
-    # memoized path-compressed walks; acyclic (flow strictly descends)
-    label: dict[int, int] = {}
-    for u0 in recv:
-        if u0 in label:
-            continue
-        stack = []
-        cur = u0
-        while True:
-            if cur in label:
-                t = label[cur]
-                break
-            stack.append(cur)
-            t, is_pit = ringt[recv[cur]]
-            if is_pit:
-                break
-            cur = t
-        for s in stack:
-            label[s] = t
+    # fully vectorized solve: compose exit → (receiver's ring terminal)
+    # hops by pointer DOUBLING — the chain graph is a forest (flow
+    # strictly descends across every hop), so log₂(longest chain) rounds
+    # resolve every exit's pit gid with no per-row Python walk.
+    m1 = kind == 1
+    ring_o = np.argsort(src[m1], kind="stable")
+    ring_src = src[m1][ring_o]
+    ring_term = dst[m1][ring_o]
+    ring_pit = pit[m1][ring_o]
+    m0 = kind == 0
+    ex_o = np.argsort(src[m0], kind="stable")
+    U = src[m0][ex_o]  # sorted exit gids
+    R = dst[m0][ex_o]  # their receivers (ring cells of the next tile)
+    j = np.searchsorted(ring_src, R)
+    T = ring_term[j] if ring_src.size else R
+    P = ring_pit[j] if ring_src.size else np.zeros(0, dtype=bool)
+    lab = np.where(P, T, -1)
+    done = P.copy()
+    ptr = np.full(U.size, -1, dtype=np.int64)
+    if U.size:
+        nx = np.searchsorted(U, T)
+        ptr[~P] = nx[~P]  # T is itself an exit gid of the receiving tile
+    while not done.all():
+        act = np.flatnonzero(~done)
+        p = ptr[act]
+        fin = done[p]
+        lab[act[fin]] = lab[p[fin]]
+        done[act[fin]] = True
+        rest = act[~fin]
+        ptr[rest] = ptr[ptr[rest]]
 
     import ray as _ray
 
-    return _ray.put(label)
+    return _ray.put(dict(zip(U.tolist(), lab.tolist())))
 
 
 def _label_plane(aref, ncols, gr0, gc0, h, w, win, br, bc) -> np.ndarray:
