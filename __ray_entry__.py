@@ -404,6 +404,9 @@ GROUP BY c.c_mktsegment
         "line_cells": f"""
 SELECT ordinal, gr, gc, x, y, z FROM read_parquet('{F}/witness_line_cells.parquet')
 """,
+        "s2_cell_counts": f"""
+SELECT cell_token, n_tiles, min_tile FROM read_parquet('{F}/witness_s2_cells.parquet')
+""",
         "knn_idw_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
 """,

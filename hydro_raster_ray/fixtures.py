@@ -1328,6 +1328,60 @@ SCALES = {"sf0.001": (4, 4), "sf0.01": (8, 8), "sf0.1": (16, 16)}
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 
+def _ensure_s2_witness(tag: str, out: str) -> None:
+    """s2_cell_counts witness (own marker → in-place upgrade).
+
+    Scalar reproduction of the S2 tile-footprint assignment: per tile,
+    center easting/northing (same float expression as the query), one
+    array call of the BNG inverse (the engine always warps arrays — numpy's
+    scalar transcendental path can differ by 1 ulp), then the INDEPENDENT
+    per-point curve walk ``s2.leaf_scalar`` + scalar parent/token
+    arithmetic. Aggregated with a plain dict."""
+    done = os.path.join(out, "_S2_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import s2
+    from .stages.reproject import bng_tmerc
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    level = 14
+    ids, xcs, ycs = [], [], []
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            gr0, gc0 = tr * scheme.tile_h, tc * scheme.tile_w
+            h = min(scheme.tile_h, g.nrows - gr0)
+            w = min(scheme.tile_w, g.ncols - gc0)
+            ids.append(f"t{tr:04d}_{tc:04d}")
+            xcs.append(g.xllcorner + (float(gc0) + float(w) / 2.0) * g.cellsize)
+            ycs.append(g.yllcorner + (g.nrows - float(gr0) - float(h) / 2.0) * g.cellsize)
+    lon, lat = bng_tmerc.inverse(np.asarray(xcs), np.asarray(ycs))
+    new_lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    acc: dict[int, list] = {}
+    for k, iid in enumerate(ids):
+        leaf = s2.leaf_scalar(float(lon[k]), float(lat[k]))
+        cell = (leaf & ~(new_lsb - 1) & ~new_lsb) | new_lsb
+        a = acc.setdefault(cell, [0, iid])
+        a[0] += 1
+        a[1] = min(a[1], iid)
+    cells = sorted(acc)
+    _write_atomic(
+        pa.table(
+            {
+                "cell_token": pa.array(
+                    [format(c, "016x").rstrip("0") or "X" for c in cells], pa.string()
+                ),
+                "n_tiles": pa.array([acc[c][0] for c in cells], pa.int64()),
+                "min_tile": pa.array([acc[c][1] for c in cells], pa.string()),
+            }
+        ),
+        os.path.join(out, "witness_s2_cells.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     """Idempotently materialize the fixture Parquet set for a scale tag.
 
@@ -1361,6 +1415,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_depression_witness(tag, out)
     _ensure_stream_witness(tag, out)
     _ensure_lcc_witness(tag, out)
+    _ensure_s2_witness(tag, out)
     return out
 
 

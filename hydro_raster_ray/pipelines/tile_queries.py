@@ -691,8 +691,66 @@ def q_tile_png16_stats(sf_dir: str):
     return per_tile_stats(transcode(ts, "png16"))
 
 
+def q_s2_cells(sf_dir: str):
+    """Real S2 index over tile footprints (the north rule's named H3/S2
+    mechanism; ``s2.py``): tile centers → BNG inverse → lng/lat → S2 leaf →
+    level-14 ancestor; per-cell tile counts + deterministic representative.
+    Metadata-only — payload ``bytes`` never leave the read. Oracle:
+    ``witness_s2_cells.parquet`` from the independent scalar curve walk
+    (``s2.leaf_scalar``)."""
+    from .. import s2
+    from ..stages.reproject import bng_tmerc
+
+    ts, scheme = tiles_for(sf_dir)
+    g = scheme.grid
+    level = 14
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gr0 = batch["gr0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gc0 = batch["gc0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xc = g.xllcorner + (gc0 + w / 2.0) * g.cellsize
+        yc = g.yllcorner + (g.nrows - gr0 - h / 2.0) * g.cellsize
+        lon, lat = bng_tmerc.inverse(xc, yc)
+        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level)
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        # per-batch partial: count + min image_id per cell
+        order = np.argsort(cell, kind="stable")
+        u, start, cnt = np.unique(cell[order], return_index=True, return_counts=True)
+        rep = np.minimum.reduceat(ids[order], start)
+        return pa.table(
+            {
+                "s2_cell": pa.array(u, pa.uint64()),
+                "n_tiles": pa.array(cnt.astype(np.int64)),
+                "min_tile": pa.array(rep, pa.string()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_token": pa.array(
+                    s2.token(batch["s2_cell"].to_numpy(zero_copy_only=False)),
+                    pa.string(),
+                ),
+                "n_tiles": batch["n_tiles"],
+                "min_tile": batch["min_tile"],
+            }
+        )
+
+    meta = ts.ds.select_columns(["image_id", "gr0", "gc0", "h", "w"])
+    agg = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("s2_cell")
+        .aggregate(Sum("n_tiles", alias_name="n_tiles"), Min("min_tile", alias_name="min_tile"))
+    )
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
+    "s2_cell_counts": q_s2_cells,
     "tile_png16_stats": q_tile_png16_stats,
     "grid_global_stats": q_grid_global_stats,
     "rect_clip_stats": q_rect_clip_stats,

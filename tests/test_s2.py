@@ -1,0 +1,125 @@
+"""S2 cell-id index: structural invariants + scalar-witness parity.
+
+The tables are public spec constants, so correctness is gated on properties
+that would break under any transcription or vectorization error:
+  * the level-k curve is a true Hilbert curve (consecutive positions are
+    4-adjacent cells) on every face,
+  * ij→pos and pos→ij are inverse per orientation,
+  * leaf round-trips (encode → center → encode) are exact,
+  * parents contain their children as id ranges,
+  * the vectorized pipeline bit-matches the independent scalar walk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hydro_raster_ray import s2
+
+
+def test_tables_are_inverse_pairs():
+    for orient in range(4):
+        for pos in range(4):
+            ij = s2._POS_TO_IJ[orient][pos]
+            assert s2._IJ_TO_POS[orient][ij] == pos
+
+
+@pytest.mark.parametrize("face", range(6))
+def test_hilbert_continuity_per_face(face):
+    """Consecutive curve positions at level 6 are edge-adjacent cells."""
+    level = 6
+    n = 1 << level
+    # all level-6 cells on this face in curve order: take each cell's first
+    # leaf (pos << remaining bits), decode to leaf ij, shift down to level ij
+    pos = np.arange(n * n, dtype=np.uint64) << np.uint64(2 * (s2.MAX_LEVEL - level))
+    ids = (
+        (np.uint64(face) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    )
+    _, i, j = s2.id_to_face_ij(ids)
+    ci = (i >> np.uint64(s2.MAX_LEVEL - level)).astype(np.int64)
+    cj = (j >> np.uint64(s2.MAX_LEVEL - level)).astype(np.int64)
+    # every cell visited exactly once
+    assert len(set(zip(ci.tolist(), cj.tolist()))) == n * n
+    # consecutive cells differ by exactly 1 in exactly one coordinate
+    d = np.abs(np.diff(ci)) + np.abs(np.diff(cj))
+    assert np.all(d == 1)
+
+
+def test_leaf_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    lng = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-90, 90, 5000)
+    ids = s2.lnglat_to_leaf(lng, lat)
+    clng, clat = s2.leaf_to_lnglat(ids)
+    ids2 = s2.lnglat_to_leaf(clng, clat)
+    np.testing.assert_array_equal(ids, ids2)
+    # centers are close to the original points (leaf ≈ 1cm at the equator,
+    # so allow generous slack for the cube-face distortion)
+    assert np.max(np.abs(clat - lat)) < 1e-6
+
+
+def test_scalar_witness_parity():
+    rng = np.random.default_rng(11)
+    lng = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    vec = s2.lnglat_to_leaf(lng, lat)
+    ref = np.array([s2.leaf_scalar(a, b) for a, b in zip(lng, lat)], dtype=np.uint64)
+    np.testing.assert_array_equal(vec, ref)
+    # include face-boundary / pole / antimeridian probes
+    edges = [(0.0, 0.0), (45.0, 35.26), (-180.0, 0.0), (180.0, 0.0),
+             (0.0, 90.0), (0.0, -90.0), (90.0, 0.0), (-45.0, -35.26)]
+    for lg, lt in edges:
+        assert int(s2.lnglat_to_leaf([lg], [lt])[0]) == s2.leaf_scalar(lg, lt)
+
+
+def test_face_centers_and_levels():
+    # the center of each face maps to i = j = 2^29 on that face
+    centers = [(0, 0), (90, 0), (0, 90), (180, 0), (-90, 0), (0, -90)]
+    for f, (lg, lt) in enumerate(centers):
+        ids = s2.lnglat_to_leaf([lg], [lt])
+        face, i, j = s2.id_to_face_ij(ids)
+        assert int(face[0]) == f
+        # cos(90°) is 6e-17 in floats, so exact face centers can land one
+        # leaf off the midline — allow ±1 leaf
+        assert abs(int(i[0]) - (1 << 29)) <= 1 and abs(int(j[0]) - (1 << 29)) <= 1
+        assert int(s2.level_of(ids)[0]) == s2.MAX_LEVEL
+        # level-0 ancestor is the bare face cell
+        assert int(s2.parent(ids, 0)[0]) == (f << 61) | (1 << 60)
+
+
+def test_parent_contains_child():
+    rng = np.random.default_rng(3)
+    lng = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    leaf = s2.lnglat_to_leaf(lng, lat)
+    for level in (2, 8, 12, 20, 29):
+        par = s2.parent(leaf, level)
+        assert np.all(s2.level_of(par) == level)
+        lsb = np.uint64(1 << (2 * (s2.MAX_LEVEL - level)))
+        lo, hi = par - (lsb - np.uint64(1)), par + (lsb - np.uint64(1))
+        assert np.all((leaf >= lo) & (leaf <= hi))
+        # parent is monotone in level: parent(parent(x, 12), 8) == parent(x, 8)
+    p12 = s2.parent(leaf, 12)
+    np.testing.assert_array_equal(s2.parent(p12, 8), s2.parent(leaf, 8))
+
+
+def test_prefix_locality():
+    """Nearby points share the level-10 ancestor; antipodal points do not."""
+    base_lng, base_lat = -1.5, 52.0
+    near = s2.lnglat_to_leaf([base_lng + 1e-5], [base_lat + 1e-5])
+    here = s2.lnglat_to_leaf([base_lng], [base_lat])
+    far = s2.lnglat_to_leaf([base_lng + 140.0], [-base_lat])
+    assert int(s2.parent(here, 10)[0]) == int(s2.parent(near, 10)[0])
+    assert int(s2.parent(here, 1)[0]) != int(s2.parent(far, 1)[0])
+
+
+def test_token_roundtrip():
+    rng = np.random.default_rng(5)
+    ids = s2.lnglat_to_leaf(rng.uniform(-180, 180, 64), rng.uniform(-90, 90, 64))
+    for level in (0, 7, 16, s2.MAX_LEVEL):
+        cells = s2.parent(ids, level)
+        toks = s2.token(cells)
+        back = np.array([s2.token_to_id(t) for t in toks], dtype=np.uint64)
+        np.testing.assert_array_equal(back, cells)
+        assert all(not t.endswith("0") for t in toks)
