@@ -276,6 +276,280 @@ def _ocean_mask(win, br, bc, h, w, gr0, gc0, grid) -> np.ndarray:
     return wfin[br : br + h, bc : bc + w] & (nan_adj | edge)
 
 
+def _basin_labels(zb: np.ndarray) -> np.ndarray:
+    """Watershed (falling-path) basin labels over one tile body, vectorized.
+
+    Every finite cell gets a pointer along a NON-INCREASING z path: the
+    strictly-lowest 8-neighbor where one exists; plateau cells route across
+    equal-z neighbors toward a cell that does have a lower exit (BFS rounds,
+    so the pointer forest is acyclic by round number); exitless flats
+    contract onto their min-index cell (min-label propagation with pointer
+    doubling). Roots are then resolved by pointer doubling. Returns the flat
+    root index per cell (-1 for NaN cells).
+
+    The exactness this buys (used by the spill-graph contraction below):
+    two cells in the same basin are joined by a path that first descends
+    from one and then ascends to the other, so their in-tile minimax
+    distance is exactly ``max(z_a, z_b)``."""
+    h, w = zb.shape
+    n = h * w
+    fin = np.isfinite(zb)
+    zp = np.pad(zb, 1, constant_values=np.nan)
+    idx2 = np.arange(n, dtype=np.int64).reshape(h, w)
+    best = np.full((h, w), np.inf)
+    barg = np.full((h, w), -1, dtype=np.int64)
+    eq_any = np.zeros((h, w), dtype=bool)
+    for dr, dc in _OFFS:
+        nb = zp[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        m = fin & (nb < best)  # NaN nb compares False
+        if m.any():
+            best[m] = nb[m]
+            barg[m] = idx2[m] + dr * w + dc
+        eq_any |= fin & (nb == zb)
+    ptr = np.where((fin & (best < zb)).ravel(), barg.ravel(), -1)
+
+    # plateau routing: unresolved flat cells adopt an equal-z neighbor that
+    # already has a downhill path (resolved in an earlier round)
+    unres = fin.ravel() & (ptr < 0)
+    if (unres & eq_any.ravel()).any():
+        resolved2 = (~unres & fin.ravel()).reshape(h, w)
+        un2 = unres.reshape(h, w)
+        fpad = np.zeros((h + 2, w + 2), dtype=bool)
+        while True:
+            adopt = np.full((h, w), -1, dtype=np.int64)
+            fpad[1:-1, 1:-1] = resolved2
+            for dr, dc in _OFFS:
+                nb = zp[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                rnb = fpad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                m = un2 & rnb & (nb == zb)
+                if m.any():
+                    adopt[m] = idx2[m] + dr * w + dc
+            ch = adopt >= 0
+            if not ch.any():
+                break
+            ptr[ch.ravel()] = adopt[ch]
+            un2 &= ~ch
+            resolved2 |= ch
+
+    # exitless flats: contract each onto its min flat index
+    unres = fin.ravel() & (ptr < 0)
+    if unres.any():
+        lab = np.arange(n, dtype=np.int64)
+        un2 = unres.reshape(h, w)
+        upad = np.zeros((h + 2, w + 2), dtype=bool)
+        upad[1:-1, 1:-1] = un2
+        lpad = np.full((h + 2, w + 2), np.iinfo(np.int64).max, dtype=np.int64)
+        while True:
+            lpad[1:-1, 1:-1] = np.where(un2, lab.reshape(h, w), np.iinfo(np.int64).max)
+            new = lab.copy()
+            for dr, dc in _OFFS:
+                nb = zp[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                lnb = lpad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                unb = upad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                m = un2 & unb & (nb == zb)
+                nf = new.reshape(h, w)
+                np.minimum(nf, np.where(m, lnb, np.iinfo(np.int64).max), out=nf)
+            new = np.minimum(new, new[new])  # pointer doubling
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        ptr[unres] = lab[unres]
+
+    # roots: point to self
+    self_idx = np.arange(n, dtype=np.int64)
+    ptr = np.where(ptr < 0, self_idx, ptr)
+    lab = ptr
+    while True:
+        nl = lab[lab]
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    return np.where(fin.ravel(), lab, -1)
+
+
+def _tile_spill_graph(zb, win, br, bc, gr0, gc0, h, w, grid, ncols):
+    """Vectorized per-tile spill-graph contraction (replaces the per-cell
+    Kruskal sweep; same minimax semantics, proven by decomposition):
+
+    * basin labels via :func:`_basin_labels`; within a basin, minimax is
+      exactly ``max(z_a, z_b)`` (falling-path argument);
+    * SADDLE edges ``(basin_a, basin_b, min over boundary pairs of
+      max(z_u, z_v))`` — any inter-basin crossing costs at least the
+      saddle, and a crossing AT the saddle pair costs exactly it, so
+      basin-graph minimax equals cell-graph minimax;
+    * seed attach edges ``(ring gid, basin gid, z_ring)``;
+    * ocean edges ``(-1, basin gid, min z over the basin's ocean cells)``;
+    * cross-tile cell edges for the 4 POSITIVE offsets only — the
+      neighbouring tile emits the mirror offsets, so each global pair
+      appears exactly once.
+
+    Basin node ids are the global gid of the basin's root cell (disjoint
+    across tiles; a root that is itself a ring cell shares its gid with
+    the seed node — the same physical point, so the graph is consistent)."""
+    zf = zb.ravel()
+    fin = np.isfinite(zf)
+    lab = _basin_labels(zb)
+    idx = np.arange(h * w, dtype=np.int64)
+    gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
+    basin_gid = np.where(lab >= 0, gid[np.maximum(lab, 0)], -2)
+
+    ea_parts, eb_parts, ew_parts = [], [], []
+
+    # ---- saddle edges (4 positive offsets: each in-tile pair once) ----
+    zp = np.pad(zb, 1, constant_values=np.nan)
+    lab2 = lab.reshape(h, w)
+    lpad = np.full((h + 2, w + 2), -1, dtype=np.int64)
+    lpad[1:-1, 1:-1] = lab2
+    sa, sb, sw = [], [], []
+    for dr, dc in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        nb = zp[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        lnb = lpad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        m = (lab2 >= 0) & (lnb >= 0) & (lab2 != lnb)
+        if m.any():
+            sa.append(lab2[m])
+            sb.append(lnb[m])
+            sw.append(np.maximum(zb[m], nb[m]))
+    if sa:
+        A = np.concatenate(sa)
+        B = np.concatenate(sb)
+        W = np.concatenate(sw)
+        lo = np.minimum(A, B)
+        hi = np.maximum(A, B)
+        key = lo * np.int64(h * w) + hi
+        o = np.argsort(key, kind="stable")
+        key_s, W_s = key[o], W[o]
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        saddle = np.minimum.reduceat(W_s, starts)
+        klo = key_s[starts] // np.int64(h * w)
+        khi = key_s[starts] % np.int64(h * w)
+        ea_parts.append(gid[klo])
+        eb_parts.append(gid[khi])
+        ew_parts.append(saddle)
+
+    # ---- seed attach edges: finite ring cells onto their basin ----
+    ring = np.asarray(_border_ring_flat(h, w), dtype=np.int64)
+    rfin = ring[fin[ring]]
+    if rfin.size:
+        keep = gid[rfin] != basin_gid[rfin]  # root == seed: skip self-loop
+        ea_parts.append(gid[rfin][keep])
+        eb_parts.append(basin_gid[rfin][keep])
+        ew_parts.append(zf[rfin][keep])
+
+    # ---- ocean edges: per-basin min z over its ocean cells ----
+    ocean = _ocean_mask(win, br, bc, h, w, gr0, gc0, grid).ravel()
+    om = np.flatnonzero(ocean)
+    if om.size:
+        ob = basin_gid[om]
+        oz = zf[om]
+        o = np.argsort(ob, kind="stable")
+        ob_s, oz_s = ob[o], oz[o]
+        starts = np.flatnonzero(np.r_[True, ob_s[1:] != ob_s[:-1]])
+        ea_parts.append(np.full(starts.size, -1, dtype=np.int64))
+        eb_parts.append(ob_s[starts])
+        ew_parts.append(np.minimum.reduceat(oz_s, starts))
+
+    # ---- cross-tile edges (positive offsets only — global dedupe) ----
+    winp = np.pad(win, 1, constant_values=np.nan)
+    rr = np.arange(h)[:, None]
+    cc = np.arange(w)[None, :]
+    body_fin = np.isfinite(zb)
+    for dr, dc in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        nb = winp[1 + br + dr : 1 + br + dr + h, 1 + bc + dc : 1 + bc + dc + w]
+        outside = (rr + dr < 0) | (rr + dr >= h) | (cc + dc < 0) | (cc + dc >= w)
+        m = body_fin & np.isfinite(nb) & outside
+        if not m.any():
+            continue
+        mr, mc = np.nonzero(m)
+        ea_parts.append((gr0 + mr) * ncols + (gc0 + mc))
+        eb_parts.append((gr0 + mr + dr) * ncols + (gc0 + mc + dc))
+        ew_parts.append(np.maximum(zb[mr, mc], nb[mr, mc]))
+
+    if not ea_parts:
+        return None
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(ea_parts).astype(np.int64)),
+            "b": pa.array(np.concatenate(eb_parts).astype(np.int64)),
+            "w": pa.array(np.concatenate(ew_parts).astype(np.float64)),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _solve_border_levels(edges, edge_budget_rows: int):
+    """Driver minimax solve from OCEAN over the contracted spill graph.
+
+    Replaces dict-ingest + heapq Dijkstra with vectorized ingest and a
+    single Kruskal sweep: the minimax level of a node is the weight of the
+    edge at which its component first joins the OCEAN component when edges
+    are processed in ascending weight (the classic threshold-of-connection
+    characterization). The per-node resolution walks the merge forest with
+    vectorized pointer doubling. Returns ``(gids_sorted, levels)`` numpy
+    arrays (missing nodes ⇒ +inf at lookup time)."""
+    As, Bs, Ws = [], [], []
+    n_rows = 0
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > edge_budget_rows:  # pragma: no cover - budget guard
+            raise MemoryError(
+                f"spill graph exceeds budget {edge_budget_rows} rows; apply "
+                "the recursive tiles-of-tiles contraction (module note)"
+            )
+        As.append(b["a"].to_numpy())
+        Bs.append(b["b"].to_numpy())
+        Ws.append(b["w"].to_numpy())
+    if n_rows == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    a = np.concatenate(As)
+    bb = np.concatenate(Bs)
+    wt = np.concatenate(Ws)
+    nodes, inv = np.unique(np.concatenate([a, bb]), return_inverse=True)
+    m = a.size
+    ai, bi = inv[:m], inv[m:]
+    order = np.argsort(wt, kind="stable")
+    al = ai[order].tolist()
+    bl = bi[order].tolist()
+    n = nodes.size
+    # ocean pseudo-node: nodes is sorted, so -1 (if present) is index 0
+    if nodes[0] != -1:
+        # no ocean edge at all: nothing is reachable
+        return nodes.astype(np.int64), np.full(n, np.inf)
+    parent = list(range(n))  # union-find, path-halved
+    link = np.arange(n, dtype=np.int64)  # merge forest (uncompressed)
+    att = np.full(n, np.inf)  # weight at which this ROOT joined ocean
+    oce = [False] * n
+    oce[0] = True
+    wl = wt[order].tolist()
+    for k in range(m):
+        x = al[k]
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        y = bl[k]
+        while parent[y] != y:
+            parent[y] = parent[parent[y]]
+            y = parent[y]
+        if x == y:
+            continue
+        if oce[y] and not oce[x]:
+            x, y = y, x  # ocean side always wins
+        parent[y] = x
+        link[y] = x
+        if oce[x] and not oce[y]:
+            att[y] = wl[k]
+        oce[x] = oce[x] or oce[y]
+    # resolution: first attach on each node's merge-forest chain
+    stop = att < np.inf
+    nxt = np.where(stop, np.arange(n, dtype=np.int64), link)
+    while True:
+        n2 = nxt[nxt]
+        if np.array_equal(n2, nxt):
+            break
+        nxt = n2
+    levels = att[nxt]  # +inf where the chain never attaches (unreached)
+    return nodes.astype(np.int64), levels
+
+
 def fill_depressions(
     ts: TileSet,
     halo_broadcast_budget: int = 256 << 20,
@@ -290,138 +564,22 @@ def fill_depressions(
 
     def pass1(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         zb = win[br : br + h, bc : bc + w]
-        zf = zb.ravel()
-        ocean = _ocean_mask(win, br, bc, h, w, gr0, gc0, grid).ravel()
-        ring = np.zeros(h * w, dtype=bool)
-        ring[_border_ring_flat(h, w)] = True
-        idx = np.arange(h * w, dtype=np.int64)
-        gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
-
-        order, pi, pj = _rank_pairs(zf, h, w)
-        dsu = _DSU(h * w)
-        seed_of = {}  # root -> seed gid (ring cells are the graph nodes)
-        oce = {}  # root -> bool
-        ea, eb, ew = [], [], []
-
-        def union(a, b, t):
-            ra, rb = dsu.find(a), dsu.find(b)
-            if ra == rb:
-                return
-            sa, sb = seed_of.get(ra, -2), seed_of.get(rb, -2)
-            oa, ob = oce.get(ra, False), oce.get(rb, False)
-            if sa != -2 and sb != -2:
-                ea.append(sa)
-                eb.append(sb)
-                ew.append(t)
-            elif oa and not ob and sb != -2:
-                ea.append(-1)
-                eb.append(sb)
-                ew.append(t)
-            elif ob and not oa and sa != -2:
-                ea.append(-1)
-                eb.append(sa)
-                ew.append(t)
-            dsu.parent[rb] = ra
-            if sa == -2 and sb != -2:
-                seed_of[ra] = sb
-            if ob and not oa:
-                oce[ra] = True
-
-        ol = order.tolist()
-        pil = pi.tolist()
-        pjl = pj.tolist()
-        zl = zf.tolist()
-        ringl = ring.tolist()
-        ocel = ocean.tolist()
-        gidl = gid.tolist()
-        ptr = 0
-        npairs = len(pil)
-        for i in ol:
-            t = zl[i]
-            if ringl[i]:
-                seed_of[i] = gidl[i]
-                if ocel[i]:
-                    ea.append(-1)
-                    eb.append(gidl[i])
-                    ew.append(t)
-            if ocel[i]:
-                oce[i] = True
-            while ptr < npairs and pil[ptr] == i:
-                union(i, pjl[ptr], t)
-                ptr += 1
-
-        # cross-tile edges: body cell ↔ finite halo neighbor outside the body
-        winp = np.pad(win, 1, constant_values=np.nan)
-        rr = np.arange(h)[:, None]
-        cc = np.arange(w)[None, :]
-        body_fin = np.isfinite(zb)
-        for dr, dc in _OFFS:
-            nb = winp[1 + br + dr : 1 + br + dr + h, 1 + bc + dc : 1 + bc + dc + w]
-            outside = (rr + dr < 0) | (rr + dr >= h) | (cc + dc < 0) | (cc + dc >= w)
-            m = body_fin & np.isfinite(nb) & outside
-            if not m.any():
-                continue
-            mr, mc = np.nonzero(m)
-            ea.extend(((gr0 + mr) * ncols + (gc0 + mc)).tolist())
-            eb.extend(((gr0 + mr + dr) * ncols + (gc0 + mc + dc)).tolist())
-            ew.extend(np.maximum(zb[mr, mc], nb[mr, mc]).tolist())
-
-        if not ea:
-            return None
-        return pa.table(
-            {
-                "a": pa.array(ea, pa.int64()),
-                "b": pa.array(eb, pa.int64()),
-                "w": pa.array(ew, pa.float64()),
-            },
-            schema=_EDGE_SCHEMA,
-        )
+        return _tile_spill_graph(zb, win, br, bc, gr0, gc0, h, w, grid, ncols)
 
     edges = halo_map(ts, pass1, corners=True, budget_bytes=halo_broadcast_budget)
 
-    # ---- border solve (driver): minimax Dijkstra from OCEAN ----
-    import heapq
-
-    adj: dict[int, list] = {}
-    n_rows = 0
-    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
-        n_rows += b.num_rows
-        if n_rows > edge_budget_rows:  # pragma: no cover - budget guard
-            raise MemoryError(
-                f"spill graph exceeds budget {edge_budget_rows} rows; apply "
-                "the recursive tiles-of-tiles contraction (module note)"
-            )
-        for a, bb, wt in zip(
-            b["a"].to_numpy().tolist(),
-            b["b"].to_numpy().tolist(),
-            b["w"].to_numpy().tolist(),
-        ):
-            adj.setdefault(a, []).append((bb, wt))
-            adj.setdefault(bb, []).append((a, wt))
-
-    dist: dict[int, float] = {-1: float("-inf")}
-    heap = [(float("-inf"), -1)]
-    while heap:
-        d, u = heapq.heappop(heap)
-        if d > dist.get(u, float("inf")):
-            continue
-        for v, wt in adj.get(u, ()):
-            nd = d if d >= wt else wt
-            if nd < dist.get(v, float("inf")):
-                dist[v] = nd
-                heapq.heappush(heap, (nd, v))
-    dist.pop(-1, None)
+    gids_sorted, level_arr = _solve_border_levels(edges, edge_budget_rows)
 
     import ray as _ray
 
-    lref = _ray.put(dist)
+    lref = _ray.put((gids_sorted, level_arr))
 
     # ---- pass 2 (no halo): reconstruction fill, event-sweep fallback ----
     def pass2(batch: pa.Table) -> pa.Table:
         import ray as _ray2
 
         force_event = force_event_fill
-        levels = _ray2.get(lref)
+        lv_gids, lv_levels = _ray2.get(lref)
         rows = []
         for info, zb in iter_tiles(batch, grid):
             h, w, gr0, gc0 = info.h, info.w, info.gr0, info.gc0
@@ -445,18 +603,20 @@ def fill_depressions(
                     | (gc == grid.ncols - 1)
                 )
                 local_drain = (np.isfinite(zb) & (nan_adj | edge_m)).ravel()
-                ring = _border_ring_flat(h, w)
+                ring = np.asarray(_border_ring_flat(h, w), dtype=np.int64)
                 idxs = np.arange(h * w, dtype=np.int64)
                 gid = (gr0 + idxs // w) * ncols + (gc0 + idxs % w)
 
-                sd_i, sd_t = [], []
-                for v in ring:
-                    if fin[v]:
-                        sd_i.append(v)
-                        sd_t.append(levels[int(gid[v])])
+                rfin = ring[fin[ring]]
+                gg = gid[rfin]
+                lv = np.full(gg.size, np.inf)  # absent ⇒ unreached from ocean
+                if lv_gids.size:
+                    pos = np.minimum(np.searchsorted(lv_gids, gg), lv_gids.size - 1)
+                    ok = lv_gids[pos] == gg
+                    lv[ok] = lv_levels[pos[ok]]
                 ldr = np.flatnonzero(local_drain)
-                sd_i.extend(ldr.tolist())
-                sd_t.extend(zf[ldr].tolist())
+                sd_i = np.concatenate([rfin, ldr])
+                sd_t = np.concatenate([np.atleast_1d(lv), zf[ldr]])
 
                 zi = np.where(fin, zf, np.inf).reshape(h, w)
                 marker = np.full(h * w, np.inf)
