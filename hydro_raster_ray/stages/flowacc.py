@@ -155,37 +155,40 @@ def _acc_solve(
         )
         zbody = win[br : br + h, bc : bc + w].ravel()
         g_r0, g_c0 = gr0 - br, gc0 - bc  # window top-left in global coords
-        kind, src, dst, amount, zs = [], [], [], [], []
         # transfers: every body cell whose receiver is outside the body
-        for j in range(ex_cells.size):
-            u = int(ex_cells[j])
-            kind.append(0)
-            src.append((gr0 + u // w) * ncols + (gc0 + u % w))
-            dst.append((g_r0 + int(ex_tr[j])) * ncols + (g_c0 + int(ex_tc[j])))
-            amount.append(float(acc[u]))
-            zs.append(float(zbody[u]))
+        u = ex_cells.astype(np.int64)
+        src_t = (gr0 + u // w) * ncols + (gc0 + u % w)
+        dst_t = (g_r0 + ex_tr.astype(np.int64)) * ncols + (
+            g_c0 + ex_tc.astype(np.int64)
+        )
+        amt_t = acc[u].astype(np.float64)
+        z_t = zbody[u].astype(np.float64)
         # pass-throughs: border-ring entry → its in-tile terminal, when
         # that terminal is an exit cell (ascending-z sweep, no walking)
-        exit_set = set(int(x) for x in ex_cells)
-        for v in _border_ring_flat(h, w):
-            if not np.isfinite(zbody[v]):
-                continue
-            t = term[v]
-            if t in exit_set:
-                kind.append(1)
-                src.append((gr0 + v // w) * ncols + (gc0 + v % w))
-                dst.append((gr0 + t // w) * ncols + (gc0 + t % w))
-                amount.append(0.0)
-                zs.append(0.0)
-        if not kind:
+        ring = np.asarray(_border_ring_flat(h, w), dtype=np.int64)
+        rfin = ring[np.isfinite(zbody[ring])]
+        tt = np.asarray(term, dtype=np.int64)[rfin]
+        ex_sorted = np.sort(u)
+        if ex_sorted.size:
+            pos = np.minimum(np.searchsorted(ex_sorted, tt), ex_sorted.size - 1)
+            is_exit = ex_sorted[pos] == tt
+        else:
+            is_exit = np.zeros(tt.size, dtype=bool)
+        rp, tp = rfin[is_exit], tt[is_exit]
+        src_p = (gr0 + rp // w) * ncols + (gc0 + rp % w)
+        dst_p = (gr0 + tp // w) * ncols + (gc0 + tp % w)
+        n_t, n_p = src_t.size, src_p.size
+        if n_t + n_p == 0:
             return None
         return pa.table(
             {
-                "kind": pa.array(kind, pa.int8()),
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "amount": pa.array(amount, pa.float64()),
-                "z": pa.array(zs, pa.float64()),
+                "kind": pa.array(
+                    np.r_[np.zeros(n_t, np.int8), np.ones(n_p, np.int8)]
+                ),
+                "src": pa.array(np.r_[src_t, src_p]),
+                "dst": pa.array(np.r_[dst_t, dst_p]),
+                "amount": pa.array(np.r_[amt_t, np.zeros(n_p)]),
+                "z": pa.array(np.r_[z_t, np.zeros(n_p)]),
             },
             schema=_EDGE_SCHEMA,
         )
@@ -195,54 +198,81 @@ def _acc_solve(
         strips=strips,
     )
 
-    # ---- border solve (driver): one descending-z sweep ----
-    import pandas as pd
-
-    frames = [
-        b.to_pandas()
-        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    df = (
-        pd.concat(frames, ignore_index=True)
-        if frames
-        else pd.DataFrame(columns=[f.name for f in _EDGE_SCHEMA])
-    )
-    if len(df) > border_budget_rows:  # pragma: no cover - budget guard
-        raise MemoryError(
-            f"border table has {len(df)} rows > budget {border_budget_rows}; "
-            "apply the recursive tiles-of-tiles contraction (module note)"
-        )
-    passthru = df[df["kind"] == 1]
-    exit_to_entries: dict[int, list[int]] = {}
-    for s, d in zip(passthru["src"].to_numpy(), passthru["dst"].to_numpy()):
-        exit_to_entries.setdefault(int(d), []).append(int(s))
-    tr = df[df["kind"] == 0].sort_values("z", ascending=False, kind="stable")
-    in_amt: dict[int, float] = {}
-    for s, d, a in zip(
-        tr["src"].to_numpy().tolist(),
-        tr["dst"].to_numpy().tolist(),
-        tr["amount"].to_numpy().tolist(),
-    ):
-        c = a
-        for entry in exit_to_entries.get(s, ()):
-            c += in_amt.get(entry, 0.0)
-        in_amt[d] = in_amt.get(d, 0.0) + c
+    # ---- border solve (driver): one descending-z sweep over compacted
+    # node ids (vectorized ingest + CSR entry groups; the sweep itself is
+    # inherently sequential — each transfer consumes in-flows resolved at
+    # strictly higher z — but runs over flat int lists, no dicts) ----
+    Ks, Ss, Ds, Am, Zs = [], [], [], [], []
+    n_rows = 0
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > border_budget_rows:  # pragma: no cover - budget guard
+            raise MemoryError(
+                f"border table exceeds budget {border_budget_rows} rows; "
+                "apply the recursive tiles-of-tiles contraction (module note)"
+            )
+        Ks.append(b["kind"].to_numpy())
+        Ss.append(b["src"].to_numpy())
+        Ds.append(b["dst"].to_numpy())
+        Am.append(b["amount"].to_numpy())
+        Zs.append(b["z"].to_numpy())
 
     import ray as _ray
 
-    return strips, _ray.put(in_amt)
+    if n_rows == 0:
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        return strips, _ray.put(empty)
+    kind = np.concatenate(Ks)
+    src = np.concatenate(Ss)
+    dst = np.concatenate(Ds)
+    amount = np.concatenate(Am)
+    z = np.concatenate(Zs)
+    tm = kind == 0
+    nodes, inv = np.unique(
+        np.concatenate([src[tm], dst[tm], src[~tm], dst[~tm]]),
+        return_inverse=True,
+    )
+    nt = int(tm.sum())
+    np_ = src.size - nt
+    t_src, t_dst = inv[:nt], inv[nt : 2 * nt]
+    p_src = inv[2 * nt : 2 * nt + np_]
+    p_dst = inv[2 * nt + np_ :]
+    n = nodes.size
+    # CSR: pass-through ENTRY cells grouped by their exit cell (p_dst)
+    eo = np.argsort(p_dst, kind="stable")
+    ent_l = p_src[eo].tolist()
+    off = np.r_[0, np.cumsum(np.bincount(p_dst, minlength=n))]
+    off_l = off.tolist()
+    o = np.argsort(-z[tm], kind="stable")  # descending z, ties stable
+    s_l = t_src[o].tolist()
+    d_l = t_dst[o].tolist()
+    a_l = amount[tm][o].tolist()
+    in_amt = [0.0] * n
+    for k in range(len(s_l)):
+        s = s_l[k]
+        c = a_l[k]
+        for j in range(off_l[s], off_l[s + 1]):
+            c += in_amt[ent_l[j]]
+        in_amt[d_l[k]] += c
+    amts = np.asarray(in_amt)
+    nz = amts != 0.0
+    return strips, _ray.put((nodes[nz].astype(np.int64), amts[nz]))
 
 
-def _weights_for(amounts, gr0, gc0, h, w, ncols):
-    """External in-flow weights for one tile from the broadcast dict."""
+def _weights_for(gids, amts, gr0, gc0, h, w, ncols):
+    """External in-flow weights for one tile from the broadcast sorted
+    ``(gids, amts)`` arrays (searchsorted lookup, vectorized)."""
+    if gids.size == 0:
+        return None
+    ring = np.asarray(_border_ring_flat(h, w), dtype=np.int64)
+    g = (gr0 + ring // w) * ncols + (gc0 + ring % w)
+    pos = np.minimum(np.searchsorted(gids, g), gids.size - 1)
+    ok = gids[pos] == g
+    if not ok.any():
+        return None
     weights = np.zeros(h * w)
-    any_w = False
-    for v in _border_ring_flat(h, w):
-        a = amounts.get((gr0 + v // w) * ncols + (gc0 + v % w))
-        if a:
-            weights[v] = a
-            any_w = True
-    return weights if any_w else None
+    weights[ring[ok]] = amts[pos[ok]]
+    return weights
 
 
 def flow_accumulation(
@@ -258,10 +288,10 @@ def flow_accumulation(
     def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
 
-        amounts = _ray2.get(aref)
+        in_gids, in_amts = _ray2.get(aref)
         # external in-flows become initial weights: the SAME topological
         # push distributes them down their in-tile paths — no walking
-        weights = _weights_for(amounts, gr0, gc0, h, w, ncols)
+        weights = _weights_for(in_gids, in_amts, gr0, gc0, h, w, ncols)
         _nxt, _ex, acc, _o, _t = _tile_flow(win, br, bc, h, w, weights=weights)
         meta = _Meta(
             f"t{t_tr:04d}_{t_tc:04d}", t_tr, t_tc, gr0, gc0, h, w,
@@ -518,8 +548,8 @@ def strahler(
     def edge_pass(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
 
-        amounts = _ray2.get(aref)
-        weights = _weights_for(amounts, gr0, gc0, h, w, ncols)
+        in_gids, in_amts = _ray2.get(aref)
+        weights = _weights_for(in_gids, in_amts, gr0, gc0, h, w, ncols)
         nxt, (ex, ex_tr, ex_tc), acc, _o, _t = _tile_flow(
             win, br, bc, h, w, weights=weights
         )
