@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_fingerprint"] = ops.fingerprint_docs
     q["doc_ngram_dedup"] = ops.ngram_dup_stats
     q["doc_pii_scrub"] = ops.pii_scrub
+    q["doc_repetition"] = ops.repetition_stats
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -283,6 +284,29 @@ SELECT source, CAST(count(*) AS BIGINT) n,
       + 0.3*(1.0 - stop_n::DOUBLE/greatest(wc, 1))
       + 0.3*(uniq_n::DOUBLE/greatest(wc, 1))), 4) AS DOUBLE) avg_quality
 FROM q GROUP BY source
+""",
+        "doc_repetition": """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+           FROM documents),
+ s AS (SELECT doc_id, len(toks) AS n_toks,
+              len(list_distinct(toks)) AS n_dist FROM t),
+ g AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+       FROM t WHERE len(toks) > 1),
+ c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+ m AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY doc_id),
+ j AS (SELECT s.doc_id, s.n_toks,
+              CAST(floor(10000.0 * (1.0 - CAST(s.n_dist AS DOUBLE) / s.n_toks))
+                   AS BIGINT) AS dup_tok_pm,
+              CAST(coalesce(floor((10000.0 * CAST(m.mx AS DOUBLE)) / m.tot), 0)
+                   AS BIGINT) AS top2_pm
+       FROM s LEFT JOIN m ON s.doc_id = m.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       dup_tok_pm, top2_pm,
+       CAST(CASE WHEN dup_tok_pm > 7000 OR top2_pm > 2000 THEN 1 ELSE 0 END
+            AS BIGINT) AS flagged
+FROM j
 """,
         "doc_pii_scrub": f"""
 WITH inj AS (

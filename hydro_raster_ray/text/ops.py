@@ -35,6 +35,7 @@ __all__ = [
     "simhash_docs",
     "fingerprint_docs",
     "ngram_dup_stats",
+    "repetition_stats",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -880,3 +881,72 @@ def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
         return df
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style within-document repetition filters (Rae et al. 2021
+    repetition heuristics, public literature): duplicate-token fraction and
+    top word-2-gram fraction, per document.
+
+    Both fractions are emitted as exact ``floor(10000·frac)`` integers so
+    the DuckDB oracle hash-matches without float-rounding hazards; the
+    division/multiplication order mirrors the SQL expression exactly.
+    Fully vectorized across the batch: tokens map to ids via one
+    ``np.unique``, 2-grams are consecutive id pairs masked at document
+    boundaries, and per-(doc, gram) counts reduce via one lexsort — no
+    per-document Python. Columns: doc_id, n_toks, dup_tok_pm, top2_pm,
+    flagged (dup > 0.70 or top-2-gram > 0.20)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.lower().str.split()
+        n = len(df)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        n_dist = np.zeros(n, dtype=np.int64)
+        top2 = np.zeros(n, dtype=np.int64)
+        if flat.size:
+            uniq, inv = np.unique(flat, return_inverse=True)
+            u = np.int64(uniq.size)
+            # distinct tokens per doc = unique (doc, token-id) pairs
+            ks = np.unique(doc_of * u + inv)
+            n_dist = np.bincount(ks // u, minlength=n)
+            # word 2-grams: consecutive positions within the same doc;
+            # identity by id pair (tokens contain no whitespace, so this
+            # equals the SQL's space-joined string gram)
+            m = doc_of[1:] == doc_of[:-1]
+            if m.any():
+                gdoc = doc_of[:-1][m]
+                gkey = inv[:-1][m] * u + inv[1:][m]
+                order = np.lexsort((gkey, gdoc))
+                gd, gk = gdoc[order], gkey[order]
+                starts = np.flatnonzero(
+                    np.r_[True, (gd[1:] != gd[:-1]) | (gk[1:] != gk[:-1])]
+                )
+                cnt = np.diff(np.r_[starts, gd.size])
+                np.maximum.at(top2, gd[starts], cnt)
+        safe = np.maximum(lens, 1)
+        dup_pm = np.floor(
+            10000.0 * (1.0 - n_dist.astype(np.float64) / safe)
+        ).astype(np.int64)
+        dup_pm[lens == 0] = 0
+        tot2 = np.maximum(lens - 1, 0)
+        t2 = np.zeros(n, dtype=np.int64)
+        nz = tot2 > 0
+        t2[nz] = np.floor(
+            (10000.0 * top2[nz].astype(np.float64)) / tot2[nz]
+        ).astype(np.int64)
+        flagged = ((dup_pm > 7000) | (t2 > 2000)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_toks": lens,
+                "dup_tok_pm": dup_pm,
+                "top2_pm": t2,
+                "flagged": flagged,
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pandas", batch_size=512)

@@ -424,3 +424,50 @@ def test_pii_scrub_span_semantics():
     assert em.findall(t) == ["a.b+c@x-y.co", "d@e.fg"]
     # 555-12345: RE2/re both match the first 4 digits (no backtracking diff)
     assert ph.findall(t) == ["555-0001", "555-1234"]
+
+
+def test_repetition_stats_hand_cases(tmp_path):
+    """Gopher repetition filters vs a per-doc Counter reference, including
+    the degenerate shapes (single token, all-identical tokens, max-repeat
+    2-gram, mixed case)."""
+    from collections import Counter
+
+    from hydro_raster_ray.text import ops
+
+    docs = [
+        "alpha beta gamma delta eps zeta eta theta iota kappa lam mu",
+        "x",                                # single token: no 2-grams
+        "spam spam spam spam spam",        # one token, one gram repeated
+        "a b a b a b a b",                 # alternating: 'a b' dominates
+        "The the THE tHe unique",          # case folding collapses
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.repetition_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, text in enumerate(docs):
+        toks = text.lower().split()
+        n = len(toks)
+        dup = int(np.floor(10000.0 * (1.0 - len(set(toks)) / n)))
+        grams = Counter(zip(toks, toks[1:]))
+        t2 = (
+            int(np.floor((10000.0 * max(grams.values())) / (n - 1)))
+            if grams
+            else 0
+        )
+        row = got.iloc[i]
+        assert row["n_toks"] == n
+        assert row["dup_tok_pm"] == dup, (i, row["dup_tok_pm"], dup)
+        assert row["top2_pm"] == t2, (i, row["top2_pm"], t2)
+        assert row["flagged"] == int(dup > 7000 or t2 > 2000)
+    # the all-spam and alternating docs must be flagged, distinct doc not
+    assert got["flagged"].tolist() == [0, 0, 1, 1, 1]
