@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_ngram_dedup"] = ops.ngram_dup_stats
     q["doc_pii_scrub"] = ops.pii_scrub
     q["doc_repetition"] = ops.repetition_stats
+    q["doc_stratified_sample"] = ops.stratified_sample
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -307,6 +308,15 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_toks AS BIGINT) AS n_toks,
        CAST(CASE WHEN dup_tok_pm > 7000 OR top2_pm > 2000 THEN 1 ELSE 0 END
             AS BIGINT) AS flagged
 FROM j
+""",
+        "doc_stratified_sample": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+      FROM documents)
+WHERE rn <= 5
 """,
         "doc_pii_scrub": f"""
 WITH inj AS (

@@ -950,3 +950,46 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(per_batch, batch_format="pandas", batch_size=512)
+
+
+def stratified_sample(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Deterministic stratified subsample: the k documents with the smallest
+    ``(md5(doc_id), doc_id)`` key per language — the exact-quota sampling a
+    training mix needs (reproducible, order-free, no RNG state).
+
+    Distributed as per-batch partial top-k per stratum (at most k·n_langs
+    rows leave each task) + one tiny single-block merge — the
+    ``top_k_tiles`` pattern; no global sort. Hashing is the batch-
+    vectorized MD5 (``hashvec.md5_hex`` — doc-id strings are single-block,
+    the case where lane vectorization wins). Columns: doc_id, lang."""
+    import pyarrow.compute as pc
+
+    from ..hashvec import md5_hex
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())}
+            )
+        hexes = md5_hex(pc.cast(batch["doc_id"], pa.string()))
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, hexes, langs))
+        l_s = langs[order]
+        new = np.r_[True, l_s[1:] != l_s[:-1]]
+        rank = np.arange(l_s.size) - np.flatnonzero(new)[np.cumsum(new) - 1]
+        keep = order[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs[keep], pa.string()),
+            }
+        )
+
+    cand = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    # ≤ k·n_langs rows per upstream block: one block, one merge call
+    return cand.repartition(1).map_batches(
+        prune, batch_format="pyarrow", batch_size=None
+    )

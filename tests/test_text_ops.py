@@ -471,3 +471,40 @@ def test_repetition_stats_hand_cases(tmp_path):
         assert row["flagged"] == int(dup > 7000 or t2 > 2000)
     # the all-spam and alternating docs must be flagged, distinct doc not
     assert got["flagged"].tolist() == [0, 0, 1, 1, 1]
+
+
+def test_stratified_sample_matches_hashlib_reference(tmp_path):
+    """Distributed partial-top-k sampling == single-process hashlib ranking,
+    under a batch split that forces the two-stage merge."""
+    import hashlib as _hl
+
+    from hydro_raster_ray.text import ops
+
+    rng = np.random.default_rng(9)
+    n = 400
+    langs = np.array(["en", "fr", "es", "de"], dtype=object)[
+        rng.integers(0, 4, n)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(["t"] * n, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.stratified_sample(str(tmp_path), k=3)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for lg in np.unique(langs):
+        ids = np.flatnonzero(langs == lg)
+        keyed = sorted(
+            ids, key=lambda i: (_hl.md5(str(i).encode()).hexdigest(), i)
+        )[:3]
+        want.extend((int(i), lg) for i in keyed)
+    want = sorted(want, key=lambda t: (t[1], t[0]))
+    assert list(zip(got["doc_id"].tolist(), got["lang"].tolist())) == want
