@@ -441,6 +441,9 @@ SELECT ordinal, gr, gc, x, y, z FROM read_parquet('{F}/witness_line_cells.parque
         "s2_cell_counts": f"""
 SELECT cell_token, n_tiles, min_tile FROM read_parquet('{F}/witness_s2_cells.parquet')
 """,
+        "s2_footprint_cover": f"""
+SELECT cell_token, n_tiles FROM read_parquet('{F}/witness_s2_cover.parquet')
+""",
         "knn_idw_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
 """,

@@ -1337,7 +1337,7 @@ def _ensure_s2_witness(tag: str, out: str) -> None:
     scalar transcendental path can differ by 1 ulp), then the INDEPENDENT
     per-point curve walk ``s2.leaf_scalar`` + scalar parent/token
     arithmetic. Aggregated with a plain dict."""
-    done = os.path.join(out, "_S2_WITNESS_V1")
+    done = os.path.join(out, "_S2_WITNESS_V2")
     if os.path.exists(done):
         return
     from . import s2
@@ -1347,6 +1347,7 @@ def _ensure_s2_witness(tag: str, out: str) -> None:
     scheme = make_scheme(tr_n, tc_n)
     g = scheme.grid
     level = 14
+    new_lsb = 1 << (2 * (s2.MAX_LEVEL - level))
     ids, xcs, ycs = [], [], []
     for tr in range(scheme.n_tile_rows):
         for tc in range(scheme.n_tile_cols):
@@ -1357,7 +1358,6 @@ def _ensure_s2_witness(tag: str, out: str) -> None:
             xcs.append(g.xllcorner + (float(gc0) + float(w) / 2.0) * g.cellsize)
             ycs.append(g.yllcorner + (g.nrows - float(gr0) - float(h) / 2.0) * g.cellsize)
     lon, lat = bng_tmerc.inverse(np.asarray(xcs), np.asarray(ycs))
-    new_lsb = 1 << (2 * (s2.MAX_LEVEL - level))
     acc: dict[int, list] = {}
     for k, iid in enumerate(ids):
         leaf = s2.leaf_scalar(float(lon[k]), float(lat[k]))
@@ -1377,6 +1377,50 @@ def _ensure_s2_witness(tag: str, out: str) -> None:
             }
         ),
         os.path.join(out, "witness_s2_cells.parquet"),
+    )
+
+    # ---- footprint cover: 3×3 boundary-inclusive sample lattice per tile,
+    # per-tile cell dedupe, per-cell tile counts (query q_s2_footprint_cover;
+    # same float expression order, scalar curve walk) ----
+    S = 3
+    f = np.linspace(0.0, 1.0, S)
+    sx, sy, tile_k = [], [], []
+    k = 0
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            gr0, gc0 = tr * scheme.tile_h, tc * scheme.tile_w
+            h = min(scheme.tile_h, g.nrows - gr0)
+            w = min(scheme.tile_w, g.ncols - gc0)
+            x0 = g.xllcorner + float(gc0) * g.cellsize
+            y1 = g.yllcorner + (g.nrows - float(gr0)) * g.cellsize
+            for fx in f:
+                for fy in f:
+                    sx.append(x0 + (float(w) * g.cellsize) * fx)
+                    sy.append(y1 - (float(h) * g.cellsize) * fy)
+                    tile_k.append(k)
+            k += 1
+    lon2, lat2 = bng_tmerc.inverse(np.asarray(sx), np.asarray(sy))
+    per_tile: dict[int, set] = {}
+    for j, tk in enumerate(tile_k):
+        leaf = s2.leaf_scalar(float(lon2[j]), float(lat2[j]))
+        cell = (leaf & ~(new_lsb - 1) & ~new_lsb) | new_lsb
+        per_tile.setdefault(tk, set()).add(cell)
+    cover: dict[int, int] = {}
+    for cells_of in per_tile.values():
+        for c in cells_of:
+            cover[c] = cover.get(c, 0) + 1
+    ccells = sorted(cover)
+    _write_atomic(
+        pa.table(
+            {
+                "cell_token": pa.array(
+                    [format(c, "016x").rstrip("0") or "X" for c in ccells],
+                    pa.string(),
+                ),
+                "n_tiles": pa.array([cover[c] for c in ccells], pa.int64()),
+            }
+        ),
+        os.path.join(out, "witness_s2_cover.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -748,9 +748,76 @@ def q_s2_cells(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_s2_footprint_cover(sf_dir: str):
+    """Multi-cell S2 assignment per tile FOOTPRINT (not just the center):
+    each tile's projected extent is sampled on a 3×3 boundary-inclusive
+    grid, every sample maps to its level-14 cell, and per-tile duplicates
+    collapse before the count. Exact here because a level-14 cell
+    (~600 m edge) cannot fit strictly between 160 m sample spacings nor
+    inside a 320 m tile; callers with finer levels densify the sample
+    grid. The spatial-join shape: one tile → several cells → shuffle key.
+    Oracle: ``witness_s2_cover.parquet`` (scalar curve walk)."""
+    from .. import s2
+    from ..stages.reproject import bng_tmerc
+
+    ts, scheme = tiles_for(sf_dir)
+    g = scheme.grid
+    level = 14
+    S = 3
+    f = np.linspace(0.0, 1.0, S)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gr0 = batch["gr0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gc0 = batch["gc0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = gr0.size
+        x0 = g.xllcorner + gc0 * g.cellsize
+        y1 = g.yllcorner + (g.nrows - gr0) * g.cellsize
+        # n×S×S sample lattice over each footprint
+        xs = (x0[:, None] + (w * g.cellsize)[:, None] * f[None, :])[:, :, None]
+        ys = (y1[:, None] - (h * g.cellsize)[:, None] * f[None, :])[:, None, :]
+        X = np.broadcast_to(xs, (n, S, S)).ravel()
+        Y = np.broadcast_to(ys, (n, S, S)).ravel()
+        lon, lat = bng_tmerc.inverse(X, Y)
+        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level)
+        tile_of = np.repeat(np.arange(n, dtype=np.int64), S * S)
+        # per-tile dedupe, then per-cell partial counts
+        key = np.stack([tile_of, cell.view(np.int64)], axis=1)
+        uniq = np.unique(key, axis=0)
+        cells_u = uniq[:, 1].view(np.uint64)
+        u, cnt = np.unique(cells_u, return_counts=True)
+        return pa.table(
+            {
+                "s2_cell": pa.array(u, pa.uint64()),
+                "n_tiles": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_token": pa.array(
+                    s2.token(batch["s2_cell"].to_numpy(zero_copy_only=False)),
+                    pa.string(),
+                ),
+                "n_tiles": batch["n_tiles"],
+            }
+        )
+
+    meta = ts.ds.select_columns(["gr0", "gc0", "h", "w"])
+    agg = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("s2_cell")
+        .aggregate(Sum("n_tiles", alias_name="n_tiles"))
+    )
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
     "s2_cell_counts": q_s2_cells,
+    "s2_footprint_cover": q_s2_footprint_cover,
     "tile_png16_stats": q_tile_png16_stats,
     "grid_global_stats": q_grid_global_stats,
     "rect_clip_stats": q_rect_clip_stats,
