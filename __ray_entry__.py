@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
+    q["events_error_asof"] = relational.events_error_asof
     q["order_priority_revenue"] = relational.order_priority_revenue
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
@@ -382,6 +383,14 @@ SELECT to_timestamp(floor(epoch(ts) / 900) * 900 - k.range * 900)::TIMESTAMP win
        event_type,
        CAST(round(sum(value), 2) AS DOUBLE) sum_value, CAST(count(*) AS BIGINT) n
 FROM events, range(4) k GROUP BY 1, 2
+""",
+        "events_error_asof": """
+SELECT CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(coalesce(epoch_us(c.ts) - epoch_us(e.ts), -1) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
 """,
         "events_sessions": """
 WITH d AS (

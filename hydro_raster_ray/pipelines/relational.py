@@ -295,3 +295,53 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None) -> "r
         return df
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def events_error_asof(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF join: for every click event, the most recent error event of
+    the same user at-or-before its timestamp — the time-aligned enrichment
+    join Ray Data lacks natively (the brief's canonical custom operator).
+
+    Distributed as ``groupby(user_id).map_groups``: one shuffle co-locates
+    each user's history, then the per-group kernel is one sort + one
+    ``searchsorted`` (side='right' ⇒ inclusive ``c.ts >= e.ts``, matching
+    the SQL ASOF semantics). Partitioning assumption: one user's events
+    fit a task — salt hot users by (user, time-bucket) with a boundary
+    carry beyond that (the sessionization note). The gap is emitted in
+    exact integer microseconds (``epoch_us`` parity, no float rounding);
+    clicks with no prior error carry gap −1 (a NULL would flip the whole
+    column to nullable/float and break hash parity). Columns: event_id,
+    user_id, gap_us."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["event_type"] == "click"]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "gap_us": pd.array([], dtype="int64"),
+                }
+            )
+        e = df[df["event_type"] == "error"]
+        cts = c["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        ets = np.sort(e["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64))
+        j = np.searchsorted(ets, cts, side="right") - 1
+        gap = np.full(len(c), -1, dtype=np.int64)
+        hit = j >= 0
+        # timestamps are parquet microseconds, so the ns difference is an
+        # exact multiple of 1000 — integer µs, same value as SQL epoch_us
+        gap[hit] = (cts[hit] - ets[j[hit]]) // 1000
+        return pd.DataFrame(
+            {
+                "event_id": c["event_id"].to_numpy().astype(np.int64),
+                "user_id": c["user_id"].to_numpy().astype(np.int64),
+                "gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
