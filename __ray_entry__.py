@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
     q["events_error_asof"] = relational.events_error_asof
+    q["events_error_range_join"] = relational.events_error_range_join
     q["order_priority_revenue"] = relational.order_priority_revenue
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
@@ -391,6 +392,14 @@ SELECT CAST(c.event_id AS BIGINT) AS event_id,
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
   ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+        "events_error_range_join": """
+SELECT CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_err
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.ts BETWEEN c.ts - INTERVAL 60 SECOND AND c.ts + INTERVAL 60 SECOND
+GROUP BY c.event_id
 """,
         "events_sessions": """
 WITH d AS (

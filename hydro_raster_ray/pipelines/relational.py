@@ -345,3 +345,80 @@ def events_error_asof(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def events_error_range_join(sf_dir: str, window_s: int = 60) -> "ray.data.Dataset":
+    """Range (interval) join: for every click event, the number of error
+    events — any user — within ±``window_s`` seconds. The non-equi join of
+    the custom-operator family (as-of = latest-before, range = all-within).
+
+    Distributed as a BANDED join: time is bucketed at the window width,
+    clicks key to their own bucket, errors replicate to buckets b−1,b,b+1
+    (≤3× the small side; any error within the window of a click in b lies
+    in those buckets because w = bucket width), then one groupby co-locates
+    each band and the kernel is two ``searchsorted`` calls per group —
+    no quadratic pair table, no global sort. Hot bands are bounded by the
+    bucket width; salt by right-side chunk with partial-count sums if one
+    band still overflows a task. Columns: event_id, n_err."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    w_us = np.int64(window_s * 1_000_000)
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
+        bucket = us // w_us
+        is_err = (df["event_type"] == "error").to_numpy()
+        is_clk = (df["event_type"] == "click").to_numpy()
+        ids = df["event_id"].to_numpy().astype(np.int64)
+        # clicks once, errors replicated to the 3 covering bands
+        parts = [
+            pd.DataFrame(
+                {
+                    "bucket": bucket[is_clk],
+                    "event_id": ids[is_clk],
+                    "us": us[is_clk],
+                    "side": np.zeros(int(is_clk.sum()), dtype=np.int8),
+                }
+            )
+        ]
+        if is_err.any():
+            eb = bucket[is_err]
+            eu = us[is_err]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "bucket": np.concatenate([eb - 1, eb, eb + 1]),
+                        "event_id": np.tile(ids[is_err], 3),
+                        "us": np.tile(eu, 3),
+                        "side": np.ones(3 * int(is_err.sum()), dtype=np.int8),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def count_band(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "n_err": pd.array([], dtype="int64"),
+                }
+            )
+        ets = np.sort(df.loc[df["side"] == 1, "us"].to_numpy())
+        cus = c["us"].to_numpy()
+        n = np.searchsorted(ets, cus + w_us, side="right") - np.searchsorted(
+            ets, cus - w_us, side="left"
+        )  # BETWEEN is inclusive on both ends
+        return pd.DataFrame(
+            {
+                "event_id": c["event_id"].to_numpy(),
+                "n_err": n.astype(np.int64),
+            }
+        )
+
+    banded = ds.map_batches(band, batch_format="pandas")
+    # clicks appear in exactly one band ⇒ one output row per click, and
+    # every error replica lands in a distinct band ⇒ no double counting
+    return banded.groupby("bucket").map_groups(count_band, batch_format="pandas")
