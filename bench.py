@@ -343,6 +343,22 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         basin_sizes(ts).count()
 
+    # EP12/EP13: flow length and Strahler order — same contraction profile
+    # as ep9 (shared _acc_solve / halo passes) plus their driver sweeps.
+    # NOT in the default timed list for the same wall-budget reason as
+    # ep11; run via GRAFT_BENCH_ONLY=ep12_flowlen,ep13_strahler.
+    def ep12_flowlen():
+        from hydro_raster_ray.stages.flowacc import flow_length
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(flow_length(ts))
+
+    def ep13_strahler():
+        from hydro_raster_ray.stages.flowacc import strahler
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(strahler(ts, threshold=500.0))
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -428,6 +444,13 @@ def run_bench() -> dict:
         doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
         doc_quality, sched_probe,
     ]
+    # opt-in stages: same contraction profile as the listed hydrology
+    # headline (ep9/ep10), kept out of the default list so the full bench
+    # stays inside the driver's wall budget; reachable ONLY by naming them
+    # in GRAFT_BENCH_ONLY
+    opt_in = [ep11_basins, ep12_flowlen, ep13_strahler]
+    if only is not None:
+        stages = stages + [fn for fn in opt_in if fn.__name__ in only]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for fn in stages:
         if only is not None and fn.__name__ not in only:

@@ -387,39 +387,44 @@ def flow_length(
             win, br, bc, h, w
         )
         g_r0, g_c0 = gr0 - br, gc0 - bc
-        kind, src, dst, zs, aa, bb, pit = [], [], [], [], [], [], []
-        exit_set = set(int(x) for x in ex)
-        for j in range(ex.size):
-            u = int(ex[j])
-            kind.append(0)
-            src.append((gr0 + u // w) * ncols + (gc0 + u % w))
-            dst.append((g_r0 + int(ex_tr[j])) * ncols + (g_c0 + int(ex_tc[j])))
-            zs.append(float(zf[u]))
-            aa.append(int(ex_sd[j]))
-            bb.append(0)
-            pit.append(False)
-        for v in _border_ring_flat(h, w):
-            if not np.isfinite(zf[v]):
-                continue
-            t = term[v]
-            kind.append(1)
-            src.append((gr0 + v // w) * ncols + (gc0 + v % w))
-            dst.append((gr0 + t // w) * ncols + (gc0 + t % w))
-            zs.append(0.0)
-            aa.append(ns[v])
-            bb.append(nd[v])
-            pit.append(t not in exit_set)
-        if not kind:
+        # exit rows: one per body cell whose receiver lies outside the tile
+        u = ex.astype(np.int64)
+        src_e = (gr0 + u // w) * ncols + (gc0 + u % w)
+        dst_e = (g_r0 + ex_tr.astype(np.int64)) * ncols + (
+            g_c0 + ex_tc.astype(np.int64)
+        )
+        z_e = zf[u].astype(np.float64)
+        a_e = ex_sd.astype(np.int64)
+        # ring rows: each finite border-ring cell → its in-tile terminal
+        ring = np.asarray(_border_ring_flat(h, w), dtype=np.int64)
+        rfin = ring[np.isfinite(zf[ring])]
+        tt = np.asarray(term, dtype=np.int64)[rfin]
+        src_r = (gr0 + rfin // w) * ncols + (gc0 + rfin % w)
+        dst_r = (gr0 + tt // w) * ncols + (gc0 + tt % w)
+        ns_r = np.asarray(ns, dtype=np.int64)[rfin]
+        nd_r = np.asarray(nd, dtype=np.int64)[rfin]
+        ex_sorted = np.sort(u)
+        if ex_sorted.size:
+            pos = np.minimum(np.searchsorted(ex_sorted, tt), ex_sorted.size - 1)
+            pit_r = ex_sorted[pos] != tt  # terminal is a true pit, not an exit
+        else:
+            pit_r = np.ones(tt.size, dtype=bool)
+        n_e, n_r = src_e.size, src_r.size
+        if n_e + n_r == 0:
             return None
         return pa.table(
             {
-                "kind": pa.array(kind, pa.int8()),
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "z": pa.array(zs, pa.float64()),
-                "a": pa.array(aa, pa.int64()),
-                "b": pa.array(bb, pa.int64()),
-                "pit": pa.array(pit, pa.bool_()),
+                "kind": pa.array(
+                    np.r_[np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]
+                ),
+                "src": pa.array(np.r_[src_e, src_r]),
+                "dst": pa.array(np.r_[dst_e, dst_r]),
+                "z": pa.array(np.r_[z_e, np.zeros(n_r)]),
+                "a": pa.array(np.r_[a_e, ns_r]),
+                "b": pa.array(np.r_[np.zeros(n_e, np.int64), nd_r]),
+                "pit": pa.array(
+                    np.r_[np.zeros(n_e, dtype=bool), pit_r]
+                ),
             },
             schema=_LEN_SCHEMA,
         )
@@ -429,59 +434,81 @@ def flow_length(
         strips=strips,
     )
 
-    # ---- driver solve: one ascending-z sweep over the exits ----
-    import pandas as pd
+    # ---- driver solve: one ascending-z sweep over the exits (vectorized
+    # ingest + gathers; only the sweep itself — inherently sequential, each
+    # exit's continuation resolved at strictly lower z — is a flat loop) ----
+    cols = {f.name: [] for f in _LEN_SCHEMA}
+    n_rows = 0
+    for bt in rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_rows += bt.num_rows
+        if n_rows > border_budget_rows:  # pragma: no cover - budget guard
+            raise MemoryError(
+                f"border table has {n_rows} rows > budget "
+                f"{border_budget_rows}; apply the recursive tiles-of-tiles "
+                "contraction (module note)"
+            )
+        for name in cols:
+            cols[name].append(bt[name].to_numpy(zero_copy_only=False))
 
-    frames = [
-        b.to_pandas()
-        for b in rows.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    df = (
-        pd.concat(frames, ignore_index=True)
-        if frames
-        else pd.DataFrame(columns=[f.name for f in _LEN_SCHEMA])
-    )
-    if len(df) > border_budget_rows:  # pragma: no cover - budget guard
-        raise MemoryError(
-            f"border table has {len(df)} rows > budget {border_budget_rows}; "
-            "apply the recursive tiles-of-tiles contraction (module note)"
+    def _cat(name, dtype):
+        parts = cols[name]
+        return (
+            np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
         )
-    ring = df[df["kind"] == 1]
-    ringinfo = {
-        int(s): (int(t), int(a), int(b), bool(p))
-        for s, t, a, b, p in zip(
-            ring["src"].to_numpy(),
-            ring["dst"].to_numpy(),
-            ring["a"].to_numpy(),
-            ring["b"].to_numpy(),
-            ring["pit"].to_numpy(),
-        )
-    }
-    ex = df[df["kind"] == 0].sort_values("z", ascending=True, kind="stable")
-    NS: dict[int, int] = {}
-    ND: dict[int, int] = {}
-    for u, r, sd in zip(
-        ex["src"].to_numpy().tolist(),
-        ex["dst"].to_numpy().tolist(),
-        ex["a"].to_numpy().tolist(),
-    ):
-        t, ns_r, nd_r, pit = ringinfo[r]
-        tot_ns = (1 - sd) + ns_r
-        tot_nd = sd + nd_r
-        if not pit:
-            tot_ns += NS[t]
-            tot_nd += ND[t]
-        NS[u] = tot_ns
-        ND[u] = tot_nd
+
+    kind = _cat("kind", np.int8)
+    src = _cat("src", np.int64)
+    dst = _cat("dst", np.int64)
+    z = _cat("z", np.float64)
+    a = _cat("a", np.int64)
+    b = _cat("b", np.int64)
+    pit = _cat("pit", bool)
+    em = kind == 0
+    ex_src, ex_dst, ex_z, ex_sd = src[em], dst[em], z[em], a[em]
+    ring_src, ring_dst = src[~em], dst[~em]
+    ring_ns, ring_nd, ring_pit = a[~em], b[~em], pit[~em]
+    n_ex = ex_src.size
+    # each exit's receiver is a finite border-ring cell of the neighbor
+    # tile, so a ring row exists for every ex_dst (gather via searchsorted;
+    # srcs are unique and ties independent — unstable sorts throughout)
+    ro = np.argsort(ring_src)
+    rs = ring_src[ro]
+    j = ro[np.searchsorted(rs, ex_dst)] if n_ex else np.empty(0, np.int64)
+    base_ns = (1 - ex_sd) + ring_ns[j]  # this hop + receiver's in-tile hops
+    base_nd = ex_sd + ring_nd[j]
+    t_gid = ring_dst[j]  # the receiver's in-tile terminal
+    t_pit = ring_pit[j]
+    # continuation index: the terminal (when not a pit) is itself an exit
+    eo = np.argsort(ex_src)
+    es = ex_src[eo]
+    ti = np.full(n_ex, -1, dtype=np.int64)
+    if n_ex:
+        nz = ~t_pit
+        ti[nz] = eo[np.searchsorted(es, t_gid[nz])]
+    order = np.argsort(ex_z)  # ascending z; equal-z exits are independent
+    NS = [0] * n_ex
+    ND = [0] * n_ex
+    bnl, bdl, til = base_ns.tolist(), base_nd.tolist(), ti.tolist()
+    for k in order.tolist():
+        t = til[k]
+        if t >= 0:
+            NS[k] = bnl[k] + NS[t]
+            ND[k] = bdl[k] + ND[t]
+        else:
+            NS[k] = bnl[k]
+            ND[k] = bdl[k]
 
     import ray as _ray
 
-    cref = _ray.put((NS, ND))
+    # broadcast as sorted arrays: (exit gid, ns, nd), searchsorted in pass 2
+    ns_sorted = np.asarray(NS, dtype=np.int64)[eo]
+    nd_sorted = np.asarray(ND, dtype=np.int64)[eo]
+    cref = _ray.put((es, ns_sorted, nd_sorted))
 
     def pass2(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
 
-        NSd, NDd = _ray2.get(cref)
+        sgid, NSa, NDa = _ray2.get(cref)
         _nxt, (exc, _tr, _tc, _sd), ns, nd, term, zf = _tile_counts(
             win, br, bc, h, w
         )
@@ -489,10 +516,10 @@ def flow_length(
         gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
         addn = np.zeros(h * w, dtype=np.int64)
         addd = np.zeros(h * w, dtype=np.int64)
-        for u in exc.tolist():  # border-scale loop
-            g = int(gid[u])
-            addn[u] = NSd[g]
-            addd[u] = NDd[g]
+        if exc.size:  # every exit gid is present in the broadcast arrays
+            p = np.searchsorted(sgid, gid[exc])
+            addn[exc] = NSa[p]
+            addd[exc] = NDa[p]
         ta = np.asarray(term, dtype=np.int64)
         tot_ns = np.asarray(ns, dtype=np.float64) + addn[ta]
         tot_nd = np.asarray(nd, dtype=np.float64) + addd[ta]
@@ -601,28 +628,36 @@ def strahler(
     else:
         gid = rgid = np.empty(0, dtype=np.int64)
         z = np.empty(0)
-    o = np.argsort(-z, kind="stable")
+    # unstable sorts are fine: equal-z cells are independent (flow strictly
+    # descends across every hop, so a cell's inflows all resolved at
+    # strictly higher z) and gid rows are unique — tie order cannot change
+    # any order value. Stable argsort is 4-5× slower at 10M+ rows.
+    o = np.argsort(-z)
     gid, rgid = gid[o], rgid[o]
-    pos = {int(g): k for k, g in enumerate(gid)}  # gid → row (unique rows)
-    mx = np.zeros(gid.size, dtype=np.int64)
-    cnt = np.zeros(gid.size, dtype=np.int64)
-    order = np.zeros(gid.size, dtype=np.int64)
-    mxl, cntl, ordl = mx.tolist(), cnt.tolist(), order.tolist()
-    rl = rgid.tolist()
+    # receiver row index, gathered vectorized (gid rows are unique; every
+    # receiver is itself a stream cell — accumulation is monotone)
+    sg_all = np.argsort(gid)
+    kr = np.full(gid.size, -1, dtype=np.int64)
+    valid = rgid >= 0
+    if gid.size:
+        kr[valid] = sg_all[np.searchsorted(gid[sg_all], rgid[valid])]
+    mxl = [0] * gid.size
+    cntl = [0] * gid.size
+    ordl = [0] * gid.size
+    krl = kr.tolist()
     for k in range(gid.size):
         m = mxl[k]
         oo = 1 if m == 0 else m + (1 if cntl[k] >= 2 else 0)
         ordl[k] = oo
-        r = rl[k]
+        r = krl[k]
         if r >= 0:
-            kr = pos[r]  # receiver is a stream cell (acc monotone)
-            if oo > mxl[kr]:
-                mxl[kr] = oo
-                cntl[kr] = 1
-            elif oo == mxl[kr]:
-                cntl[kr] += 1
+            if oo > mxl[r]:
+                mxl[r] = oo
+                cntl[r] = 1
+            elif oo == mxl[r]:
+                cntl[r] += 1
 
-    sg = np.argsort(gid, kind="stable")
+    sg = np.argsort(gid)  # unique gids — stability is moot
     sorted_gid = gid[sg]
     sorted_ord = np.asarray(ordl, dtype=np.float64)[sg]
 
