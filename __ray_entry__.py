@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_pii_scrub"] = ops.pii_scrub
     q["doc_repetition"] = ops.repetition_stats
     q["doc_stratified_sample"] = ops.stratified_sample
+    q["doc_pack_chunks"] = ops.pack_chunks
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -319,6 +320,21 @@ FROM (SELECT doc_id, lang,
                  AS rn
       FROM documents)
 WHERE rn <= 5
+""",
+        "doc_pack_chunks": f"""
+WITH t AS (SELECT doc_id,
+        len(regexp_extract_all(text, '{ops.BPE_PATTERN_SQL}')) n_tokens
+      FROM documents),
+ c AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum0
+       FROM t)
+SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_tokens AS BIGINT) n_tokens,
+       CAST(cum0 // 256 AS BIGINT) first_chunk,
+       CAST((cum0 + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) last_chunk,
+       CAST((cum0 + greatest(n_tokens, 1) - 1) // 256 - cum0 // 256 + 1
+            AS BIGINT) n_chunks
+FROM c
 """,
         "doc_pii_scrub": f"""
 WITH inj AS (

@@ -36,6 +36,7 @@ __all__ = [
     "fingerprint_docs",
     "ngram_dup_stats",
     "repetition_stats",
+    "pack_chunks",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -993,3 +994,90 @@ def stratified_sample(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     return cand.repartition(1).map_batches(
         prune, batch_format="pyarrow", batch_size=None
     )
+
+
+def pack_chunks(sf_dir: str, seq_len: int = 256) -> "ray.data.Dataset":
+    """GPT-style sequence packing (concat-then-chunk): concatenate every
+    document's BPE-ish token stream in ``doc_id`` order and cut it into
+    fixed ``seq_len`` chunks; per document report its token count and the
+    chunk ids it lands in — the layout a pretraining loader needs to map
+    corpus position back to provenance.
+
+    The global offset is a distributed ordered prefix-sum (scan):
+
+    1. bucket = contiguous ``doc_id`` range (cluster-sized bucket count);
+    2. pass A: per-batch partial per-bucket token sums → one tiny groupby
+       (n_buckets rows) → driver exclusive prefix over bucket totals —
+       the only driver-side state is one number per bucket, broadcast;
+    3. pass B: ``groupby(bucket).map_groups`` — sort the bucket's
+       (doc_id, n_tokens) rows, local cumsum + the bucket's offset.
+
+    The text column never shuffles (only the two-int token table does),
+    and the regex tokenization runs once per pass rather than
+    materializing a corpus-sized token table. Empty documents occupy
+    their boundary chunk (``greatest(n,1)`` in the chunk-span arithmetic,
+    mirrored in the SQL oracle). Columns: doc_id, n_tokens, first_chunk,
+    last_chunk, n_chunks.
+    """
+    from ..stages.cc import auto_shuffle_blocks
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    max_id = int(
+        read_documents(sf_dir, columns=["doc_id"]).max("doc_id") or 0
+    )
+    n_buckets = max(1, auto_shuffle_blocks())
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    def tokens(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: this table feeds two groupbys (pandas blocks poison
+        # Ray's sort shuffle — see ROUND4_NOTES "engine lesson")
+        did = df["doc_id"].to_numpy(np.int64)
+        n = df["text"].str.count(_BPE_RE).to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "bucket": pa.array(did // width, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    tok = ds.map_batches(tokens, batch_format="pandas", batch_size=512)
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(tot=("n_tokens", "sum"))
+
+    totals = (
+        tok.map_batches(bucket_partial, batch_format="pandas", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("tot", alias_name="tot"))
+        .to_pandas()  # ≤ n_buckets rows
+        .sort_values("bucket")
+    )
+    buckets = totals["bucket"].to_numpy(np.int64)
+    offs = np.r_[
+        np.zeros(1, np.int64), np.cumsum(totals["tot"].to_numpy(np.int64))[:-1]
+    ]
+    oref = ray.put((buckets, offs))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        b_arr, o_arr = _ray.get(oref)
+        df = df.sort_values("doc_id")
+        n = df["n_tokens"].to_numpy(np.int64)
+        off0 = int(o_arr[np.searchsorted(b_arr, int(df["bucket"].iloc[0]))])
+        start = off0 + np.r_[np.zeros(1, np.int64), np.cumsum(n)[:-1]]
+        last_pos = start + np.maximum(n, 1) - 1
+        first = start // seq_len
+        last = last_pos // seq_len
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "first_chunk": first,
+                "last_chunk": last,
+                "n_chunks": last - first + 1,
+            }
+        )
+
+    return tok.groupby("bucket").map_groups(scan, batch_format="pandas")

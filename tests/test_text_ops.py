@@ -508,3 +508,51 @@ def test_stratified_sample_matches_hashlib_reference(tmp_path):
         want.extend((int(i), lg) for i in keyed)
     want = sorted(want, key=lambda t: (t[1], t[0]))
     assert list(zip(got["doc_id"].tolist(), got["lang"].tolist())) == want
+
+
+def test_pack_chunks_scan_matches_reference(tmp_path):
+    """Distributed ordered prefix-sum: concat-then-chunk packing equals a
+    single-process cumsum regardless of input row order; covers empty
+    docs (occupy their boundary chunk), exact chunk-boundary spans, and
+    multi-chunk documents."""
+    import re as _re
+
+    from hydro_raster_ray.text import ops
+
+    texts = {
+        0: "a " * 100,            # 100 tokens
+        1: "",                     # empty doc
+        2: "b " * 28,             # crosses the 128-boundary at seq_len=64
+        3: "word " * 300,         # spans several chunks
+        4: "x",                    # single token
+        5: "c " * 63,             # ends exactly at a chunk boundary
+    }
+    # shuffled row order: the scan must order by doc_id, not input order
+    order = [3, 1, 5, 0, 4, 2]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in order], pa.int64()),
+                "text": pa.array([texts[i] for i in order], pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.pack_chunks(str(tmp_path), seq_len=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # single-process reference
+    pat = _re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    n = {i: len(pat.findall(texts[i])) for i in texts}
+    off = 0
+    want = []
+    for i in sorted(texts):
+        first = off // 64
+        last = (off + max(n[i], 1) - 1) // 64
+        want.append((i, n[i], first, last, last - first + 1))
+        off += n[i]
+    assert list(map(tuple, got.to_numpy())) == want
+    assert got["n_tokens"].sum() == off
