@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_train"] = ann.ivf_train
     q["ann_ivf_topk_p2"] = lambda sf: ann.ivf_topk(sf, nprobe=2)
     q["emb_near_dups"] = ann.emb_near_dups
+    q["emb_quantize"] = ann.emb_quantize
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -371,6 +372,20 @@ SELECT s.doc_id,
   CAST(round(len(list_intersect(s.sh, q.qsh))::DOUBLE
        / len(list_distinct(list_concat(s.sh, q.qsh))), 4) AS DOUBLE) sim
 FROM s, q ORDER BY sim DESC, s.doc_id LIMIT 20
+""",
+        "emb_quantize": """
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ m AS (SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) ma FROM t),
+ q AS (SELECT vec_id, ma,
+        list_transform(e, x -> floor(x * 127.0 /
+            (CASE WHEN ma = 0 THEN 1.0 ELSE ma END) + 0.5)) ql
+       FROM m)
+SELECT CAST(vec_id AS BIGINT) vec_id, CAST(ma AS DOUBLE) maxabs,
+       CAST(list_sum(ql) AS BIGINT) sum_q,
+       CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) sum_abs_q,
+       CAST(len(list_filter(ql, x -> abs(x) = 127.0)) AS BIGINT) n_sat
+FROM q
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 1, 2))

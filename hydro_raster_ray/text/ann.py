@@ -30,6 +30,7 @@ __all__ = [
     "ivf_topk",
     "ivf_train",
     "emb_near_dups",
+    "emb_quantize",
 ]
 
 
@@ -583,3 +584,37 @@ def ivf_train(
         .groupby("centroid")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def emb_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """Per-vector symmetric int8 scalar quantization — the vector-
+    compression stage an ANN index runs before storage (4× smaller than
+    float32, 8× smaller than float64).
+
+    ``q_i = floor(x_i · 127 / maxabs + 0.5)`` (round-half-up) with the
+    exact same IEEE expression tree as the SQL oracle, so the integer
+    outputs hash-match bit-for-bit: inputs cast float32→float64 (exact),
+    then one multiply, one divide, one floor per element. All-zero
+    vectors quantize to all zeros (divisor swaps to 1). Saturation hits
+    exactly ±127 only where ``|x| = maxabs``. Embarrassingly parallel —
+    one vectorized ``map_batches``, no shuffle. Columns: vec_id, maxabs,
+    sum_q, sum_abs_q, n_sat.
+    """
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(df)  # (batch, dim) float64
+        maxabs = np.abs(m).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        q = np.floor((m * 127.0) / safe[:, None] + 0.5)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "maxabs": maxabs,
+                "sum_q": q.sum(axis=1).astype(np.int64),
+                "sum_abs_q": np.abs(q).sum(axis=1).astype(np.int64),
+                "n_sat": (np.abs(q) == 127.0).sum(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pandas", batch_size=512)

@@ -556,3 +556,45 @@ def test_pack_chunks_scan_matches_reference(tmp_path):
         off += n[i]
     assert list(map(tuple, got.to_numpy())) == want
     assert got["n_tokens"].sum() == off
+
+
+def test_emb_quantize_properties(tmp_path):
+    """int8 symmetric quantization: reconstruction error is bounded by
+    half a quantization step per element, extrema saturate at exactly
+    ±127, and all-zero vectors quantize to all zeros."""
+    from hydro_raster_ray.text import ann
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    vecs = rng.normal(size=(20, dim)).astype(np.float32)
+    vecs[5] = 0.0  # all-zero vector
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(20), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    got = (
+        ann.emb_quantize(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    m = vecs.astype(np.float64)
+    maxabs = np.abs(m).max(axis=1)
+    np.testing.assert_array_equal(got["maxabs"].to_numpy(), maxabs)
+    # zero vector: all outputs zero
+    z = got.iloc[5]
+    assert z["sum_q"] == z["sum_abs_q"] == z["n_sat"] == 0
+    # every non-zero vector saturates at its extreme element
+    assert (got["n_sat"].to_numpy()[np.r_[0:5, 6:20]] >= 1).all()
+    # reconstruction bound: |x - q*maxabs/127| <= (maxabs/127)/2 per element
+    safe = np.where(maxabs == 0, 1.0, maxabs)
+    q = np.floor((m * 127.0) / safe[:, None] + 0.5)
+    recon = q * (safe[:, None] / 127.0)
+    step = safe / 127.0
+    assert (np.abs(m - recon) <= step[:, None] / 2 + 1e-12).all()
+    np.testing.assert_array_equal(got["sum_q"].to_numpy(), q.sum(axis=1))
