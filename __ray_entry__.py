@@ -493,6 +493,20 @@ SELECT cell_token, n_tiles, min_tile FROM read_parquet('{F}/witness_s2_cells.par
         "s2_footprint_cover": f"""
 SELECT cell_token, n_tiles FROM read_parquet('{F}/witness_s2_cover.parquet')
 """,
+        # pure-geometric bbox join: verifies the ENGINE's S2-bucketed join
+        # end-to-end with no S2 on the oracle side (tile extents recovered
+        # from the pixel witness: centre ± cs/2 is exact in fp for the
+        # fixture grid constants)
+        "s2_gauge_join": f"""
+WITH ext AS (
+  SELECT tile_id, min(x) - 2.5 xmin, max(x) + 2.5 xmax,
+         min(y) - 2.5 ymin, max(y) + 2.5 ymax
+  FROM {_PX} GROUP BY tile_id)
+SELECT e.tile_id image_id, CAST(count(*) AS BIGINT) n_gauges
+FROM ext e JOIN read_parquet('{F}/gauges_large.parquet') g
+  ON g.x >= e.xmin AND g.x < e.xmax AND g.y >= e.ymin AND g.y < e.ymax
+GROUP BY e.tile_id
+""",
         "knn_idw_surface": f"""
 SELECT image_id, n_px, n_valid, sum_z FROM read_parquet('{F}/witness_knn_idw.parquet')
 """,

@@ -123,3 +123,34 @@ def test_token_roundtrip():
         back = np.array([s2.token_to_id(t) for t in toks], dtype=np.uint64)
         np.testing.assert_array_equal(back, cells)
         assert all(not t.endswith("0") for t in toks)
+
+
+def test_s2_gauge_join_partitions_every_gauge(ray_session):
+    """The S2-bucketed spatial join is a partition of the gauge set:
+    tiles tile the grid and every Halton gauge lies strictly inside it,
+    so per-tile counts must sum to exactly the gauge-table size and the
+    per-tile counts must match a direct geometric assignment."""
+    import duckdb
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.pipelines.tile_queries import q_s2_gauge_join
+
+    sf = "/root/testdata/sf0.001"
+    got = q_s2_gauge_join(sf).to_pandas().sort_values("image_id")
+    d = fixtures.ensure_fixture_dir("sf0.001")
+    n_gauges = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{d}/gauges_large.parquet')"
+    ).fetchone()[0]
+    assert got["n_gauges"].sum() == n_gauges
+    want = duckdb.sql(f"""
+        WITH ext AS (
+          SELECT tile_id, min(x) - 2.5 xmin, max(x) + 2.5 xmax,
+                 min(y) - 2.5 ymin, max(y) + 2.5 ymax
+          FROM read_parquet('{d}/pixels.parquet') GROUP BY tile_id)
+        SELECT e.tile_id image_id, count(*) n_gauges
+        FROM ext e JOIN read_parquet('{d}/gauges_large.parquet') g
+          ON g.x >= e.xmin AND g.x < e.xmax AND g.y >= e.ymin AND g.y < e.ymax
+        GROUP BY e.tile_id ORDER BY e.tile_id
+    """).df()
+    assert list(got["image_id"]) == list(want["image_id"])
+    assert list(got["n_gauges"]) == list(want["n_gauges"])
