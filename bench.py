@@ -205,6 +205,23 @@ def run_bench() -> dict:
         ).repartition(max(4, NUM_CPUS // 2))
         stats.global_stats(knn_idw_partitioned(ts, gauges, k=8, power=2.0))
 
+    # EP3c: the metric's namesake — S2-bucketed spatial join of 1M gauges
+    # to tile footprints (hash join on level-14 cells + exact bbox verify);
+    # tile side metadata-only, neither side broadcast
+    def ep3c_s2_join():
+        import ray as _ray
+
+        from hydro_raster_ray.stages.spatial_join import s2_gauge_join
+
+        ts = read_tiles(
+            BENCH_DIR, scheme, columns=["w", "h", "fmt", "caption", "phash"]
+        )
+        gauges = _ray.data.from_arrow(
+            fixtures.gauges_large_table(scheme, 1_000_000)
+        ).repartition(max(4, NUM_CPUS // 2))
+        n = s2_gauge_join(ts, gauges).to_pandas()["n_gauges"].sum()
+        assert n == 1_000_000, n  # the join partitions the gauge set
+
     # EP4: halo-exchange resample (sub-rectangle fragment shuffle)
     def ep4_resample():
         from hydro_raster_ray.stages.resample import resample as _resample
@@ -438,7 +455,8 @@ def run_bench() -> dict:
 
     stages = [
         ep1_edit_dem, ep1_write, ep2_mosaic, ep2b_mosaic_skew, ep3_gauge_interp,
-        ep3b_knn_partitioned, ep4_resample, ep4b_resample_lanczos, ep5_vectorize,
+        ep3b_knn_partitioned, ep3c_s2_join, ep4_resample, ep4b_resample_lanczos,
+        ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep,
         doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,

@@ -826,94 +826,18 @@ def q_s2_gauge_join(sf_dir: str):
     payload ``bytes`` column never leaves storage); gauge side is the
     LARGE table (120k rows at sf0.01 — the too-big-to-broadcast
     stand-in), so the join is a genuine distributed exchange, not a
-    broadcast. Columns: image_id, n_gauges."""
+    broadcast. Core: ``stages/spatial_join.s2_gauge_join``. Columns:
+    image_id, n_gauges."""
     import ray.data
 
-    from .. import s2
-    from ..stages.cc import auto_join_partitions
-    from ..stages.reproject import bng_tmerc
+    from ..stages.spatial_join import s2_gauge_join
 
-    ts, scheme = tiles_for(sf_dir)
-    g = scheme.grid
+    ts, _scheme = tiles_for(sf_dir)
     d = fixture_dir_for(sf_dir)
-    level = 14
-    S = 3
-    f = np.linspace(0.0, 1.0, S)
-    cs = g.cellsize
-
-    def tile_cells(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_numpy(zero_copy_only=False)
-        gr0 = batch["gr0"].to_numpy(zero_copy_only=False).astype(np.float64)
-        gc0 = batch["gc0"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
-        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = gr0.size
-        xmin = g.xllcorner + gc0 * cs
-        xmax = g.xllcorner + (gc0 + w) * cs
-        ymax = g.yllcorner + (g.nrows - gr0) * cs
-        ymin = ymax - h * cs
-        # 3×3 boundary-inclusive footprint lattice → level-14 cover
-        # (exactness argument as in q_s2_footprint_cover)
-        xs = (xmin[:, None] + (w * cs)[:, None] * f[None, :])[:, :, None]
-        ys = (ymax[:, None] - (h * cs)[:, None] * f[None, :])[:, None, :]
-        X = np.broadcast_to(xs, (n, S, S)).ravel()
-        Y = np.broadcast_to(ys, (n, S, S)).ravel()
-        lon, lat = bng_tmerc.inverse(X, Y)
-        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level).view(np.int64)
-        tile_of = np.repeat(np.arange(n, dtype=np.int64), S * S)
-        key = np.stack([tile_of, cell], axis=1)
-        uniq = np.unique(key, axis=0)  # per-tile cell dedupe
-        ti, cu = uniq[:, 0], uniq[:, 1]
-        return pa.table(
-            {
-                "cell": pa.array(cu, pa.int64()),
-                "image_id": pa.array(ids[ti], pa.string()),
-                "xmin": pa.array(xmin[ti]),
-                "xmax": pa.array(xmax[ti]),
-                "ymin": pa.array(ymin[ti]),
-                "ymax": pa.array(ymax[ti]),
-            }
-        )
-
-    def gauge_cells(batch: pa.Table) -> pa.Table:
-        x = batch["x"].to_numpy(zero_copy_only=False)
-        y = batch["y"].to_numpy(zero_copy_only=False)
-        lon, lat = bng_tmerc.inverse(x, y)
-        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level).view(np.int64)
-        return pa.table(
-            {
-                "gcell": pa.array(cell, pa.int64()),
-                "gx": pa.array(x),
-                "gy": pa.array(y),
-            }
-        )
-
-    meta = ts.ds.select_columns(["image_id", "gr0", "gc0", "h", "w"])
-    tiles_k = meta.map_batches(tile_cells, batch_format="pyarrow")
-    gauges_k = ray.data.read_parquet(
+    gauges = ray.data.read_parquet(
         f"{d}/gauges_large.parquet", columns=["x", "y"]
-    ).map_batches(gauge_cells, batch_format="pyarrow")
-    joined = tiles_k.join(
-        gauges_k, "inner", auto_join_partitions(), on=("cell",),
-        right_on=("gcell",),
     )
-
-    def bbox_count(df: pd.DataFrame) -> pd.DataFrame:
-        m = (
-            (df["gx"] >= df["xmin"])
-            & (df["gx"] < df["xmax"])
-            & (df["gy"] >= df["ymin"])
-            & (df["gy"] < df["ymax"])
-        )
-        kept = df[m]
-        return kept.groupby("image_id", as_index=False).agg(
-            n_gauges=("gx", "size")
-        )
-
-    part = joined.map_batches(bbox_count, batch_format="pandas")
-    return part.groupby("image_id").aggregate(
-        Sum("n_gauges", alias_name="n_gauges")
-    )
+    return s2_gauge_join(ts, gauges)
 
 
 TILE_QUERIES = {

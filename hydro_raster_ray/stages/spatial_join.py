@@ -1,0 +1,169 @@
+"""S2-bucketed spatial join of point tables to tile footprints.
+
+The north rule's join shape (``BASELINE.json``: "spatial-join + tiling",
+"H3/S2 index, point-in-polygon, kNN"): both sides key by a level-L S2
+cell — tiles through a boundary-inclusive footprint sample lattice
+(multi-cell cover), points through their containing cell — then a native
+``Dataset.join`` hash join on the cell id produces candidate pairs and an
+exact bbox filter removes the false positives the coarse cells admit.
+
+Scale shape: the tile side is metadata-only (extents from the scheme; the
+payload ``bytes`` column never leaves storage), the point side shuffles
+once by cell hash, and the post-join filter + count pre-aggregates per
+batch before one tiny groupby. Neither side broadcasts, so the operator
+survives both a 10¹²-tile corpus and a 10⁹-gauge sensor table. Exactness
+does NOT depend on the cover being minimal — only on it being complete
+(cover(tile) ⊇ cell(p) for every point p in the tile); the bbox filter
+makes over-covering harmless. Completeness proof for an ARBITRARY-
+ORIENTATION convex ~square cell of edge ≥ C (S2 cells are rotated,
+slightly curved quadrilaterals in the projected plane): a square of
+edge C contains an axis-aligned square of side C/√2 (the inscribed
+rotated-by-complement square), which contains a product-lattice point
+whenever the lattice spacing is ≤ C/(2√2) AND the lattice domain
+extends far enough to reach it — the inscribed square lies within the
+cell, i.e. within C·√2 of the gauge's tile, so padding the lattice 2C
+beyond every tile side suffices. A boundary-pinned unpadded lattice is
+NOT enough: a cell corner clipping the tile corner forms a sliver that
+evades boundary samples (measured: 3 of 10⁶ gauges dropped at 1280 m
+tiles with an unpadded half-edge lattice; 33 % dropped with the fixed
+3×3 lattice that q_s2_footprint_cover uses, which is exact only while
+tiles stay smaller than the cell edge). Samples land outside the tile;
+the candidate pairs they admit are removed by the same bbox filter.
+
+Reference tie-in: the reference's demo workloads assign points/features to
+``Raster`` extents by plain bbox tests (e.g. ``spatial_analysis.py``'s
+extent arithmetic); this operator is that assignment as a distributed
+equi-join instead of an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from .. import s2
+from ..sources.tiles import TileSet
+from .cc import auto_join_partitions
+
+__all__ = ["s2_gauge_join", "_lattice_samples"]
+
+# quarter-circumference face edge / 2^level ≈ average cell edge; minimum
+# edge under the quadratic ST distortion is bounded below by ~0.5× average
+_FACE_EDGE_M = 40_075_000.0 / 4.0
+
+
+def _min_edge_m(level: int) -> float:
+    return 0.5 * _FACE_EDGE_M / (1 << level)
+
+
+def _lattice_samples(span_m: float, level: int, floor: int = 3) -> tuple[int, float]:
+    """(samples per axis, pad metres) for the completeness condition
+    above: spacing ≤ C/(2√2), domain padded 2C beyond each tile side."""
+    c = _min_edge_m(level)
+    pad = 2.0 * c
+    spacing_cap = c / (2.0 * np.sqrt(2.0))
+    s = max(floor, int(np.ceil((span_m + 2.0 * pad) / spacing_cap)) + 1)
+    return s, pad
+
+
+def s2_gauge_join(
+    ts: TileSet,
+    gauges: "ray.data.Dataset",
+    level: int = 14,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Count gauges inside each tile's footprint via an S2-cell hash join
+    + exact bbox verify. ``gauges`` needs ``x``/``y`` columns (projected
+    grid coordinates). Columns: image_id, n_gauges (tiles with ≥1 gauge).
+    """
+    import ray.data  # noqa: F401 - type only
+
+    from .reproject import bng_tmerc
+
+    g = ts.grid
+    cs = g.cellsize
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+
+    def tile_cells(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        gr0 = batch["gr0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gc0 = batch["gc0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = gr0.size
+        xmin = g.xllcorner + gc0 * cs
+        xmax = g.xllcorner + (gc0 + w) * cs
+        ymax = g.yllcorner + (g.nrows - gr0) * cs
+        ymin = ymax - h * cs
+        # lattice density from the batch's largest tile span (a denser
+        # lattice on smaller tiles only over-covers, which is harmless);
+        # the lattice runs from -pad to span+pad on each axis
+        span = float(max(w.max(), h.max())) * cs
+        S, pad = _lattice_samples(span, level)
+        f = np.linspace(0.0, 1.0, S)
+        lo_x = xmin - pad
+        ext_x = (w * cs) + 2.0 * pad
+        hi_y = ymax + pad
+        ext_y = (h * cs) + 2.0 * pad
+        xs = (lo_x[:, None] + ext_x[:, None] * f[None, :])[:, :, None]
+        ys = (hi_y[:, None] - ext_y[:, None] * f[None, :])[:, None, :]
+        X = np.broadcast_to(xs, (n, S, S)).ravel()
+        Y = np.broadcast_to(ys, (n, S, S)).ravel()
+        lon, lat = bng_tmerc.inverse(X, Y)
+        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level).view(np.int64)
+        tile_of = np.repeat(np.arange(n, dtype=np.int64), S * S)
+        key = np.stack([tile_of, cell], axis=1)
+        uniq = np.unique(key, axis=0)  # per-tile cell dedupe
+        ti, cu = uniq[:, 0], uniq[:, 1]
+        return pa.table(
+            {
+                "cell": pa.array(cu, pa.int64()),
+                "image_id": pa.array(ids[ti], pa.string()),
+                "xmin": pa.array(xmin[ti]),
+                "xmax": pa.array(xmax[ti]),
+                "ymin": pa.array(ymin[ti]),
+                "ymax": pa.array(ymax[ti]),
+            }
+        )
+
+    def gauge_cells(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        lon, lat = bng_tmerc.inverse(x, y)
+        cell = s2.parent(s2.lnglat_to_leaf(lon, lat), level).view(np.int64)
+        return pa.table(
+            {
+                "gcell": pa.array(cell, pa.int64()),
+                "gx": pa.array(x),
+                "gy": pa.array(y),
+            }
+        )
+
+    meta = ts.ds.select_columns(["image_id", "gr0", "gc0", "h", "w"])
+    tiles_k = meta.map_batches(tile_cells, batch_format="pyarrow")
+    gauges_k = gauges.select_columns(["x", "y"]).map_batches(
+        gauge_cells, batch_format="pyarrow"
+    )
+    joined = tiles_k.join(
+        gauges_k, "inner", num_partitions, on=("cell",), right_on=("gcell",)
+    )
+
+    def bbox_count(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["gx"] >= df["xmin"])
+            & (df["gx"] < df["xmax"])
+            & (df["gy"] >= df["ymin"])
+            & (df["gy"] < df["ymax"])
+        )
+        kept = df[m]
+        return kept.groupby("image_id", as_index=False).agg(
+            n_gauges=("gx", "size")
+        )
+
+    part = joined.map_batches(bbox_count, batch_format="pandas")
+    return part.groupby("image_id").aggregate(
+        Sum("n_gauges", alias_name="n_gauges")
+    )

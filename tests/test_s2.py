@@ -154,3 +154,23 @@ def test_s2_gauge_join_partitions_every_gauge(ray_session):
     """).df()
     assert list(got["image_id"]) == list(want["image_id"])
     assert list(got["n_gauges"]) == list(want["n_gauges"])
+
+
+def test_s2_gauge_join_large_tiles_complete(ray_session):
+    """Tiles LARGER than the level-14 cell edge (the bench geometry that
+    exposed the unpadded-lattice under-cover): every gauge must still
+    land in exactly one tile — completeness of the padded adaptive
+    lattice, not just the small-tile case the sf fixtures exercise."""
+    import ray.data
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.spatial_join import s2_gauge_join
+
+    scheme = fixtures.make_scheme(4, 4, tile_h=256, tile_w=256, ragged=False)
+    ts = from_arrow_tiles(fixtures.tiles_table(scheme), scheme)
+    n = 20_000
+    gauges = ray.data.from_arrow(fixtures.gauges_large_table(scheme, n))
+    got = s2_gauge_join(ts, gauges).to_pandas()
+    assert got["n_gauges"].sum() == n
+    assert len(got) == 16  # every tile holds gauges (Halton is space-filling)
