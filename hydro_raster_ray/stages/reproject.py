@@ -347,8 +347,77 @@ class AlbersEqualArea:
         return np.rad2deg(lam), np.rad2deg(phi)
 
 
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Ellipsoidal polar stereographic, standard-parallel form (Snyder
+    1987 §21 eqs 21-33..21-41 / EPSG "variant B"; public literature),
+    pure numpy — the polar-region family (NSIDC sea-ice and Antarctic
+    grids, EPSG:3413/3031-style CRSs; projection math only, no datum
+    shift, same scoping as the TM/conic families). ``lat_ts`` < 0 selects
+    the south aspect (internally the north formulas at mirrored latitude
+    with the northing sign flipped — the variant-B axis convention:
+    north aspect N decreases toward ``lon0``, south aspect N increases
+    toward ``lon0``). Conformal, so validated like the conic families by
+    invariants: exact round-trips, unit scale on the standard parallel,
+    isotropic local scale, pole → grid origin. Fixed-count inverse
+    iteration for batch invariance."""
+
+    a: float = 6378137.0  # WGS84 semi-major
+    b: float = 6356752.314245179  # WGS84 semi-minor
+    lat_ts: float = 70.0  # standard parallel (deg; sign picks the aspect)
+    lon0: float = -45.0
+    e0: float = 0.0
+    n0: float = 0.0
+    iters: int = 12
+
+    def _e(self) -> float:
+        return float(np.sqrt(1.0 - (self.b / self.a) ** 2))
+
+    def _t(self, phi):
+        e = self._e()
+        s = np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    def _consts(self):
+        sg = -1.0 if self.lat_ts < 0 else 1.0
+        pc = np.deg2rad(sg * self.lat_ts)  # positive in both aspects
+        e = self._e()
+        mc = np.cos(pc) / np.sqrt(1.0 - (e * np.sin(pc)) ** 2)
+        return sg, float(mc), float(self._t(pc))
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        sg, mc, tc = self._consts()
+        rho = self.a * mc * self._t(sg * phi) / tc
+        th = lam - np.deg2rad(self.lon0)
+        return self.e0 + rho * np.sin(th), self.n0 - sg * rho * np.cos(th)
+
+    def inverse(self, E, N):
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        sg, mc, tc = self._consts()
+        e = self._e()
+        dx = E - self.e0
+        dy = sg * (self.n0 - N)
+        rho = np.sqrt(dx**2 + dy**2)
+        t = rho * tc / (self.a * mc)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(self.iters):  # fixed count: batch-invariant
+            s = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+            )
+        lam = np.arctan2(dx, dy) + np.deg2rad(self.lon0)
+        return np.rad2deg(lam), np.rad2deg(sg * phi)
+
+
 lambert93 = LambertConformalConic()  # EPSG:2154 projection constants
 conus_albers = AlbersEqualArea()  # EPSG:5070 projection constants
+nsidc_north = PolarStereographic()  # EPSG:3413 projection constants
+antarctic_south = PolarStereographic(lat_ts=-71.0, lon0=0.0)  # EPSG:3031
 
 
 def compose(outer, inner):
@@ -392,11 +461,16 @@ def epsg_transform(code: int):
         return lambert93.forward, lambert93.inverse
     if code == 5070:
         return conus_albers.forward, conus_albers.inverse
+    if code == 3413:
+        return nsidc_north.forward, nsidc_north.inverse
+    if code == 3031:
+        return antarctic_south.forward, antarctic_south.inverse
     raise ValueError(
         f"EPSG:{code} is outside the supported projection families "
         "(4326, 3857, 27700, UTM 326xx/327xx, 2154 Lambert conformal "
-        "conic, 5070 Albers equal-area); datum-shifted CRSs need a "
-        "Helmert step composed in front (out of scope per SURVEY §2.4)"
+        "conic, 5070 Albers equal-area, 3413/3031 polar stereographic); "
+        "datum-shifted CRSs need a Helmert step composed in front "
+        "(out of scope per SURVEY §2.4)"
     )
 
 

@@ -141,3 +141,84 @@ def test_custom_parameterizations():
     E, N = alb.forward(145.0, -30.0)
     lo, la = alb.inverse(E, N)
     assert abs(lo - 145.0) < 1e-10 and abs(la + 30.0) < 1e-10
+
+
+def test_polar_stereo_roundtrip_exact_both_aspects():
+    from hydro_raster_ray.stages.reproject import (
+        antarctic_south,
+        nsidc_north,
+    )
+
+    lon, lat = np.meshgrid(np.linspace(-180, 180, 19), np.linspace(55, 89, 9))
+    E, N = nsidc_north.forward(lon, lat)
+    lo2, la2 = nsidc_north.inverse(E, N)
+    # longitudes wrap at ±180: compare modulo 360
+    np.testing.assert_allclose((lo2 - lon + 180) % 360 - 180, 0, atol=1e-9)
+    np.testing.assert_allclose(la2, lat, atol=1e-10)
+    E, N = antarctic_south.forward(lon, -lat)
+    lo2, la2 = antarctic_south.inverse(E, N)
+    np.testing.assert_allclose((lo2 - lon + 180) % 360 - 180, 0, atol=1e-9)
+    np.testing.assert_allclose(la2, -lat, atol=1e-10)
+
+
+def test_polar_stereo_unit_scale_on_standard_parallel():
+    from hydro_raster_ray.stages.reproject import antarctic_south, nsidc_north
+
+    assert abs(_scale_along_parallel(nsidc_north, 70.0, 10.0) - 1.0) < 1e-8
+    assert abs(_scale_along_parallel(antarctic_south, -71.0, 10.0) - 1.0) < 1e-8
+    # stereographic: scale > 1 equatorward of the standard parallel,
+    # < 1 poleward
+    assert _scale_along_parallel(nsidc_north, 60.0, 10.0) > 1.0
+    assert _scale_along_parallel(nsidc_north, 80.0, 10.0) < 1.0
+
+
+def test_polar_stereo_conformal_isotropy():
+    """Conformality: the local scale along a parallel equals the local
+    scale along a meridian at random points (isotropic Jacobian)."""
+    from hydro_raster_ray.stages.reproject import nsidc_north as p
+
+    a, e2 = p.a, 1.0 - (p.b / p.a) ** 2
+    rng = np.random.default_rng(3)
+    dd = 1e-7
+    for lo, la in zip(rng.uniform(-180, 180, 10), rng.uniform(56, 88, 10)):
+        phi = np.deg2rad(la)
+        x0, y0 = p.forward(lo, la)
+        xl, yl = p.forward(lo + np.rad2deg(dd), la)
+        xp, yp = p.forward(lo, la + np.rad2deg(dd))
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        rho_m = a * (1 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
+        k_par = np.hypot(xl - x0, yl - y0) / (nu * np.cos(phi) * dd)
+        k_mer = np.hypot(xp - x0, yp - y0) / (rho_m * dd)
+        assert abs(k_par / k_mer - 1.0) < 1e-5
+
+
+def test_polar_stereo_pole_and_axes():
+    from hydro_raster_ray.stages.reproject import antarctic_south, nsidc_north
+
+    E, N = nsidc_north.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(E[0] - nsidc_north.e0) < 1e-6 and abs(N[0] - nsidc_north.n0) < 1e-6
+    E, N = antarctic_south.forward(np.array([0.0]), np.array([-90.0]))
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    # variant-B axes: along lon0, north aspect N decreases away from the
+    # pole, south aspect N increases (EPSG:3031 grid-north = lon0)
+    _, Nn = nsidc_north.forward(np.array([nsidc_north.lon0]), np.array([80.0]))
+    assert Nn[0] < 0
+    _, Ns = antarctic_south.forward(np.array([0.0]), np.array([-80.0]))
+    assert Ns[0] > 0
+
+
+def test_polar_stereo_epsg_dispatch_and_batch_invariance():
+    from hydro_raster_ray.stages.reproject import epsg_transform
+
+    f, i = epsg_transform(3413)
+    lo, la = i(*f(np.array([-45.0]), np.array([75.0])))
+    assert abs(lo[0] + 45.0) < 1e-9 and abs(la[0] - 75.0) < 1e-9
+    f, i = epsg_transform(3031)
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-180, 180, 61)
+    lats = rng.uniform(-89, -60, 61)
+    Ev, Nv = f(lons, lats)
+    E1, N1 = f(lons[:23], lats[:23])
+    E2, N2 = f(lons[23:], lats[23:])
+    np.testing.assert_array_equal(np.concatenate([E1, E2]), Ev)
+    np.testing.assert_array_equal(np.concatenate([N1, N2]), Nv)
