@@ -163,6 +163,11 @@ SELECT CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
        CAST(round(avg(z), 6) AS DOUBLE) mean_z
 FROM {_PX}
 """,
+        "grid_percentiles": f"""
+SELECT quantile_disc(z, 0.1) p10, quantile_disc(z, 0.5) p50,
+       quantile_disc(z, 0.9) p90
+FROM {_PX}
+""",
         "rect_clip_stats": f"""
 WITH win AS (SELECT CAST(round((340261.0 - 340000.0)/5.0) AS BIGINT) c0,
                     CAST(round((341028.0 - 340000.0)/5.0 - 1) AS BIGINT) c1,

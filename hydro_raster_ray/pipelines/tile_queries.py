@@ -814,6 +814,22 @@ def q_s2_footprint_cover(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_grid_percentiles(sf_dir: str):
+    """Exact corpus-wide order statistics (p10/p50/p90) via the
+    multi-rank distributed histogram refinement
+    (``stats.exact_quantiles`` — one corpus pass per refinement level for
+    ALL quantiles, leaves pulled and selected exactly). DuckDB
+    ``quantile_disc`` semantics: the result is an actual data element at
+    1-based rank ``ceil(p·n)``, so the oracle matches bit-for-bit."""
+    from ..stages.stats import exact_quantiles
+
+    ts, _ = tiles_for(sf_dir)
+    q = exact_quantiles(ts, ps=(0.1, 0.5, 0.9))
+    return pa.table(
+        {"p10": [q[0.1]], "p50": [q[0.5]], "p90": [q[0.9]]}
+    )
+
+
 def q_s2_gauge_join(sf_dir: str):
     """S2-bucketed spatial join — the north-star metric's join shape end
     to end: gauges and tile footprints are keyed by their level-14 S2
@@ -843,6 +859,7 @@ def q_s2_gauge_join(sf_dir: str):
 TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
     "s2_gauge_join": q_s2_gauge_join,
+    "grid_percentiles": q_grid_percentiles,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
     "tile_png16_stats": q_tile_png16_stats,

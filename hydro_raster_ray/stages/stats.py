@@ -185,6 +185,109 @@ def exact_median(ts: TileSet, bins: int = 1024, leaf_size: int = 200_000) -> flo
     raise RuntimeError("median refinement failed to converge")
 
 
+def exact_quantiles(
+    ts: TileSet,
+    ps=(0.1, 0.5, 0.9),
+    bins: int = 1024,
+    leaf_size: int = 200_000,
+) -> dict:
+    """Exact NaN-ignoring order statistics at quantiles ``ps`` — DuckDB
+    ``quantile_disc`` semantics (1-based rank ``ceil(p·n)``, an actual
+    data element, no interpolation) so the SQL oracle matches
+    bit-for-bit.
+
+    Same distributed histogram refinement as ``exact_median``, but
+    multi-rank: each refinement LEVEL is ONE corpus pass that histograms
+    every unresolved quantile's interval simultaneously (per-batch tiny
+    partials → driver merge), so q quantiles cost ~3 passes total, not
+    3q. Leaves (≤ ``leaf_size`` values) are pulled and selected exactly.
+    """
+    st = global_stats(ts)
+    n = int(st["n_valid"])
+    if n == 0:
+        return {p: float("nan") for p in ps}
+    lo0, hi0 = float(st["min"]), float(st["max"])
+    grid = ts.grid
+    # 0-based target rank per quantile (ceil(p·n) − 1, clamped)
+    ks = {p: min(max(int(np.ceil(p * n)) - 1, 0), n - 1) for p in ps}
+    # per-quantile refinement state: [lo, hi, below, remaining]
+    state = {p: [lo0, hi0, 0, n] for p in ps}
+    out: dict = {}
+    if lo0 == hi0:
+        return {p: lo0 for p in ps}
+
+    def hist_pass(intervals):
+        m = len(intervals)
+        edges_l = [np.linspace(lo, hi, bins + 1) for lo, hi in intervals]
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            cnts = np.zeros((m, bins + 1), dtype=np.int64)
+            for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
+                v = arr[np.isfinite(arr)]
+                for j, (lo, hi) in enumerate(intervals):
+                    w = v[(v >= lo) & (v <= hi)]
+                    idx = np.searchsorted(edges_l[j], w, side="right") - 1
+                    np.add.at(cnts[j], np.clip(idx, 0, bins), 1)
+            return pa.table({"counts": [cnts.ravel().tolist()]})
+
+        total = np.zeros((m, bins + 1), dtype=np.int64)
+        for b in ts.ds.map_batches(
+            per_batch, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for row in b["counts"].to_pylist():
+                total += np.asarray(row, dtype=np.int64).reshape(m, bins + 1)
+        return edges_l, total
+
+    def collect_leaf(lo, hi):
+        def per_batch(batch: pa.Table) -> pa.Table:
+            vals = []
+            for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
+                v = arr[np.isfinite(arr)]
+                vals.append(v[(v >= lo) & (v <= hi)].astype(np.float64))
+            v = np.concatenate(vals) if vals else np.empty(0)
+            return pa.table({"v": pa.array(v)})
+
+        chunks = [
+            b["v"].to_numpy(zero_copy_only=False)
+            for b in ts.ds.map_batches(
+                per_batch, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+        ]
+        return np.sort(np.concatenate(chunks)) if chunks else np.empty(0)
+
+    for _ in range(64):
+        # resolve leaves (small intervals) exactly
+        for p in list(state):
+            if p in out:
+                continue
+            lo, hi, below, remaining = state[p]
+            if remaining <= leaf_size:
+                vals = collect_leaf(lo, hi)
+                out[p] = float(vals[ks[p] - below])
+        active = [p for p in state if p not in out]
+        if not active:
+            return {p: out[p] for p in ps}
+        intervals = [tuple(state[p][:2]) for p in active]
+        edges_l, totals = hist_pass(intervals)
+        for j, p in enumerate(active):
+            lo, hi, below, _rem = state[p]
+            counts = totals[j]
+            cum = below + np.cumsum(counts)
+            bkt = int(np.searchsorted(cum, ks[p] + 1, side="left"))
+            new_lo = float(edges_l[j][bkt])
+            new_hi = float(edges_l[j][bkt + 1]) if bkt < bins else hi
+            new_below = below + int(counts[:bkt].sum())
+            if new_lo == lo and new_hi == hi:
+                # ties: the interval no longer narrows — finish exactly
+                vals = collect_leaf(lo, hi)
+                out[p] = float(vals[ks[p] - below])
+            else:
+                state[p] = [new_lo, new_hi, new_below, int(counts[bkt])]
+        if all(p in out for p in state):
+            return {p: out[p] for p in ps}
+    raise RuntimeError("quantile refinement failed to converge")
+
+
 def _index_partials(fidx: np.ndarray, v: np.ndarray, nf: int):
     """Vectorized per-feature-index partials over one tile's masked pixels:
     (count, sum, min, max) arrays of length ``nf``. Sums accumulate in

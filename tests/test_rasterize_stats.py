@@ -145,3 +145,48 @@ def test_classify_matches_oracle(tileset):
     want = oracle.classify(mosaic, list(fixtures.CLASSIFY_BREAKS))
     got = to_array(stats.classify(ts, fixtures.CLASSIFY_BREAKS))
     np.testing.assert_array_equal(got, want)
+
+
+def _disc_rank(vals: np.ndarray, p: float) -> float:
+    """DuckDB quantile_disc: the element at 1-based rank ceil(p*n)."""
+    v = np.sort(vals[np.isfinite(vals)])
+    k = min(max(int(np.ceil(p * v.size)) - 1, 0), v.size - 1)
+    return float(v[k])
+
+
+def test_exact_quantiles(tileset):
+    ts, scheme = tileset
+    mosaic = _mosaic(scheme).astype(np.float32).astype(np.float64)
+    got = stats.exact_quantiles(ts, ps=(0.1, 0.5, 0.9))
+    for p in (0.1, 0.5, 0.9):
+        assert got[p] == _disc_rank(mosaic.ravel(), p), p
+
+
+def test_exact_quantiles_forced_refinement(tileset):
+    """Tiny bins + leaf force several multi-interval refinement levels
+    (including the ties early-exit path) and divergent per-quantile
+    descent; extreme quantiles hit the clamp arithmetic."""
+    ts, scheme = tileset
+    mosaic = _mosaic(scheme).astype(np.float32).astype(np.float64)
+    ps = (0.001, 0.25, 0.75, 0.999)
+    got = stats.exact_quantiles(ts, ps=ps, bins=4, leaf_size=40)
+    for p in ps:
+        assert got[p] == _disc_rank(mosaic.ravel(), p), p
+
+
+def test_exact_quantiles_duckdb_parity(tileset):
+    """Pin the rank convention against DuckDB itself (quantile_disc over
+    the same finite values) rather than a re-derivation."""
+    import duckdb
+
+    ts, scheme = tileset
+    mosaic = _mosaic(scheme).astype(np.float32).astype(np.float64)
+    v = mosaic.ravel()
+    v = v[np.isfinite(v)]
+    got = stats.exact_quantiles(ts, ps=(0.1, 0.5, 0.9), bins=16, leaf_size=100)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"z": v}))
+    want = con.execute(
+        "SELECT quantile_disc(z,0.1), quantile_disc(z,0.5), quantile_disc(z,0.9) FROM t"
+    ).fetchone()
+    assert (got[0.1], got[0.5], got[0.9]) == want
