@@ -560,6 +560,14 @@ FROM read_parquet('{F}/witness_hillshade.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_png16.parquet')
 """,
+        "focal_mean_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_focal_mean.parquet')
+""",
+        "focal_range_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_focal_range.parquet')
+""",
         "slope_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_slope.parquet')

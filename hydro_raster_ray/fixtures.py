@@ -1109,6 +1109,30 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_focal_witness(tag: str, out: str) -> None:
+    """Focal-statistics witness parquets (own marker → in-place upgrade):
+    whole-array ``oracle.focal`` (3×3 mean / range) then the standard
+    per-tile stats."""
+    done = os.path.join(out, "_FOCAL_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from . import oracle
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.focal(full, "mean"))),
+        os.path.join(out, "witness_focal_mean.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.focal(full, "range"))),
+        os.path.join(out, "witness_focal_range.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_flowdir_witness(tag: str, out: str) -> None:
     """D8 flow-direction + pit-fill + flow-accumulation witnesses (own
     marker → in-place upgrade): whole-array ``oracle.flow_dir_d8`` /
@@ -1454,6 +1478,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_salt_witness(tag, out)
     _ensure_terrain_witnesses(tag, out)
     _ensure_png16_witness(tag, out)
+    _ensure_focal_witness(tag, out)
     _ensure_flowdir_witness(tag, out)
     _ensure_basin_witness(tag, out)
     _ensure_depression_witness(tag, out)

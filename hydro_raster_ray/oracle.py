@@ -784,3 +784,45 @@ def flow_accumulation(array: np.ndarray) -> np.ndarray:
         dr, dc = off[c]
         af[idx + dr * w + dc] += af[idx]
     return af.reshape(h, w)
+
+
+def focal(array: np.ndarray, stat: str = "mean") -> np.ndarray:
+    """3×3 NaN-aware focal statistic (the GIS "focal statistics" family;
+    whole-array single-process witness for ``stages/focal.py``).
+
+    Window = the cell and its 8 neighbors, clipped at the grid edge
+    (pad = NaN). A cell's output is NaN only when its whole window is
+    NaN — focal statistics FILL 1-px holes (unlike the derivative
+    family, where holes propagate). Arithmetic is float64 with a FIXED
+    row-major shift order (nine sequential adds), so the result is
+    bit-deterministic and the tiled engine can reproduce it exactly.
+    ``stat``: mean | min | max | range.
+    """
+    a = np.asarray(array, dtype=np.float64)
+    h, w = a.shape
+    p = np.full((h + 2, w + 2), np.nan)
+    p[1:-1, 1:-1] = a
+    acc = np.zeros((h, w))
+    cnt = np.zeros((h, w), dtype=np.int64)
+    mx = np.full((h, w), -np.inf)
+    mn = np.full((h, w), np.inf)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            v = p[dr : dr + h, dc : dc + w]
+            ok = np.isfinite(v)
+            acc = acc + np.where(ok, v, 0.0)
+            cnt = cnt + ok
+            mx = np.where(ok & (v > mx), v, mx)
+            mn = np.where(ok & (v < mn), v, mn)
+    hole = cnt == 0
+    if stat == "mean":
+        out = np.where(hole, np.nan, acc / np.maximum(cnt, 1))
+    elif stat == "min":
+        out = np.where(hole, np.nan, mn)
+    elif stat == "max":
+        out = np.where(hole, np.nan, mx)
+    elif stat == "range":
+        out = np.where(hole, np.nan, mx - mn)
+    else:  # pragma: no cover - guarded by the stage
+        raise ValueError(f"unknown focal stat {stat!r}")
+    return out

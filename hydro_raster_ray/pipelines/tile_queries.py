@@ -814,6 +814,25 @@ def q_s2_footprint_cover(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_focal_mean_stats(sf_dir: str):
+    """3×3 NaN-aware focal mean (GIS focal statistics) on the shared halo
+    machinery — per-tile stats vs the whole-array witness
+    ``oracle.focal(·, 'mean')``."""
+    from ..stages.focal import focal_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(focal_stats(ts, "mean"))
+
+
+def q_focal_range_stats(sf_dir: str):
+    """3×3 focal range (max − min; the order-free minmax path) — per-tile
+    stats vs ``oracle.focal(·, 'range')``."""
+    from ..stages.focal import focal_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(focal_stats(ts, "range"))
+
+
 def q_grid_percentiles(sf_dir: str):
     """Exact corpus-wide order statistics (p10/p50/p90) via the
     multi-rank distributed histogram refinement
@@ -860,6 +879,8 @@ TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
     "s2_gauge_join": q_s2_gauge_join,
     "grid_percentiles": q_grid_percentiles,
+    "focal_mean_stats": q_focal_mean_stats,
+    "focal_range_stats": q_focal_range_stats,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
     "tile_png16_stats": q_tile_png16_stats,
