@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_repetition"] = ops.repetition_stats
     q["doc_stratified_sample"] = ops.stratified_sample
     q["doc_pack_chunks"] = ops.pack_chunks
+    q["doc_rarity"] = ops.rarity_scores
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -341,6 +342,20 @@ SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_tokens AS BIGINT) n_tokens,
        CAST((cum0 + greatest(n_tokens, 1) - 1) // 256 - cum0 // 256 + 1
             AS BIGINT) n_chunks
 FROM c
+""",
+        "doc_rarity": """
+WITH toks AS (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\\S+'))
+                               AS tok
+                    FROM documents)),
+ dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM toks GROUP BY tok)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(1000000 // d.df) AS BIGINT) AS rarity_score
+FROM toks t JOIN dfreq d USING (tok)
+GROUP BY t.doc_id
 """,
         "doc_pii_scrub": f"""
 WITH inj AS (

@@ -37,6 +37,7 @@ __all__ = [
     "ngram_dup_stats",
     "repetition_stats",
     "pack_chunks",
+    "rarity_scores",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1081,3 +1082,94 @@ def pack_chunks(sf_dir: str, seq_len: int = 256) -> "ray.data.Dataset":
         )
 
     return tok.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def rarity_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-level document-frequency (TF-IDF-shaped) rarity scoring: per
+    document, the sum over its DISTINCT tokens of ``1_000_000 // df(tok)``
+    where ``df`` is the token's document frequency across the corpus — the
+    two-pass df-then-score join every TF-IDF / rare-token quality filter
+    needs. Pure integer arithmetic (rational idf surrogate, no ``ln``), so
+    the DuckDB oracle hash-matches with zero float hazards.
+
+    Distributed shape:
+
+    1. pass A: per-batch DISTINCT (doc, token) counts (documents never
+       span batches, so within-batch distinct-doc counts are exact
+       partials) → one ``groupby(tok).sum`` whose output is VOCABULARY-
+       sized, not corpus-sized — the classic partial/combiner df build;
+    2. the df table materializes on the driver (bounded by |vocab| ≪
+       corpus; for open-vocabulary corpora swap this broadcast for a hash
+       join on ``tok`` — same pass-A output feeds it) and broadcasts once
+       via ``ray.put`` as a sorted token array + df array;
+    3. pass B: per-batch distinct tokens per doc → ``searchsorted`` into
+       the broadcast vocab → integer score ``bincount``-summed per doc.
+
+    Documents with zero tokens are omitted (the SQL unnest+GROUP BY drops
+    them identically). Columns: doc_id, n_distinct, rarity_score."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def _distinct_pairs(df: pd.DataFrame):
+        toks = df["text"].str.lower().str.split()
+        n = len(df)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if not flat.size:
+            return None
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        pairs = np.unique(doc_of * np.int64(uniq.size) + inv)
+        return uniq, pairs // uniq.size, pairs % uniq.size  # vocab, doc, tok
+
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        got = _distinct_pairs(df)
+        if got is None:
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype=object),
+                 "nd": pd.Series([], dtype=np.int64)}
+            )
+        uniq, _, tok_of = got
+        return pd.DataFrame(
+            {"tok": uniq,
+             "nd": np.bincount(tok_of, minlength=uniq.size).astype(np.int64)}
+        )
+
+    vocab = (
+        ds.map_batches(partial_df, batch_format="pandas", batch_size=512)
+        .groupby("tok")
+        .aggregate(Sum("nd", alias_name="df"))
+        .to_pandas()  # |vocab| rows — bounded, see docstring
+        .sort_values("tok")
+    )
+    vref = ray.put(
+        (vocab["tok"].to_numpy(dtype=object), vocab["df"].to_numpy(np.int64))
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        got = _distinct_pairs(df)
+        if got is None:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_distinct": pd.Series([], dtype=np.int64),
+                 "rarity_score": pd.Series([], dtype=np.int64)}
+            )
+        uniq, doc_of, tok_of = got
+        vtoks, vdf = _ray.get(vref)
+        per_tok = 1_000_000 // vdf[np.searchsorted(vtoks, uniq)]
+        n = len(df)
+        n_dist = np.bincount(doc_of, minlength=n)
+        total = np.bincount(
+            doc_of, weights=per_tok[tok_of].astype(np.float64), minlength=n
+        ).astype(np.int64)  # exact: per-doc sums < 2^53
+        keep = n_dist > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_distinct": n_dist[keep],
+                "rarity_score": total[keep],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=512)

@@ -598,3 +598,45 @@ def test_emb_quantize_properties(tmp_path):
     step = safe / 127.0
     assert (np.abs(m - recon) <= step[:, None] / 2 + 1e-12).all()
     np.testing.assert_array_equal(got["sum_q"].to_numpy(), q.sum(axis=1))
+
+
+def test_rarity_scores_hand_cases(tmp_path):
+    """doc_rarity vs a per-doc dict reference: df counted over DISTINCT
+    (doc, token) pairs, score = sum of 1_000_000 // df over the doc's
+    distinct tokens; repeated tokens inside a doc count once; empty docs
+    are dropped (SQL unnest parity)."""
+    from collections import Counter
+
+    from hydro_raster_ray.text import ops
+
+    docs = [
+        "apple banana apple cherry",     # 'apple' twice: counts once
+        "banana durian",
+        "Apple BANANA eggplant",         # case folding joins df('apple')=2
+        "",                              # zero tokens: omitted from output
+        "unique",                        # df=1 token: max per-token score
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.rarity_scores(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = Counter()
+    per_doc = [set(d.lower().split()) for d in docs]
+    for s in per_doc:
+        df.update(s)
+    assert df["apple"] == 2 and df["banana"] == 3 and df["unique"] == 1
+    exp_ids = [i for i, s in enumerate(per_doc) if s]
+    assert got["doc_id"].tolist() == exp_ids
+    for _, row in got.iterrows():
+        s = per_doc[int(row["doc_id"])]
+        assert row["n_distinct"] == len(s)
+        assert row["rarity_score"] == sum(1_000_000 // df[t] for t in s)
