@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
     q["segment_orders"] = relational.segment_orders
+    q["orders_running_total"] = relational.orders_running_total
+    q["events_top_users"] = relational.events_top_users_per_type
     return q
 
 
@@ -485,6 +487,23 @@ SELECT p.p_brand,
        CAST(count(*) AS BIGINT) n
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
+""",
+        "orders_running_total": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS run_cents
+FROM orders
+""",
+        "events_top_users": """
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events, CAST(rank AS BIGINT) AS rank
+FROM (SELECT event_type, user_id, count(*) AS n_events,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rank
+      FROM events GROUP BY event_type, user_id)
+WHERE rank <= 3
 """,
         "order_priority_revenue": """
 SELECT o.o_orderpriority,

@@ -22,6 +22,8 @@ __all__ = [
     "events_sliding",
     "events_sessions",
     "order_priority_revenue",
+    "orders_running_total",
+    "events_top_users_per_type",
 ]
 
 
@@ -422,3 +424,87 @@ def events_error_range_join(sf_dir: str, window_s: int = 60) -> "ray.data.Datase
     # clicks appear in exactly one band ⇒ one output row per click, and
     # every error replica lands in a distinct band ⇒ no double counting
     return banded.groupby("bucket").map_groups(count_band, batch_format="pandas")
+
+
+def orders_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer running order balance: for every order, the cumulative
+    sum of ``o_totalprice`` over that customer's orders in
+    ``(o_orderdate, o_orderkey)`` order — the windowed-prefix-sum shape
+    (SQL ``SUM() OVER (PARTITION BY ... ORDER BY ...)``) every ledger /
+    feature-backfill pipeline needs.
+
+    Distributed as ``groupby(o_custkey).map_groups``: one hash shuffle
+    co-locates each customer's orders, then an in-group sort + cumsum —
+    embarrassingly parallel across customers (partitioning assumption: one
+    customer's order history fits a task; TPC-H-shaped data keeps groups
+    tiny and the key space wide, so no salting needed). Prices are summed
+    as exact integer CENTS (``round(price·100)``) so the running total is
+    order-independent integer math and hash-matches the SQL window oracle
+    with zero float-accumulation hazards. Columns: o_orderkey, o_custkey,
+    run_cents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "run_cents": np.cumsum(cents),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+def events_top_users_per_type(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` users by event count per event type — the grouped-top-k
+    shape (leaderboards, per-class exemplar picks). Rank is
+    (count DESC, user_id ASC), deterministic because counts are exact
+    integers.
+
+    Distributed: per-batch partial (type, user) counts → one thin
+    ``groupby`` whose output is |types|·|users|-bounded (≪ events) → the
+    partial-top-k prune pattern (each block emits ≤ k·|types| candidate
+    rows, one single-block merge; no global sort). Columns: event_type,
+    user_id, n_events, rank."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "user_id"], as_index=False).agg(
+            n=("user_id", "size")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "n_events", "user_id"],
+            ascending=[True, False, True],
+        ).reset_index(drop=True)
+        rank = df.groupby("event_type").cumcount() + 1
+        out = df[rank <= k].copy()
+        out["rank"] = rank[rank <= k].astype(np.int64)
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["event_type", "user_id", "n_events", "rank"]]
+
+    cand = counts.map_batches(prune, batch_format="pandas", batch_size=None)
+    # ≤ k·|types| rows per upstream block: single-block exact merge
+    return cand.repartition(1).map_batches(
+        prune, batch_format="pandas", batch_size=None
+    )

@@ -1,0 +1,92 @@
+"""Windowed prefix-sum and grouped top-k semantics: date-tie ordering in
+the running total, count-tie ranking in top-users — hand-built tables vs
+the kernels."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_running_total_hand_cases(tmp_path):
+    from hydro_raster_ray.pipelines.relational import orders_running_total
+
+    d = pd.Timestamp("2024-03-01")
+    rows = [
+        # cust 7: two orders on the SAME date — orderkey breaks the tie,
+        # so key 10 (placed "later" in key order) must include key 2
+        (2, 7, d, 10.01),
+        (10, 7, d, 5.99),
+        (4, 7, d + pd.Timedelta(days=1), 0.01),
+        # cust 8: single order; independent of cust 7
+        (3, 8, d, 100.10),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[2] for r in rows],
+                                        pa.timestamp("us")),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(tmp_path, "orders.parquet"),
+    )
+    got = (
+        orders_running_total(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    by = dict(zip(got["o_orderkey"], got["run_cents"]))
+    assert by[2] == 1001
+    assert by[10] == 1001 + 599          # same-date tie: key order
+    assert by[4] == 1001 + 599 + 1       # next day accumulates
+    assert by[3] == 10010                # other customer isolated
+    assert got["run_cents"].dtype == np.int64
+
+
+def test_top_users_hand_cases(tmp_path):
+    from hydro_raster_ray.pipelines.relational import events_top_users_per_type
+
+    # type A: counts 3,2,2,1 with a tie at 2 — user_id ASC breaks it;
+    # type B: a single user
+    rows = (
+        [("a", 5)] * 3 + [("a", 9)] * 2 + [("a", 4)] * 2 + [("a", 99)]
+        + [("b", 1)] * 2
+    )
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([pd.Timestamp("2024-01-01")] * n,
+                               pa.timestamp("us")),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = (
+        events_top_users_per_type(str(tmp_path), k=3)
+        .to_pandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    a = got[got["event_type"] == "a"]
+    assert list(a["user_id"]) == [5, 4, 9]       # tie at n=2: 4 before 9
+    assert list(a["n_events"]) == [3, 2, 2]
+    assert list(a["rank"]) == [1, 2, 3]
+    b = got[got["event_type"] == "b"]
+    assert list(b["user_id"]) == [1] and list(b["n_events"]) == [2]
+    assert len(got) == 4                          # user 99 pruned by k=3
