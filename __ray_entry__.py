@@ -602,6 +602,10 @@ FROM read_parquet('{F}/witness_focal_mean.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_focal_range.parquet')
 """,
+        "focal_median_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_focal_median.parquet')
+""",
         "slope_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_slope.parquet')

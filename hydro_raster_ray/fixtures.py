@@ -1111,9 +1111,9 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
 
 def _ensure_focal_witness(tag: str, out: str) -> None:
     """Focal-statistics witness parquets (own marker → in-place upgrade):
-    whole-array ``oracle.focal`` (3×3 mean / range) then the standard
-    per-tile stats."""
-    done = os.path.join(out, "_FOCAL_WITNESS_V1")
+    whole-array ``oracle.focal`` (3×3 mean / range / median) then the
+    standard per-tile stats."""
+    done = os.path.join(out, "_FOCAL_WITNESS_V2")
     if os.path.exists(done):
         return
     from . import oracle
@@ -1121,14 +1121,11 @@ def _ensure_focal_witness(tag: str, out: str) -> None:
     tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
     scheme = make_scheme(tr_n, tc_n)
     full = assemble_truth(scheme)
-    _write_atomic(
-        _per_tile_stats_table(scheme, _f32(oracle.focal(full, "mean"))),
-        os.path.join(out, "witness_focal_mean.parquet"),
-    )
-    _write_atomic(
-        _per_tile_stats_table(scheme, _f32(oracle.focal(full, "range"))),
-        os.path.join(out, "witness_focal_range.parquet"),
-    )
+    for stat in ("mean", "range", "median"):
+        _write_atomic(
+            _per_tile_stats_table(scheme, _f32(oracle.focal(full, stat))),
+            os.path.join(out, f"witness_focal_{stat}.parquet"),
+        )
     with open(done, "w") as f:
         f.write("ok\n")
 

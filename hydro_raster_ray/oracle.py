@@ -796,12 +796,24 @@ def focal(array: np.ndarray, stat: str = "mean") -> np.ndarray:
     family, where holes propagate). Arithmetic is float64 with a FIXED
     row-major shift order (nine sequential adds), so the result is
     bit-deterministic and the tiled engine can reproduce it exactly.
-    ``stat``: mean | min | max | range.
+    ``stat``: mean | min | max | range | median (median is an order
+    statistic over ≤ 9 values — order-free and exact; an even finite
+    count averages the two middle values, one add + one halving, still
+    bit-deterministic).
     """
     a = np.asarray(array, dtype=np.float64)
     h, w = a.shape
     p = np.full((h + 2, w + 2), np.nan)
     p[1:-1, 1:-1] = a
+    if stat == "median":
+        import warnings
+
+        stack = np.stack(
+            [p[dr : dr + h, dc : dc + w] for dr in (0, 1, 2) for dc in (0, 1, 2)]
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN window
+            return np.nanmedian(stack, axis=0)
     acc = np.zeros((h, w))
     cnt = np.zeros((h, w), dtype=np.int64)
     mx = np.full((h, w), -np.inf)

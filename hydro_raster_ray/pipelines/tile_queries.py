@@ -833,6 +833,16 @@ def q_focal_range_stats(sf_dir: str):
     return per_tile_stats(focal_stats(ts, "range"))
 
 
+def q_focal_median_stats(sf_dir: str):
+    """3×3 NaN-aware focal median (the order-statistic smoother — the
+    despeckle filter of the focal family) — per-tile stats vs
+    ``oracle.focal(·, 'median')``."""
+    from ..stages.focal import focal_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(focal_stats(ts, "median"))
+
+
 def q_grid_percentiles(sf_dir: str):
     """Exact corpus-wide order statistics (p10/p50/p90) via the
     multi-rank distributed histogram refinement
@@ -881,6 +891,7 @@ TILE_QUERIES = {
     "grid_percentiles": q_grid_percentiles,
     "focal_mean_stats": q_focal_mean_stats,
     "focal_range_stats": q_focal_range_stats,
+    "focal_median_stats": q_focal_median_stats,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
     "tile_png16_stats": q_tile_png16_stats,

@@ -1,7 +1,7 @@
 """Focal (moving-window) statistics as distributed data transforms.
 
 The GIS "focal statistics" family — 3×3 NaN-aware mean / min / max /
-range — on the shared 1-px halo machinery (``stages/halo.py``, corners
+range / median — on the shared 1-px halo machinery (``stages/halo.py``, corners
 included: the window reads diagonals). Semantics defined by the
 whole-array witness ``oracle.focal``: window clipped at the grid edge,
 output NaN only where the whole window is NaN (focal stats FILL 1-px
@@ -26,7 +26,7 @@ from .terrain import _terrain
 
 __all__ = ["focal_stats"]
 
-_STATS = ("mean", "min", "max", "range")
+_STATS = ("mean", "min", "max", "range", "median")
 
 
 def focal_stats(
@@ -36,7 +36,7 @@ def focal_stats(
     halo_broadcast_budget: int = 256 << 20,
 ) -> TileSet:
     """3×3 focal ``stat`` raster (``raw-f32`` tiles). ``stat``: mean |
-    min | max | range. The window size is fixed at 3 because the halo
+    min | max | range | median. The window size is fixed at 3 because the halo
     exchange ships 1-px strips by design; larger windows would compose
     (k applications of 3×3 min/max = (2k+1)×(2k+1)) or need a deeper
     halo."""
@@ -48,6 +48,18 @@ def focal_stats(
         h, w = a.shape
         p = np.full((h + 2, w + 2), np.nan)
         p[1:-1, 1:-1] = a
+        if stat == "median":
+            # order statistic over ≤ 9 values: order-free, exact, and
+            # identical to the witness cell-for-cell (same window values)
+            import warnings
+
+            stack = np.stack(
+                [p[dr : dr + h, dc : dc + w]
+                 for dr in (0, 1, 2) for dc in (0, 1, 2)]
+            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                return np.nanmedian(stack, axis=0)
         acc = np.zeros((h, w))
         cnt = np.zeros((h, w), dtype=np.int64)
         mx = np.full((h, w), -np.inf)

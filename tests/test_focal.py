@@ -13,7 +13,7 @@ def _f32(a):
     return a.astype(np.float32).astype(np.float64)
 
 
-@pytest.mark.parametrize("stat", ["mean", "min", "max", "range"])
+@pytest.mark.parametrize("stat", ["mean", "min", "max", "range", "median"])
 def test_focal_matches_witness(ray_session, small_scheme, stat):
     ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
     full = fixtures.assemble_truth(small_scheme)
@@ -50,4 +50,25 @@ def test_focal_exchange_fallback_bit_matches(ray_session, small_scheme):
 def test_focal_rejects_unknown_stat(ray_session, small_scheme):
     ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
     with pytest.raises(ValueError, match="stat must be one of"):
-        focal_stats(ts, "median")
+        focal_stats(ts, "mode")
+
+
+def test_focal_median_hand_cases(ray_session):
+    """Median semantics: odd interior window picks the middle order
+    statistic, a clipped corner window (4 values) averages the two middle,
+    NaNs are dropped from the order statistic, all-NaN stays NaN."""
+    a = np.array(
+        [
+            [1.0, 9.0, 2.0],
+            [8.0, 3.0, 7.0],
+            [4.0, 6.0, 5.0],
+        ]
+    )
+    out = oracle.focal(a, "median")
+    assert out[1, 1] == 5.0                       # median of 1..9
+    assert out[0, 0] == np.median([1.0, 9.0, 8.0, 3.0])  # corner: 4 vals
+    a[1, 1] = np.nan
+    out = oracle.focal(a, "median")
+    # centre window drops its NaN: median of the 8 neighbors
+    assert out[1, 1] == np.median([1, 9, 2, 8, 7, 4, 6, 5])
+    assert np.isnan(oracle.focal(np.full((3, 3), np.nan), "median")).all()
