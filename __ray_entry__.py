@@ -196,6 +196,28 @@ SELECT z3.id AS zone, CAST(count(*) AS BIGINT) n,
 FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f
 GROUP BY z3.id
 """,
+        "zonal_majority": f"""
+WITH px AS (
+  SELECT p.gr, p.gc, p.z, max(zz.feature_id) f
+  FROM {_PX} p JOIN {_ZO} zz
+    ON p.x >= zz.xmin AND p.x <= zz.xmax AND p.y >= zz.ymin AND p.y <= zz.ymax
+  WHERE p.z IS NOT NULL
+  GROUP BY p.gr, p.gc, p.z),
+ b AS (
+  SELECT z3.id AS zone,
+         (px.z >= -30.0)::INT + (px.z >= -10.0)::INT + (px.z >= 0.0)::INT
+           + (px.z >= 10.0)::INT + (px.z >= 30.0)::INT AS bin
+  FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f),
+ c AS (SELECT zone, bin, count(*) AS n FROM b GROUP BY zone, bin),
+ r AS (SELECT zone, bin, n,
+              row_number() OVER (PARTITION BY zone
+                                 ORDER BY n DESC, bin) AS rn,
+              sum(n) OVER (PARTITION BY zone) AS n_total
+       FROM c)
+SELECT CAST(zone AS BIGINT) AS zone, CAST(bin AS BIGINT) AS maj_bin,
+       CAST(n AS BIGINT) AS n_maj, CAST(n_total AS BIGINT) AS n_total
+FROM r WHERE rn = 1
+""",
         "voronoi_counts": f"""
 WITH a AS (
   SELECT p.gr, p.gc, p.z,

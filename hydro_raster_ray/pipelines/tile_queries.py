@@ -151,6 +151,22 @@ def q_zonal_stats(sf_dir: str):
     return zs.map_batches(final, batch_format="pandas")
 
 
+def q_zonal_majority(sf_dir: str):
+    """Per-zone modal class (categorical zonal statistic): rankshow
+    binning + rasterized zones + one (zone, bin) count shuffle."""
+    ts, scheme = tiles_for(sf_dir)
+    feats = fixtures.rect_zone_features(scheme)
+    zm = stats.zonal_majority(ts, feats, fixtures.CLASSIFY_BREAKS,
+                              attribute="id")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["zone"] = df["zone"].astype(np.int64)
+        return df
+
+    return zm.map_batches(final, batch_format="pandas")
+
+
 def q_voronoi_counts(sf_dir: str):
     ts, _ = tiles_for(sf_dir)
     vc = voronoi_counts(ts, _gauges(sf_dir))
@@ -898,6 +914,7 @@ TILE_QUERIES = {
     "grid_global_stats": q_grid_global_stats,
     "rect_clip_stats": q_rect_clip_stats,
     "zonal_stats": q_zonal_stats,
+    "zonal_majority": q_zonal_majority,
     "voronoi_counts": q_voronoi_counts,
     "idw_mean": q_idw_mean,
     "resample_stats": q_resample_stats,

@@ -30,6 +30,7 @@ __all__ = [
     "summary",
     "exact_median",
     "zonal_stats",
+    "zonal_majority",
     "classify",
 ]
 
@@ -467,3 +468,77 @@ def apply_and_zonal(ts: TileSet, features, edit_attribute="adjust_val",
         return df
 
     return agg.map_batches(add_mean, batch_format="pandas")
+
+
+def zonal_majority(ts: TileSet, features, breaks, attribute="id"):
+    """Per-zone MAJORITY (modal) class: classify each pixel by ``breaks``
+    (the ``classify``/rankshow binning) and report, per rasterized zone,
+    the most frequent class — the categorical zonal statistic (landcover
+    majority per catchment) that complements ``zonal_stats``'s numeric
+    aggregates.
+
+    Same distributed shape as ``zonal_stats``: broadcast features, burn
+    the feature-index plane once per tile, reduce (zone, bin) counts
+    inside the batch via ONE ``bincount`` over ``fidx·nbins + bin``
+    (O(npix)), then a tiny |zones|·|bins|-bounded ``groupby`` and a
+    single-block argmax. Ties break to the SMALLEST bin (SQL
+    ``row_number ... ORDER BY n DESC, bin`` parity). Columns: zone,
+    maj_bin, n_maj, n_total."""
+    ref = _features_ref(features)
+    grid = ts.grid
+    breaks = list(breaks)
+    nbins = len(breaks) + 1
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        feats = _ray.get(ref)
+        values = np.asarray(_resolve_values(feats, attribute), dtype=np.float64)
+        nf = len(feats)
+        acc = np.zeros(nf * nbins, dtype=np.int64)
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            plane = burn_features(info, feats, list(range(nf)), dtype=np.float32)
+            m = np.isfinite(arr) & np.isfinite(plane)
+            if not m.any():
+                continue
+            fidx = plane[m].astype(np.int64)
+            b = np.digitize(arr[m].astype(np.float64), breaks)
+            acc += np.bincount(fidx * nbins + b, minlength=acc.size)
+        nz = np.nonzero(acc)[0]
+        f_i, b_i = nz // nbins, nz % nbins
+        zone = values[f_i]
+        keep = np.isfinite(zone) & (zone != grid.nodata)
+        return pa.table(
+            {
+                "zone": pa.array(zone[keep], pa.float64()),
+                "bin": pa.array(b_i[keep], pa.int64()),
+                "n": pa.array(acc[nz][keep], pa.int64()),
+            }
+        )
+
+    counts = (
+        ts.ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+        .groupby(["zone", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["zone", "n", "bin"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        tot = df.groupby("zone", as_index=False).agg(n_total=("n", "sum"))
+        top = df.drop_duplicates("zone", keep="first")
+        out = top.merge(tot, on="zone")
+        return pd.DataFrame(
+            {
+                "zone": out["zone"].astype(np.float64),
+                "maj_bin": out["bin"].astype(np.int64),
+                "n_maj": out["n"].astype(np.int64),
+                "n_total": out["n_total"].astype(np.int64),
+            }
+        )
+
+    # |zones|·|bins| rows total: one block, one exact argmax pass
+    return counts.repartition(1).map_batches(
+        majority, batch_format="pandas", batch_size=None
+    )

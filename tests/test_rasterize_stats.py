@@ -139,6 +139,36 @@ def test_zonal_stats_matches_oracle(tileset):
         np.testing.assert_allclose(row["mean_z"], w["mean"], rtol=1e-12)
 
 
+def test_zonal_majority_matches_brute_force(tileset):
+    """Modal class per zone vs a whole-array numpy recount; ties must
+    break to the smallest bin."""
+    from collections import Counter
+
+    ts, scheme = tileset
+    feats = fixtures.rect_zone_features(scheme)
+    mosaic = _mosaic(scheme).astype(np.float32).astype(np.float64)
+    plane = oracle.rasterize(scheme.grid, feats, attribute="id")
+    got = (
+        stats.zonal_majority(ts, feats, fixtures.CLASSIFY_BREAKS,
+                             attribute="id")
+        .to_pandas()
+        .set_index("zone")
+        .sort_index()
+    )
+    m = np.isfinite(mosaic) & np.isfinite(plane)
+    bins = np.digitize(mosaic, list(fixtures.CLASSIFY_BREAKS))
+    zones = set(plane[m].tolist())
+    assert set(got.index) == zones
+    for zone in zones:
+        zm = m & (plane == zone)
+        cnt = Counter(bins[zm].tolist())
+        best = min(cnt, key=lambda b: (-cnt[b], b))  # tie -> smallest bin
+        row = got.loc[zone]
+        assert int(row["maj_bin"]) == best
+        assert int(row["n_maj"]) == cnt[best]
+        assert int(row["n_total"]) == int(zm.sum())
+
+
 def test_classify_matches_oracle(tileset):
     ts, scheme = tileset
     mosaic = _mosaic(scheme)
