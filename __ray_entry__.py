@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_topk_p2"] = lambda sf: ann.ivf_topk(sf, nprobe=2)
     q["emb_near_dups"] = ann.emb_near_dups
     q["emb_quantize"] = ann.emb_quantize
+    q["emb_pq"] = ann.emb_pq
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -416,6 +417,10 @@ SELECT s.doc_id,
   CAST(round(len(list_intersect(s.sh, q.qsh))::DOUBLE
        / len(list_distinct(list_concat(s.sh, q.qsh))), 4) AS DOUBLE) sim
 FROM s, q ORDER BY sim DESC, s.doc_id LIMIT 20
+""",
+        "emb_pq": f"""
+SELECT vec_id, c0, c1, c2, c3, err_ppm
+FROM read_parquet('{F}/witness_pq_codes.parquet')
 """,
         "emb_quantize": """
 WITH t AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_train",
     "emb_near_dups",
     "emb_quantize",
+    "emb_pq",
 ]
 
 
@@ -618,3 +619,93 @@ def emb_quantize(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(quant, batch_format="pandas", batch_size=512)
+
+
+def emb_pq(
+    sf_dir: str, m: int = 4, k: int = 16, iters: int = 3
+) -> "ray.data.Dataset":
+    """Product quantization (Jégou et al. 2011, public literature): split
+    each vector into ``m`` contiguous subspaces, train a ``k``-entry
+    codebook per subspace with distributed Lloyd, and emit each vector's
+    code word plus its floor-quantized total squared reconstruction error
+    — the m·log2(k)-bit compression an IVF-PQ index stores per vector.
+
+    Same scale shape as ``ivf_train``: each iteration is one
+    ``map_batches`` pass emitting per-batch partial (subspace, code,
+    subvector-sum, count) rows — ALL m subspaces train in the same pass —
+    plus one (m·k)-row ``groupby``; only model state reduces, the corpus
+    streams. Codebooks round to 9 decimals per iteration (the
+    ``ivf_train`` determinism contract), and assignment + error use the
+    same numpy expression tree as the single-process witness, so codes,
+    ties, and ``err_ppm`` hash-match it bit-for-bit. Columns: vec_id,
+    c0..c{m-1}, err_ppm."""
+    from ray.data.aggregate import Sum as _Sum
+
+    _, qm = _load_queries(sf_dir, range(k))
+    dim = qm.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    books = np.stack(
+        [np.round(qm[:, s * sd : (s + 1) * sd], 9) for s in range(m)]
+    )  # (m, k, sd)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            bks = ray.get(ref)
+            mat = _batch_matrix(df)
+            rows = []
+            for s in range(m):
+                sub = mat[:, s * sd : (s + 1) * sd]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                best = np.argmin(d2, axis=1)
+                for c in np.unique(best):
+                    sel = sub[best == c]
+                    row = {"sub": int(s), "code": int(c),
+                           "n": int(sel.shape[0])}
+                    t = sel.sum(axis=0)
+                    for j in range(sd):
+                        row[f"s{j}"] = float(t[j])
+                    rows.append(row)
+            return pd.DataFrame(rows)
+
+        aggs = [_Sum("n", alias_name="n")] + [
+            _Sum(f"s{j}", alias_name=f"s{j}") for j in range(sd)
+        ]
+        st = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby(["sub", "code"])
+            .aggregate(*aggs)
+            .to_pandas()
+        )  # m·k rows — model state only
+        new = books.copy()
+        for _, r in st.iterrows():
+            if r["n"] > 0:
+                new[int(r["sub"]), int(r["code"])] = (
+                    np.array([r[f"s{j}"] for j in range(sd)]) / float(r["n"])
+                )
+        books = np.round(new, 9)
+
+    ref = ray.put(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        bks = ray.get(ref)
+        mat = _batch_matrix(df)
+        n = mat.shape[0]
+        err = np.zeros(n, dtype=np.float64)
+        out = {"vec_id": df["vec_id"].astype(np.int64)}
+        for s in range(m):
+            sub = mat[:, s * sd : (s + 1) * sd]
+            d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            out[f"c{s}"] = pd.Series(best.astype(np.int64), index=df.index)
+            err = err + d2[np.arange(n), best]
+        out["err_ppm"] = pd.Series(
+            np.floor(err * 1e6).astype(np.int64), index=df.index
+        )
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")

@@ -319,6 +319,44 @@ def ivf_train_witness(
     )
 
 
+def pq_codes_witness(
+    emb: pd.DataFrame, m: int = 4, k: int = 16, iters: int = 3
+) -> pd.DataFrame:
+    """Expected (vec_id, c0..c{m-1}, err_ppm) of ``ann.emb_pq``:
+    whole-table product quantization — per contiguous subspace, Lloyd
+    k-means (init = first k subvectors, mean update, 9-decimal rounding
+    per iteration like ``ivf_train``), assignment by squared L2 with the
+    SAME numpy expression tree as the distributed stage so argmin ties
+    and the floor-quantized reconstruction error agree bit-for-bit."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n, dim = mat.shape
+    sd = dim // m
+    codes = np.zeros((n, m), dtype=np.int64)
+    err = np.zeros(n, dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * sd : (s + 1) * sd]
+        cb = np.round(sub[:k], 9)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            new = cb.copy()
+            for c in range(k):
+                sel = sub[best == c]
+                if sel.shape[0]:
+                    new[c] = sel.sum(axis=0) / sel.shape[0]
+            cb = np.round(new, 9)
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)
+        codes[:, s] = best
+        err = err + d2[np.arange(n), best]
+    out = {"vec_id": emb["vec_id"].astype(np.int64)}
+    for s in range(m):
+        out[f"c{s}"] = pd.Series(codes[:, s], dtype=np.int64)
+    out["err_ppm"] = pd.Series(np.floor(err * 1e6), dtype=np.int64)
+    return pd.DataFrame(out)
+
+
 def ngram_dup_witness(docs: pd.DataFrame, window: int = 8) -> pd.DataFrame:
     """Expected (doc_id, total_windows, dup_windows) of
     ``ops.ngram_dup_stats``: per-doc UNIQUE window hashes (the engine's
@@ -379,7 +417,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V7")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V8")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -406,6 +444,9 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     )
     _write_atomic(
         ngram_dup_witness(docs), os.path.join(out_dir, "witness_ngram_dup.parquet")
+    )
+    _write_atomic(
+        pq_codes_witness(emb), os.path.join(out_dir, "witness_pq_codes.parquet")
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -640,3 +640,42 @@ def test_rarity_scores_hand_cases(tmp_path):
         s = per_doc[int(row["doc_id"])]
         assert row["n_distinct"] == len(s)
         assert row["rarity_score"] == sum(1_000_000 // df[t] for t in s)
+
+
+def test_emb_pq_properties(tmp_path):
+    """Product quantization: codes in [0, k), err_ppm ≥ 0, Lloyd
+    iterations never increase the total quantization error (k-means
+    monotonicity), and the distributed stage matches the single-process
+    witness exactly."""
+    from hydro_raster_ray.text import ann, witness
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim)).round(3)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    emb = pd.DataFrame({"vec_id": range(n), "embedding": list(vecs)})
+    m, k = 2, 4
+    got = (
+        ann.emb_pq(str(tmp_path), m=m, k=k, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = witness.pq_codes_witness(emb, m=m, k=k, iters=2)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    for s in range(m):
+        assert got[f"c{s}"].between(0, k - 1).all()
+    assert (got["err_ppm"] >= 0).all()
+    e0 = witness.pq_codes_witness(emb, m=m, k=k, iters=0)["err_ppm"].sum()
+    e2 = want["err_ppm"].sum()
+    assert e2 <= e0
+    # dim not divisible by m is rejected
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.emb_pq(str(tmp_path), m=3)
