@@ -689,6 +689,10 @@ FROM read_parquet('{F}/witness_media_audio.parquet')
 SELECT video_id, frame_idx, mean, std
 FROM read_parquet('{F}/witness_media_frames.parquet')
 """,
+        "media_frame_motion": f"""
+SELECT video_id, frame_idx, sad, cut
+FROM read_parquet('{F}/witness_media_motion.parquet')
+""",
         "media_image_features": f"""
 SELECT image_id, mean, std, p_low, p_high, edge_energy
 FROM read_parquet('{F}/witness_media_image.parquet')

@@ -510,7 +510,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V7")
+    done = os.path.join(out, "_TILE_WITNESS_V8")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -777,6 +777,31 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
             }
         ),
         os.path.join(out, "witness_media_frames.parquet"),
+    )
+
+    # frame motion: consecutive-frame SAD + cut flag straight from the
+    # generator formula (independent of the engine's decode_video path);
+    # all-integer arithmetic, so the comparison is exact
+    mrows2 = []
+    for v in range(8):
+        prev = None
+        for k in range(vn):
+            plane = ((3 * xxv + 7 * yyv + 11 * k + 13 * v) % 256).astype(np.int64)
+            if prev is not None:
+                sad = int(np.abs(plane - prev).sum())
+                cut = int(100 * sad >= 4000 * (vh * vw))
+                mrows2.append((f"v{v:04d}", k, sad, cut))
+            prev = plane
+    _write_atomic(
+        pa.table(
+            {
+                "video_id": pa.array([r[0] for r in mrows2], pa.string()),
+                "frame_idx": pa.array([r[1] for r in mrows2], pa.int64()),
+                "sad": pa.array([r[2] for r in mrows2], pa.int64()),
+                "cut": pa.array([r[3] for r in mrows2], pa.int64()),
+            }
+        ),
+        os.path.join(out, "witness_media_motion.parquet"),
     )
 
     # image features: per-tile statistical features over the assembled

@@ -521,6 +521,19 @@ def q_media_frames(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_frame_motion(sf_dir: str):
+    """Consecutive-frame motion energy + shot-cut flags over the
+    deterministic rawv-u8 videos (actor-pool full-scan decode; SAD is
+    exact integer arithmetic); witness computes every transition directly
+    from the generator formula — independent of decode_video."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_videos(8, 32, 32, 40))
+    return multimodal.frame_motion(ds, concurrency=2, batch_size=4)
+
+
 def q_media_image_features(sf_dir: str):
     """Per-image statistical features (mean/std/percentiles/edge energy)
     over the fixture tiles via the multimodal actor pool; witness mirrors
@@ -951,6 +964,7 @@ TILE_QUERIES = {
     "strahler_stats": q_strahler_stats,
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
+    "media_frame_motion": q_media_frame_motion,
     "media_image_features": q_media_image_features,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,

@@ -33,6 +33,7 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_frames",
+    "frame_motion",
     "make_fake_videos",
     "audio_features",
     "make_fake_audio",
@@ -119,6 +120,24 @@ class MediaCodec:
         raise NotImplementedError(
             f"{fmt} frame decode requires ffmpeg/av, not available here; "
             "plug a real codec into MediaCodec.decode_frame"
+        )
+
+    def decode_video(self, buf, h: int, w: int, fmt: str) -> np.ndarray:
+        """Decode a whole video payload to an (n_frames, h, w) uint8 cube —
+        the sequential-scan path motion/shot analysis needs (every frame is
+        read anyway, so one reshape beats n seek-decodes).
+
+        - ``rawv-u8``: back-to-back planes → one zero-copy reshape.
+        - real containers (mp4/webm): require ffmpeg → NotImplementedError.
+        """
+        if fmt == "rawv-u8":
+            sz = h * w
+            if len(buf) % sz:
+                raise ValueError("payload length is not a whole frame count")
+            return np.frombuffer(buf, dtype=np.uint8).reshape(-1, h, w)
+        raise NotImplementedError(
+            f"{fmt} video decode requires ffmpeg/av, not available here; "
+            "plug a real codec into MediaCodec.decode_video"
         )
 
 
@@ -338,4 +357,63 @@ def audio_features(ds, concurrency: int = 4, batch_size: int = 16):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=auto_pool(concurrency),
+    )
+
+
+class _FrameMotion:
+    """Actor: full-scan decode each video and emit per-transition motion
+    rows — SAD (sum of absolute pixel differences, EXACT integer on uint8
+    planes) between consecutive frames, plus a shot-cut flag at a mean-
+    per-pixel threshold. Payload dropped immediately; output is thin."""
+
+    def __init__(self, cut_centi_px: int):
+        self.codec = MediaCodec()  # once per actor
+        self.cut_centi_px = cut_centi_px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, sads, cuts = [], [], [], []
+        for i in range(batch.num_rows):
+            vid = batch["video_id"][i].as_py()
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            fmt = batch["fmt"][i].as_py()
+            cube = self.codec.decode_video(batch["bytes"][i].as_py(), h, w, fmt)
+            if cube.shape[0] < 2:
+                continue
+            d = np.abs(np.diff(cube.astype(np.int16), axis=0)).astype(np.int64)
+            sad = d.sum(axis=(1, 2))  # exact: ≤ 255·h·w per transition
+            # cut when mean |Δ| per pixel ≥ threshold/100 — kept as the
+            # integer cross-multiplication 100·sad ≥ thr·n_px (no floats)
+            cut = (100 * sad >= self.cut_centi_px * (h * w)).astype(np.int64)
+            n = sad.size
+            vids.extend([vid] * n)
+            idxs.extend(range(1, n + 1))
+            sads.extend(sad.tolist())
+            cuts.extend(cut.tolist())
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "sad": pa.array(sads, pa.int64()),
+                "cut": pa.array(cuts, pa.int64()),
+            }
+        )
+
+
+def frame_motion(ds, cut_centi_px: int = 4000, concurrency: int = 4,
+                 batch_size: int = 8):
+    """Per-transition motion energy + shot-boundary detection over video
+    rows (video_id, bytes, h, w, n_frames, fmt): consecutive-frame SAD is
+    exact integer arithmetic on the uint8 planes, so the witness oracle
+    hash-matches with no float hazard. Actor pool, small batches (video
+    payloads are the fattest rows in the engine). Columns: video_id,
+    frame_idx (the LATER frame of the pair), sad, cut."""
+    from ..runtime import auto_pool
+
+    return ds.map_batches(
+        _FrameMotion,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=auto_pool(concurrency),
+        fn_constructor_kwargs={"cut_centi_px": cut_centi_px},
     )

@@ -116,3 +116,54 @@ def test_audio_features_real_decode(ray_session):
         assert abs(r["rms"] - np.sqrt(0.5**2 / 2 + 0.25**2 / 2)) < 0.01
         assert abs(r["dom_freq"] - (200.0 + 37.0 * c)) < 8000 / 2000 * 2
         assert 0.0 < r["zcr"] < 0.5
+
+
+def test_decode_video_matches_frame_seeks():
+    import numpy as np
+
+    from hydro_raster_ray.stages.multimodal import MediaCodec, make_fake_videos
+
+    codec = MediaCodec()
+    table = make_fake_videos(2, 16, 20, 5)
+    buf = table["bytes"][1].as_py()
+    cube = codec.decode_video(buf, 16, 20, "rawv-u8")
+    assert cube.shape == (5, 16, 20) and cube.dtype == np.uint8
+    for k in range(5):
+        np.testing.assert_array_equal(
+            cube[k].astype(np.float64), codec.decode_frame(buf, 16, 20, "rawv-u8", k)
+        )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="whole frame"):
+        codec.decode_video(buf[:-3], 16, 20, "rawv-u8")
+    with _pt.raises(NotImplementedError):
+        codec.decode_video(buf, 16, 20, "mp4")
+
+
+def test_frame_motion_hand_case(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from hydro_raster_ray.stages.multimodal import frame_motion
+
+    # 3 frames of 2x2: f0=0, f1=10, f2=250 → SADs 40 and 960; with
+    # cut_centi_px=4000 (mean |Δ| ≥ 40): transition 1 (mean 10) is not a
+    # cut, transition 2 (mean 240) is. Wrap-around check: |250-10|=240
+    # per px, not 16.
+    frames = [np.full((2, 2), v, np.uint8) for v in (0, 10, 250)]
+    tbl = pa.table(
+        {
+            "video_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([b"".join(f.tobytes() for f in frames)], pa.binary()),
+            "h": pa.array([2], pa.int32()),
+            "w": pa.array([2], pa.int32()),
+            "n_frames": pa.array([3], pa.int32()),
+            "fmt": pa.array(["rawv-u8"], pa.string()),
+        }
+    )
+    rows = frame_motion(ray.data.from_arrow(tbl), concurrency=1).take_all()
+    rows.sort(key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["sad"], r["cut"]) for r in rows] == [
+        (1, 40, 0),
+        (2, 960, 1),
+    ]
