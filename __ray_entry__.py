@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_near_dups"] = ann.emb_near_dups
     q["emb_quantize"] = ann.emb_quantize
     q["emb_pq"] = ann.emb_pq
+    q["cluster_doc_stats"] = ann.cluster_doc_stats
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -417,6 +418,18 @@ SELECT s.doc_id,
   CAST(round(len(list_intersect(s.sh, q.qsh))::DOUBLE
        / len(list_distinct(list_concat(s.sh, q.qsh))), 4) AS DOUBLE) sim
 FROM s, q ORDER BY sim DESC, s.doc_id LIMIT 20
+""",
+        "cluster_doc_stats": """
+WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+ a AS (SELECT e.vec_id,
+        arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[])) centroid
+       FROM embeddings e, c GROUP BY e.vec_id)
+SELECT CAST(a.centroid AS BIGINT) centroid,
+       CAST(count(*) AS BIGINT) n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) sum_chars,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en
+FROM a JOIN documents d ON d.doc_id = a.vec_id
+GROUP BY a.centroid
 """,
         "emb_pq": f"""
 SELECT vec_id, c0, c1, c2, c3, err_ppm

@@ -32,6 +32,7 @@ __all__ = [
     "emb_near_dups",
     "emb_quantize",
     "emb_pq",
+    "cluster_doc_stats",
 ]
 
 
@@ -709,3 +710,73 @@ def emb_pq(
         return pd.DataFrame(out)
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def cluster_doc_stats(
+    sf_dir: str, n_centroids: int = 8, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Cross-modality join: every document joined to its embedding's IVF
+    bucket (doc_id = vec_id in the corpus layout), reduced to per-cluster
+    corpus statistics — the bucket-level profile (volume, text mass,
+    language mix) a curation pipeline reads before rebalancing a training
+    mixture.
+
+    Scale shape: the assignment side is a broadcast-centroid
+    ``map_batches`` emitting only (vec_id, centroid); the document side
+    prunes to three thin columns at the read; the two thin tables meet in
+    a native large×large hash join (neither side broadcast — both are
+    corpus-sized at 10¹² rows), then per-batch partials collapse into an
+    ``n_centroids``-row groupby. All outputs are exact integers. Columns:
+    centroid, n_docs, sum_chars, n_en."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.cc import auto_join_partitions
+    from .ops import read_documents
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ref = ray.put((cids, cn))
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        ids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        best = np.argmax(mn @ cmat.T, axis=1)
+        # Arrow out: this table feeds the hash join (pandas blocks poison
+        # Ray's shuffle — ROUND4_NOTES engine lesson)
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy(np.int64), pa.int64()),
+                "centroid": pa.array(ids[best].astype(np.int64), pa.int64()),
+            }
+        )
+
+    adf = emb.map_batches(assign, batch_format="pandas")
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    j = adf.join(
+        docs, "inner", num_partitions, on=("vec_id",), right_on=("doc_id",)
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "centroid": df["centroid"].astype(np.int64),
+                "n_docs": np.int64(1),
+                "sum_chars": df["n_chars"].astype(np.int64),
+                "n_en": (df["lang"] == "en").astype(np.int64),
+            }
+        ).groupby("centroid", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("centroid")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("sum_chars", alias_name="sum_chars"),
+            _Sum("n_en", alias_name="n_en"),
+        )
+    )

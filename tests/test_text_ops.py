@@ -679,3 +679,20 @@ def test_emb_pq_properties(tmp_path):
     # dim not divisible by m is rejected
     with pytest.raises(ValueError, match="not divisible"):
         ann.emb_pq(str(tmp_path), m=3)
+
+
+def test_cluster_doc_stats_conservation():
+    """Cross-modality join: every doc lands in exactly one cluster —
+    totals must conserve the corpus, and per-cluster counts bound n_en."""
+    import duckdb
+
+    from hydro_raster_ray.text import ann
+
+    got = ann.cluster_doc_stats(SF).to_pandas()
+    n_docs, sum_chars = duckdb.sql(
+        f"SELECT count(*), sum(n_chars) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()
+    assert got["n_docs"].sum() == n_docs
+    assert got["sum_chars"].sum() == sum_chars
+    assert (got["n_en"] <= got["n_docs"]).all()
+    assert got["centroid"].between(0, 7).all() and len(got) <= 8
