@@ -650,6 +650,10 @@ FROM read_parquet('{F}/witness_focal_median.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_slope.parquet')
 """,
+        "curvature_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_curvature.parquet')
+""",
         "aspect_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_aspect.parquet')

@@ -1111,9 +1111,10 @@ def _ensure_r4_witnesses(tag: str, out: str) -> None:
 
 
 def _ensure_terrain_witnesses(tag: str, out: str) -> None:
-    """Slope/aspect witness parquets (own marker → in-place upgrade):
-    whole-array ``oracle.slope_aspect`` then the standard per-tile stats."""
-    done = os.path.join(out, "_TERRAIN_WITNESS_V1")
+    """Slope/aspect/curvature witness parquets (own marker → in-place
+    upgrade): whole-array ``oracle.slope_aspect`` / ``oracle.curvature``
+    then the standard per-tile stats."""
+    done = os.path.join(out, "_TERRAIN_WITNESS_V2")
     if os.path.exists(done):
         return
     from . import oracle
@@ -1129,6 +1130,10 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
     _write_atomic(
         _per_tile_stats_table(scheme, _f32(asp)),
         os.path.join(out, "witness_aspect.parquet"),
+    )
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(oracle.curvature(full))),
+        os.path.join(out, "witness_curvature.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

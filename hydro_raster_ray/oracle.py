@@ -437,6 +437,22 @@ def slope_aspect(
     return slope, aspect
 
 
+def curvature(array: np.ndarray, cs: float = 1.0) -> np.ndarray:
+    """Whole-array Laplacian curvature witness (∇²z, the terrain second
+    derivative — convexity/concavity): central second difference
+    ``((up + dn) + (lf + rt) − 4·c) / cs²`` with a fixed add order so the
+    tiled engine bit-matches. Derivative-family NaN convention: grid-edge
+    cells (no central stencil) and the 1-px neighborhood of NODATA holes
+    are NaN."""
+    a = np.asarray(array, dtype=np.float64)
+    h, w = a.shape
+    p = np.full((h + 2, w + 2), np.nan)
+    p[1:-1, 1:-1] = a
+    up, dn = p[:-2, 1:-1], p[2:, 1:-1]
+    lf, rt = p[1:-1, :-2], p[1:-1, 2:]
+    return ((up + dn) + (lf + rt) - 4.0 * a) / (cs * cs)
+
+
 def components_bfs(arr: np.ndarray):
     """Whole-array 4-connected components of equal finite values via plain
     BFS — the independent witness for the distributed vectorize (same

@@ -464,6 +464,15 @@ def q_hillshade_stats(sf_dir: str):
     return per_tile_stats(hillshade(ts))
 
 
+def q_curvature_stats(sf_dir: str):
+    """Distributed Laplacian curvature (1-px halo, fixed-order central
+    second difference) — per-tile stats vs ``oracle.curvature``."""
+    from ..stages.terrain import curvature
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(curvature(ts))
+
+
 def q_slope_stats(sf_dir: str):
     """Distributed slope (1-px halo exchange, single streaming phase) —
     per-tile stats vs the whole-array witness ``oracle.slope_aspect``."""
@@ -952,6 +961,7 @@ TILE_QUERIES = {
     "reproject_lcc": q_reproject_lcc,
     "hillshade_stats": q_hillshade_stats,
     "slope_stats": q_slope_stats,
+    "curvature_stats": q_curvature_stats,
     "aspect_stats": q_aspect_stats,
     "flow_dir_stats": q_flow_dir_stats,
     "fill_pits_stats": q_fill_pits_stats,

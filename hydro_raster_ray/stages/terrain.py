@@ -31,7 +31,7 @@ from .halo import (
     window_from_broadcast,
 )
 
-__all__ = ["slope", "aspect", "flow_dir", "fill_pits", "d8_codes"]
+__all__ = ["slope", "aspect", "curvature", "flow_dir", "fill_pits", "d8_codes"]
 
 
 def _terrain(
@@ -156,6 +156,32 @@ def aspect(
         return np.where(slope_nan, np.nan, asp)
 
     return _terrain(ts, kernel, "aspect deg", shuffle_blocks, halo_broadcast_budget)
+
+
+def curvature(
+    ts: TileSet,
+    cs: float = 1.0,
+    shuffle_blocks: int | None = None,
+    halo_broadcast_budget: int = 256 << 20,
+) -> TileSet:
+    """Laplacian curvature raster (``raw-f32`` tiles): central second
+    difference ``((up + dn) + (lf + rt) − 4·c) / cs²`` — the same fixed
+    add order as ``oracle.curvature``, so tiling is invisible. Grid-edge
+    cells and the 1-px neighborhood of holes are NaN (derivative-family
+    propagation, unlike the hole-FILLING focal family)."""
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        a = win.astype(np.float64)
+        h, w = a.shape
+        p = np.full((h + 2, w + 2), np.nan)
+        p[1:-1, 1:-1] = a
+        up, dn = p[:-2, 1:-1], p[2:, 1:-1]
+        lf, rt = p[1:-1, :-2], p[1:-1, 2:]
+        return ((up + dn) + (lf + rt) - 4.0 * a) / (cs * cs)
+
+    return _terrain(
+        ts, kernel, "curvature", shuffle_blocks, halo_broadcast_budget
+    )
 
 
 # D8 neighbor table (ESRI codes in tie-break order) — must match the

@@ -171,3 +171,34 @@ def test_fill_pits_semantics():
     h[2, 2] = 1.0
     h[1, 1] = np.nan
     assert oracle.fill_pits(h)[2, 2] == 1.0  # hole-adjacent drains into hole
+
+
+def test_curvature_matches_witness(ray_session, small_scheme):
+    from hydro_raster_ray.stages.terrain import curvature
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    want = oracle.curvature(full).astype(np.float32).astype(np.float64)
+    got = to_array(curvature(ts))
+    np.testing.assert_array_equal(got, want)
+    # exchange fallback is bit-identical
+    slow = to_array(curvature(ts, halo_broadcast_budget=0))
+    np.testing.assert_array_equal(slow, want)
+
+
+def test_curvature_hand_cases(ray_session):
+    # quadratic bowl z = x² + y² → ∇²z = 4 exactly everywhere interior
+    n = 7
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    z = xx * xx + yy * yy
+    c = oracle.curvature(z)
+    np.testing.assert_array_equal(c[1:-1, 1:-1], np.full((n - 2, n - 2), 4.0))
+    assert np.isnan(c[0]).all() and np.isnan(c[:, -1]).all()  # grid edge
+    # a hole propagates to its 4-neighborhood
+    z[3, 3] = np.nan
+    c = oracle.curvature(z)
+    assert np.isnan(c[3, 3]) and np.isnan(c[2, 3]) and np.isnan(c[3, 4])
+    assert c[2, 2] == 4.0  # diagonal neighbor unaffected (4-stencil)
+    # cellsize scaling: cs=2 divides by 4
+    c2 = oracle.curvature(xx * xx + yy * yy, cs=2.0)
+    np.testing.assert_array_equal(c2[1:-1, 1:-1], np.full((n - 2, n - 2), 1.0))
