@@ -654,6 +654,10 @@ FROM read_parquet('{F}/witness_slope.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_curvature.parquet')
 """,
+        "twi_stats": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_twi.parquet')
+""",
         "aspect_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_aspect.parquet')

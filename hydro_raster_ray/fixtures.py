@@ -1111,10 +1111,11 @@ def _ensure_r4_witnesses(tag: str, out: str) -> None:
 
 
 def _ensure_terrain_witnesses(tag: str, out: str) -> None:
-    """Slope/aspect/curvature witness parquets (own marker → in-place
-    upgrade): whole-array ``oracle.slope_aspect`` / ``oracle.curvature``
-    then the standard per-tile stats."""
-    done = os.path.join(out, "_TERRAIN_WITNESS_V2")
+    """Slope/aspect/curvature/TWI witness parquets (own marker → in-place
+    upgrade): whole-array ``oracle.slope_aspect`` / ``oracle.curvature`` /
+    the two-raster wetness-index composition, then the standard per-tile
+    stats."""
+    done = os.path.join(out, "_TERRAIN_WITNESS_V3")
     if os.path.exists(done):
         return
     from . import oracle
@@ -1134,6 +1135,15 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
     _write_atomic(
         _per_tile_stats_table(scheme, _f32(oracle.curvature(full))),
         os.path.join(out, "witness_curvature.parquet"),
+    )
+    # TWI: compose the f32-rounded acc/slope planes (the engine's tiles
+    # are raw-f32, so the codec rounding sits BETWEEN the two passes)
+    acc32 = _f32(oracle.flow_accumulation(full))
+    sl32 = _f32(sl)
+    twi = np.log((acc32 + 1.0) / np.maximum(np.tan(np.radians(sl32)), 1e-6))
+    _write_atomic(
+        _per_tile_stats_table(scheme, _f32(twi)),
+        os.path.join(out, "witness_twi.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -464,6 +464,27 @@ def q_hillshade_stats(sf_dir: str):
     return per_tile_stats(hillshade(ts))
 
 
+def q_twi_stats(sf_dir: str):
+    """Topographic wetness index ``ln((acc+1) / max(tan(slope), 1e-6))`` —
+    the classic two-raster terrain composition (Beven & Kirkby 1979,
+    public literature), built from the engine's own flow-accumulation and
+    slope TileSets via the generic ``combine_tiles`` map-algebra join.
+    Witness composes the whole-array acc/slope witnesses through the
+    identical expression (f32 codec rounding mirrored between passes)."""
+    from ..stages.algebra import combine_tiles
+    from ..stages.flowacc import flow_accumulation
+    from ..stages.terrain import slope
+
+    ts, _ = tiles_for(sf_dir)
+    acc = flow_accumulation(ts)
+    sl = slope(ts)
+
+    def twi(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+        return np.log((a + 1.0) / np.maximum(np.tan(np.radians(s)), 1e-6))
+
+    return per_tile_stats(combine_tiles(acc, sl, twi, caption="twi"))
+
+
 def q_curvature_stats(sf_dir: str):
     """Distributed Laplacian curvature (1-px halo, fixed-order central
     second difference) — per-tile stats vs ``oracle.curvature``."""
@@ -962,6 +983,7 @@ TILE_QUERIES = {
     "hillshade_stats": q_hillshade_stats,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
+    "twi_stats": q_twi_stats,
     "aspect_stats": q_aspect_stats,
     "flow_dir_stats": q_flow_dir_stats,
     "fill_pits_stats": q_fill_pits_stats,
