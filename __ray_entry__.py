@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_stratified_sample"] = ops.stratified_sample
     q["doc_pack_chunks"] = ops.pack_chunks
     q["doc_rarity"] = ops.rarity_scores
+    q["doc_dedup_filter"] = ops.dedup_filter
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -368,6 +369,14 @@ SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_tokens AS BIGINT) n_tokens,
        CAST((cum0 + greatest(n_tokens, 1) - 1) // 256 - cum0 // 256 + 1
             AS BIGINT) n_chunks
 FROM c
+""",
+        "doc_dedup_filter": f"""
+WITH g AS (SELECT doc_id, group_id
+           FROM read_parquet('{F}/witness_minhash_groups.parquet')),
+ drops AS (SELECT doc_id FROM g WHERE doc_id != group_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d LEFT JOIN drops USING (doc_id)
+WHERE drops.doc_id IS NULL
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -38,6 +38,7 @@ __all__ = [
     "repetition_stats",
     "pack_chunks",
     "rarity_scores",
+    "dedup_filter",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1173,3 +1174,56 @@ def rarity_scores(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=512)
+
+
+def dedup_filter(
+    sf_dir: str, num_partitions: int | None = None, **minhash_kwargs
+) -> "ray.data.Dataset":
+    """The APPLY step of near-dup dedup: from the MinHash-LSH verified
+    clusters (``minhash_near_dups``), keep one representative per cluster
+    (its min doc_id = the cluster's ``group_id``) and every unclustered
+    document — the distributed ANTI-JOIN that actually shrinks a training
+    corpus after detection.
+
+    Scale shape: the cluster table is dup-sized, not corpus-sized, but at
+    10¹² docs dup counts can still be huge, so survivors come from a
+    native left-outer hash join (corpus ⋈ drop-list) + null filter —
+    NO broadcast of the drop set. Columns: doc_id (survivors only)."""
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    groups = minhash_near_dups(sf_dir, **minhash_kwargs)
+
+    def drops(df: pd.DataFrame) -> pa.Table:
+        out = df.loc[df["doc_id"] != df["group_id"], ["doc_id"]]
+        ids = out["doc_id"].to_numpy(np.int64)
+        # Arrow out: feeds the hash join (pandas blocks poison the
+        # shuffle); the marker column survives the join (the join strips
+        # the right KEY), so null-marker ⇔ unmatched ⇔ survivor
+        return pa.table(
+            {
+                "drop_id": pa.array(ids, pa.int64()),
+                "dropped": pa.array(np.ones(ids.size, np.int8), pa.int8()),
+            }
+        )
+
+    drop_ds = groups.map_batches(drops, batch_format="pandas")
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    j = docs.join(
+        drop_ds, "left_outer", num_partitions,
+        on=("doc_id",), right_on=("drop_id",),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    t.filter(pc.is_null(t["dropped"]))["doc_id"], pa.int64()
+                )
+            }
+        )
+
+    return j.map_batches(keep, batch_format="pyarrow")

@@ -696,3 +696,22 @@ def test_cluster_doc_stats_conservation():
     assert got["sum_chars"].sum() == sum_chars
     assert (got["n_en"] <= got["n_docs"]).all()
     assert got["centroid"].between(0, 7).all() and len(got) <= 8
+
+
+def test_dedup_filter_semantics():
+    """Survivors = unclustered docs + each cluster's min doc_id; survivor
+    set must be disjoint from drops and cover the corpus with the groups."""
+    import duckdb
+
+    from hydro_raster_ray.text import ops
+
+    groups = ops.minhash_near_dups(SF).to_pandas()
+    kept = set(ops.dedup_filter(SF).to_pandas()["doc_id"])
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    drops = set(groups.loc[groups["doc_id"] != groups["group_id"], "doc_id"])
+    assert kept.isdisjoint(drops)
+    assert len(kept) + len(drops) == n_docs
+    # every cluster representative survives
+    assert set(groups["group_id"]).issubset(kept)
