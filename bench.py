@@ -378,6 +378,22 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(strahler(ts, threshold=500.0))
 
+    def ep14_twi():
+        # two-raster map algebra at bench scale: flow-acc ⋈ slope on
+        # image_id, ln((acc+1)/max(tan β, 1e-6)) per tile
+        import numpy as _np
+
+        from hydro_raster_ray.stages.algebra import combine_tiles
+        from hydro_raster_ray.stages.flowacc import flow_accumulation
+        from hydro_raster_ray.stages.terrain import slope
+
+        ts = read_tiles(BENCH_DIR, scheme)
+
+        def twi(a, s):
+            return _np.log((a + 1.0) / _np.maximum(_np.tan(_np.radians(s)), 1e-6))
+
+        stats.global_stats(combine_tiles(flow_accumulation(ts), slope(ts), twi))
+
     # documents / embeddings pipelines at the bench sf
     def doc_suite():
         ops.token_stats(SF_DIR).to_pandas()
@@ -386,6 +402,11 @@ def run_bench() -> dict:
 
     def minhash_dedup():
         ops.minhash_near_dups(SF_DIR).count()
+
+    # df-table build + broadcast-score (the TF-IDF shape): two corpus
+    # passes, vocabulary-sized shuffle only
+    def doc_rarity():
+        ops.rarity_scores(SF_DIR).count()
 
     # exact duplicated-n-gram windows (window-granular substring dedup):
     # pair emission + window-hash groupby + count join + per-doc reduce
@@ -461,14 +482,14 @@ def run_bench() -> dict:
         ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep,
-        doc_suite, minhash_dedup, doc_ngram_dedup, minhash_sigs, ann_topk,
-        doc_quality, sched_probe,
+        doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
+        ann_topk, doc_quality, sched_probe,
     ]
     # opt-in stages: same contraction profile as the listed hydrology
     # headline (ep9/ep10), kept out of the default list so the full bench
     # stays inside the driver's wall budget; reachable ONLY by naming them
     # in GRAFT_BENCH_ONLY
-    opt_in = [ep11_basins, ep12_flowlen, ep13_strahler]
+    opt_in = [ep11_basins, ep12_flowlen, ep13_strahler, ep14_twi]
     if only is not None:
         stages = stages + [fn for fn in opt_in if fn.__name__ in only]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
