@@ -199,6 +199,10 @@ SELECT z3.id AS zone, CAST(count(*) AS BIGINT) n,
 FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f
 GROUP BY z3.id
 """,
+        "phash_near_dups": f"""
+SELECT image_id, group_id
+FROM read_parquet('{F}/witness_phash_near.parquet')
+""",
         "zonal_majority": f"""
 WITH px AS (
   SELECT p.gr, p.gc, p.z, max(zz.feature_id) f

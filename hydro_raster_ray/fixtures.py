@@ -510,7 +510,7 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
     by the single-process whole-array oracle path and stored for the DuckDB
     oracle to SELECT verbatim. Guarded by its own marker so existing fixture
     dirs upgrade in place."""
-    done = os.path.join(out, "_TILE_WITNESS_V8")
+    done = os.path.join(out, "_TILE_WITNESS_V9")
     if os.path.exists(done):
         return
     import pandas as pd
@@ -839,6 +839,80 @@ def _ensure_tile_witnesses(tag: str, out: str) -> None:
             }
         ),
         os.path.join(out, "witness_media_image.parquet"),
+    )
+
+    # ---- phash Hamming near-dups: tiles_near table + star-edge witness --
+    # tiles_near = the dup table's (image_id, phash) plus 6 deterministic
+    # bit-flipped rows: k<3 flips 2 bits INSIDE band k (within t=3 → must
+    # group with its base), k≥3 flips 6 bits touching ALL 4 bands (beyond
+    # t AND no shared band → must stay isolated)
+    dup_tbl = pq.read_table(
+        os.path.join(out, "tiles_dup.parquet"), columns=["image_id", "phash"]
+    )
+    base_ids = dup_tbl["image_id"].to_pylist()
+    base_ph = dup_tbl["phash"].to_numpy().astype(np.int64)
+    near_ids, near_ph = [], []
+    for k in range(6):
+        if k < 3:
+            mask = (1 << (16 * k)) | (1 << (16 * k + 1))
+        else:
+            mask = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 17) | (1 << 32) | (1 << 48)
+        near_ids.append(f"near{k:04d}")
+        near_ph.append(np.int64(np.uint64(base_ph[k]) ^ np.uint64(mask)))
+    all_ids = base_ids + near_ids
+    all_ph = np.concatenate([base_ph, np.array(near_ph, np.int64)])
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(all_ids, pa.string()),
+                "phash": pa.array(all_ph, pa.int64()),
+            }
+        ),
+        os.path.join(out, "tiles_near.parquet"),
+    )
+    # star-edge witness (the engine's pinned semantics): per 16-bit band
+    # bucket, edge (member ↔ bucket-min-image_id) kept iff hamming ≤ 3;
+    # groups = union-find components, group_id = min image_id (string)
+    buckets: dict[int, list[int]] = {}
+    u64 = all_ph.astype(np.uint64)
+    for b in range(4):
+        key16 = ((u64 >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for i, kk in enumerate(key16):
+            buckets.setdefault((b << 16) | int(kk), []).append(i)
+    parent: dict[str, str] = {}
+
+    def _find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def _popcnt(a: int, b: int) -> int:
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    members: set[str] = set()
+    for mem in buckets.values():
+        rep_i = min(mem, key=lambda i: all_ids[i])
+        for i in mem:
+            if i == rep_i:
+                continue
+            if _popcnt(all_ph[i], all_ph[rep_i]) <= 3:
+                for s in (all_ids[i], all_ids[rep_i]):
+                    parent.setdefault(s, s)
+                ra, rb = _find(all_ids[i]), _find(all_ids[rep_i])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                members.add(all_ids[i])
+                members.add(all_ids[rep_i])
+    wrows = sorted((m, _find(m)) for m in members)
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array([r[0] for r in wrows], pa.string()),
+                "group_id": pa.array([r[1] for r in wrows], pa.string()),
+            }
+        ),
+        os.path.join(out, "witness_phash_near.parquet"),
     )
 
     # ---- vectorize: BFS components of the classified grid --------------

@@ -206,6 +206,21 @@ def q_phash_dedup(sf_dir: str):
     return kept.ds.select_columns(["phash", "image_id"])
 
 
+def q_phash_near_dups(sf_dir: str):
+    """Image near-dup groups by phash Hamming distance ≤ 3: 4×16-bit band
+    LSH (pigeonhole recall = 1), star edges via aggregate(Min) + hash
+    join, popcount verify, distributed CC. Input is the near-dup fixture
+    (dup table + deterministic bit-flipped rows); only (image_id, phash)
+    is ever read — payloads never move."""
+    import ray.data
+
+    d = fixtures.ensure_fixture_dir(os.path.basename(os.path.normpath(sf_dir)))
+    ds = ray.data.read_parquet(
+        f"{d}/tiles_near.parquet", columns=["image_id", "phash"]
+    )
+    return mosaic.phash_near_dups(ds)
+
+
 def q_classify_hist(sf_dir: str):
     ts, _ = tiles_for(sf_dir)
     classified = stats.classify(ts, fixtures.CLASSIFY_BREAKS)
@@ -958,6 +973,7 @@ TILE_QUERIES = {
     "rect_clip_stats": q_rect_clip_stats,
     "zonal_stats": q_zonal_stats,
     "zonal_majority": q_zonal_majority,
+    "phash_near_dups": q_phash_near_dups,
     "voronoi_counts": q_voronoi_counts,
     "idw_mean": q_idw_mean,
     "resample_stats": q_resample_stats,

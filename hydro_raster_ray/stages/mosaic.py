@@ -46,6 +46,7 @@ __all__ = [
     "grid_resample_nearest",
     "assign_to",
     "dedup_exact",
+    "phash_near_dups",
     "top_k_tiles",
     "intersect_tiles",
     "except_tiles",
@@ -982,3 +983,186 @@ def sample_tiles(ts: TileSet, m: int = 10, k: int = 0) -> TileSet:
         ds=ts.ds.map_batches(flt, batch_format="pyarrow", batch_size=None),
         grid=ts.grid,
     )
+
+
+# byte-popcount lookup for the 64-bit Hamming verify (numpy<2 has no
+# bitwise_count; LUT-gather over the 8 bytes is one vectorized pass)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Per-row popcount(x XOR y) of two int64 arrays."""
+    z = (x.astype(np.uint64) ^ y.astype(np.uint64)).view(np.uint8)
+    return _POP8[z].reshape(-1, 8).sum(axis=1).astype(np.int64)
+
+
+def _id64(ids) -> np.ndarray:
+    """Deterministic 64-bit node id per image_id string (blake2b-8; the
+    engine-wide convention for string keys in int64 machinery)."""
+    import hashlib as _hl
+
+    return np.fromiter(
+        (
+            int.from_bytes(_hl.blake2b(s.encode(), digest_size=8).digest(),
+                           "little") >> 1  # non-negative int64
+            for s in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def phash_near_dups(
+    ds: "ray.data.Dataset", t: int = 3, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Image NEAR-duplicate groups by perceptual-hash Hamming distance —
+    the image-side complement of the text MinHash pipeline, over the
+    ``input_hint`` schema's ``phash`` column only (payloads never move).
+
+    Banded LSH with an EXACTNESS guarantee: the 64-bit phash splits into
+    4 disjoint 16-bit bands, and by pigeonhole any pair within ``t ≤ 3``
+    bit flips agrees exactly on ≥ 1 band — so candidate recall is 1, not
+    probabilistic. Shape (the ``minhash_near_dups`` contract):
+
+    - band keys via vectorized shifts; per-bucket STAR edges found with
+      ``groupby(key).aggregate(Min)`` + a hash join back (never a per-key
+      UDF — one Python call per distinct key kills corpus-scale runs);
+    - verify = vectorized 64-bit popcount ≤ t (XOR + byte-LUT gather);
+    - groups via the shared distributed CC primitive on blake2b-8 node
+      ids; ``group_id`` = the component's MIN image_id (string order,
+      hash-independent — the witness mirrors this without knowing node
+      ids).
+
+    Star-edge semantics (witness-pinned, as in ``emb_near_dups``): members
+    link through their bucket's min id when that PAIR verifies; a pair
+    farther than ``t`` from the bucket min joins only through another
+    shared bucket. Returns (image_id, group_id), members of groups ≥ 2.
+    """
+    import ray
+    from ray.data.aggregate import Min as _Min
+
+    from .cc import auto_join_partitions, coerce_schema, connected_components
+
+    if t > 3:
+        raise ValueError("t must be ≤ 3: 4 disjoint 16-bit bands only "
+                         "pigeonhole up to 3 flips")
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["image_id"].to_pylist()
+        u = ph.astype(np.uint64)
+        keys = [
+            ((np.uint64(b) << np.uint64(48))
+             | ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF))).astype(np.int64)
+            for b in range(4)
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "image_id": pa.array(ids * 4, pa.string()),
+                "phash": pa.array(np.tile(ph, 4), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None)
+    mins = rows.groupby("key").aggregate(_Min("image_id", alias_name="rep"))
+    cand = rows.join(mins, "inner", num_partitions, on=("key",))
+
+    # representative phashes: thin (rep, rep_phash) side for the verify join
+    def rep_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rep_id": batch["image_id"],
+                "rep_phash": batch["phash"],
+            }
+        )
+
+    reps = ds.map_batches(rep_side, batch_format="pyarrow", batch_size=None)
+    cand2 = cand.join(
+        reps, "inner", num_partitions, on=("rep",), right_on=("rep_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        rep = batch["rep"].to_pylist()
+        keep = np.array([i != r for i, r in zip(ids, rep)], dtype=bool)
+        if keep.any():
+            d = _hamming64(
+                batch["phash"].to_numpy(zero_copy_only=False)[keep],
+                batch["rep_phash"].to_numpy(zero_copy_only=False)[keep],
+            )
+            keep[np.flatnonzero(keep)[d > t]] = False
+        a_ids = [i for i, k in zip(ids, keep) if k]
+        b_ids = [r for r, k in zip(rep, keep) if k]
+        return pa.table(
+            {
+                "a": pa.array(_id64(a_ids), pa.int64()),
+                "b": pa.array(_id64(b_ids), pa.int64()),
+                "a_img": pa.array(a_ids, pa.string()),
+                "b_img": pa.array(b_ids, pa.string()),
+            }
+        )
+
+    edges = cand2.map_batches(verify, batch_format="pyarrow").materialize()
+    labels = connected_components(
+        edges.select_columns(["a", "b"]), num_partitions=num_partitions
+    )
+
+    # node → image_id map from the edge endpoints (dup-scale, thin)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            batch["a"].to_numpy(zero_copy_only=False),
+                            batch["b"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "img": pa.array(
+                    batch["a_img"].to_pylist() + batch["b_img"].to_pylist(),
+                    pa.string(),
+                ),
+            }
+        )
+
+    # node→image_id joins are keyed on NODE (high-cardinality, dense —
+    # the engine-wide join rule); hash-shuffle groupby outputs are
+    # coerced first (the cc.py schema-less-empty-block failure mode)
+    _nm_schema = pa.schema([("node", pa.int64()), ("image_id", pa.string())])
+    _lab_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("image_id", pa.string())]
+    )
+    node_map = coerce_schema(
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Min("img", alias_name="image_id")),
+        _nm_schema,
+    )
+    lab = coerce_schema(
+        labels.join(node_map, "inner", num_partitions, on=("node",)),
+        _lab_schema,
+    )
+
+    # group representative = MIN image_id within the component (string
+    # order, independent of the int64 hash labels). Attached inside ONE
+    # groupby(label).map_groups — NOT a label-keyed Dataset.join: label
+    # is a LOW-cardinality key and Ray's join aggregator aborts on a
+    # partition that receives zero blocks from one side (probed on Ray
+    # 2.49; the high-cardinality joins above never hit it). Granularity:
+    # one call per component, each component dup-cluster-sized — the
+    # events_sessions per-group contract, not a per-row UDF.
+    def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+        rep = df["image_id"].min()
+        return df[["image_id"]].assign(group_id=rep)
+
+    import pandas as pd  # noqa: F401 — map_groups pandas contract
+
+    return lab.groupby("label").map_groups(attach, batch_format="pandas")

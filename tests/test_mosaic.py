@@ -151,3 +151,47 @@ def test_intersect_except_tiles(ray_session, small_scheme):
     assert exc.ds.count() == small_scheme.n_tiles - n_sub
     # disjoint union restores the full set
     assert inter.ds.count() + exc.ds.count() == small_scheme.n_tiles
+
+
+def test_phash_near_dups_hand_cases(ray_session, tmp_path):
+    """Hamming-LSH image near-dups: ≤3-bit perturbations group with their
+    base (pigeonhole guarantees a shared band), far rows stay out, exact
+    dups group, group_id is the min image_id string, t>3 rejected."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hydro_raster_ray.stages.mosaic import phash_near_dups
+
+    base = 0x123456789ABCDEF0
+    rows = {
+        "a0": base,
+        "a1": base ^ 0b11,                 # 2 flips in band 0 → groups
+        "a2": base,                        # exact dup → groups
+        "b0": base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)),
+        # ^ 4 flips, one per band: no shared band AND d=4 > 3 → isolated
+        "c0": 0x0F0F0F0F0F0F0F0F,          # unrelated
+    }
+    p = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(list(rows), pa.string()),
+                "phash": pa.array(
+                    [v - (1 << 64) if v >= (1 << 63) else v for v in rows.values()],
+                    pa.int64(),
+                ),
+            }
+        ),
+        p,
+    )
+    ds = ray.data.read_parquet(p)
+    got = phash_near_dups(ds).to_pandas().sort_values("image_id")
+    assert list(got["image_id"]) == ["a0", "a1", "a2"]
+    assert set(got["group_id"]) == {"a0"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pigeonhole"):
+        phash_near_dups(ds, t=4)
