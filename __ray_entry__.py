@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_pack_chunks"] = ops.pack_chunks
     q["doc_rarity"] = ops.rarity_scores
     q["doc_dedup_filter"] = ops.dedup_filter
+    q["doc_decontaminate"] = ops.decontaminate
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -373,6 +374,10 @@ SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_tokens AS BIGINT) n_tokens,
        CAST((cum0 + greatest(n_tokens, 1) - 1) // 256 - cum0 // 256 + 1
             AS BIGINT) n_chunks
 FROM c
+""",
+        "doc_decontaminate": f"""
+SELECT doc_id, n_windows, n_hits, contaminated
+FROM read_parquet('{F}/witness_decontam.parquet')
 """,
         "doc_dedup_filter": f"""
 WITH g AS (SELECT doc_id, group_id
@@ -722,6 +727,10 @@ FROM read_parquet('{F}/witness_media_audio.parquet')
         "media_frame_sample": f"""
 SELECT video_id, frame_idx, mean, std
 FROM read_parquet('{F}/witness_media_frames.parquet')
+""",
+        "augment_checks": f"""
+SELECT op, image_id, n_valid, chk
+FROM read_parquet('{F}/witness_augment.parquet')
 """,
         "media_frame_motion": f"""
 SELECT video_id, frame_idx, sad, cut

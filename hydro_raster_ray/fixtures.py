@@ -1223,6 +1223,55 @@ def _ensure_terrain_witnesses(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_augment_witness(tag: str, out: str) -> None:
+    """Image-augmentation witness (own marker → in-place upgrade): per
+    tile and per op (fliplr / flipud / rot90), an ORIENTATION-SENSITIVE
+    positional checksum ``round(Σ z·(r·w_out + c), 2)`` over finite cells
+    of the flipped/rotated truth slice (plain per-tile stats are flip-
+    invariant and would pass a broken transform)."""
+    done = os.path.join(out, "_AUGMENT_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    fns = {"fliplr": np.fliplr, "flipud": np.flipud, "rot90": np.rot90}
+    rows = []
+    for op, fn in fns.items():
+        for tr in range(scheme.n_tile_rows):
+            for tc in range(scheme.n_tile_cols):
+                th, tw = scheme.tile_shape(tr, tc)
+                r0, c0 = scheme.tile_origin_rc(tr, tc)
+                a = fn(_f32(full[r0 : r0 + th, c0 : c0 + tw]))
+                h2, w2 = a.shape
+                pos = (
+                    np.arange(h2, dtype=np.float64)[:, None] * w2
+                    + np.arange(w2, dtype=np.float64)
+                )
+                m = np.isfinite(a)
+                rows.append(
+                    (
+                        op,
+                        tile_id(tr, tc),
+                        int(m.sum()),
+                        round(float((np.where(m, a, 0.0) * pos).sum()), 2),
+                    )
+                )
+    _write_atomic(
+        pa.table(
+            {
+                "op": pa.array([r[0] for r in rows], pa.string()),
+                "image_id": pa.array([r[1] for r in rows], pa.string()),
+                "n_valid": pa.array([r[2] for r in rows], pa.int64()),
+                "chk": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_augment.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_focal_witness(tag: str, out: str) -> None:
     """Focal-statistics witness parquets (own marker → in-place upgrade):
     whole-array ``oracle.focal`` (3×3 mean / range / median) then the
@@ -1590,6 +1639,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_terrain_witnesses(tag, out)
     _ensure_png16_witness(tag, out)
     _ensure_focal_witness(tag, out)
+    _ensure_augment_witness(tag, out)
     _ensure_flowdir_witness(tag, out)
     _ensure_basin_witness(tag, out)
     _ensure_depression_witness(tag, out)

@@ -566,6 +566,48 @@ def q_media_frames(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_augment_checks(sf_dir: str):
+    """Per-image flip/rot90 augmentation verified by an ORIENTATION-
+    SENSITIVE positional checksum (plain stats are flip-invariant); all
+    three ops in one unioned Dataset vs the whole-array witness."""
+    from ..stages.multimodal import augment_tiles
+
+    ts, _ = tiles_for(sf_dir)
+
+    def chk_fn(op):
+        def chk(batch: pa.Table) -> pa.Table:
+            ops_, ids, nv, cks = [], [], [], []
+            for info, arr in iter_tiles(batch, ts.grid):
+                h2, w2 = arr.shape
+                pos = (
+                    np.arange(h2, dtype=np.float64)[:, None] * w2
+                    + np.arange(w2, dtype=np.float64)
+                )
+                m = np.isfinite(arr)
+                ops_.append(op)
+                ids.append(info.image_id)
+                nv.append(int(m.sum()))
+                cks.append(round(float((np.where(m, arr, 0.0) * pos).sum()), 2))
+            return pa.table(
+                {
+                    "op": pa.array(ops_, pa.string()),
+                    "image_id": pa.array(ids, pa.string()),
+                    "n_valid": pa.array(nv, pa.int64()),
+                    "chk": pa.array(cks, pa.float64()),
+                }
+            )
+
+        return chk
+
+    parts = [
+        augment_tiles(ts, op).ds.map_batches(
+            chk_fn(op), batch_format="pyarrow", batch_size=None
+        )
+        for op in ("fliplr", "flipud", "rot90")
+    ]
+    return parts[0].union(parts[1], parts[2])
+
+
 def q_media_frame_motion(sf_dir: str):
     """Consecutive-frame motion energy + shot-cut flags over the
     deterministic rawv-u8 videos (actor-pool full-scan decode; SAD is
@@ -1013,6 +1055,7 @@ TILE_QUERIES = {
     "media_audio_features": q_media_audio,
     "media_frame_sample": q_media_frames,
     "media_frame_motion": q_media_frame_motion,
+    "augment_checks": q_augment_checks,
     "media_image_features": q_media_image_features,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,

@@ -35,6 +35,7 @@ __all__ = [
     "sample_frames",
     "frame_motion",
     "make_fake_videos",
+    "augment_tiles",
     "audio_features",
     "make_fake_audio",
 ]
@@ -417,3 +418,29 @@ def frame_motion(ds, cut_centi_px: int = 4000, concurrency: int = 4,
         concurrency=auto_pool(concurrency),
         fn_constructor_kwargs={"cut_centi_px": cut_centi_px},
     )
+
+
+_AUG_OPS = ("fliplr", "flipud", "rot90")
+
+
+def augment_tiles(ts: TileSet, op: str) -> TileSet:
+    """Deterministic per-image augmentation (flip / 90° rotation) — the
+    standard image-side training-data transform, applied per tile payload
+    (each tile is an image row of the Lance-shaped table; this is an
+    image op, NOT a mosaic-coordinate warp — georef metadata is carried
+    unchanged). ``rot90`` transposes h×w. Pure per-tile map (``map_tiles``
+    lossless path), stateless tasks, streams at any scale."""
+    from .decode import map_tiles
+
+    if op not in _AUG_OPS:
+        raise ValueError(f"op must be one of {_AUG_OPS}, got {op!r}")
+    fn = {
+        "fliplr": np.fliplr,
+        "flipud": np.flipud,
+        "rot90": np.rot90,
+    }[op]
+
+    def apply(arr: np.ndarray, info) -> np.ndarray:
+        return np.ascontiguousarray(fn(arr))
+
+    return map_tiles(ts, apply, lossless=True)

@@ -1227,3 +1227,67 @@ def dedup_filter(
         )
 
     return j.map_batches(keep, batch_format="pyarrow")
+
+
+def decontaminate(
+    sf_dir: str, eval_doc_ids=(0, 1, 2), window: int = 8
+) -> "ray.data.Dataset":
+    """Benchmark DECONTAMINATION (the n-gram overlap check run before
+    training: drop corpus documents that share a ``window``-token span
+    with the eval set). Eval-set window hashes broadcast once via
+    ``ray.put`` — eval benchmarks are thousands of documents, a genuine
+    small side even when the corpus is 10¹² docs — then one streaming
+    membership pass (``np.isin`` against the sorted broadcast array,
+    windows hashed by the exact ``ngram_dup_stats`` arithmetic).
+
+    Eval documents themselves are excluded from the output; zero-token
+    docs have no windows and are excluded (the ngram-family contract).
+    Columns: doc_id, n_windows, n_hits, contaminated."""
+    import duckdb
+
+    ids_sql = ",".join(str(int(i)) for i in eval_doc_ids)
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE doc_id IN ({ids_sql}) ORDER BY doc_id"
+        ).fetchall()
+    ]
+    ev = _shingle_hashes_batch(pd.Series(texts).str.split(), window)
+    parts = [h for h in ev if h.size]
+    eval_hashes = (
+        np.unique(np.concatenate(parts)) if parts
+        else np.array([], dtype=np.uint64)
+    )
+    import ray
+
+    ref = ray.put(eval_hashes)
+    eval_ids = np.array(sorted(int(i) for i in eval_doc_ids), dtype=np.int64)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        evh = ray.get(ref)
+        hs = _shingle_hashes_batch(df["text"].str.split(), window)
+        dids = df["doc_id"].to_numpy(np.int64)
+        n = len(hs)
+        nwin = np.fromiter((h.size for h in hs), np.int64, count=n)
+        hits = np.zeros(n, dtype=np.int64)
+        if nwin.sum():
+            # ONE membership pass over the batch's concatenated windows
+            # (per-doc hash arrays are unique, so a bincount of the member
+            # flags by doc index is the per-doc intersection size)
+            flat = np.concatenate([h for h in hs if h.size])
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), nwin)
+            m = np.isin(flat, evh)
+            hits = np.bincount(doc_of[m], minlength=n).astype(np.int64)
+        keep = (~np.isin(dids, eval_ids)) & (nwin > 0)
+        return pd.DataFrame(
+            {
+                "doc_id": dids[keep],
+                "n_windows": nwin[keep],
+                "n_hits": hits[keep],
+                "contaminated": (hits[keep] > 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=512)

@@ -395,6 +395,45 @@ def ngram_dup_witness(docs: pd.DataFrame, window: int = 8) -> pd.DataFrame:
     ).astype({"doc_id": "int64", "total_windows": "int64", "dup_windows": "int64"})
 
 
+def decontam_witness(
+    docs: pd.DataFrame, eval_doc_ids=(0, 1, 2), window: int = 8
+) -> pd.DataFrame:
+    """Expected (doc_id, n_windows, n_hits, contaminated) of
+    ``ops.decontaminate``: per-doc UNIQUE window-hash sets (the exact
+    ngram_dup arithmetic), eval set = the union over ``eval_doc_ids``,
+    hits = intersection size; eval docs and zero-token docs excluded."""
+    base = int(_FP_BASE)
+    per_doc: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        th = [_h64(w) for w in toks]
+        wins = (
+            [th]
+            if len(th) < window
+            else [th[i : i + window] for i in range(len(th) - window + 1)]
+        )
+        per_doc[int(doc_id)] = {
+            sum(h * pow(base, len(w) - 1 - j, 1 << 64) for j, h in enumerate(w)) & _M64
+            for w in wins
+        }
+    ev: set = set()
+    for i in eval_doc_ids:
+        ev |= per_doc.get(int(i), set())
+    rows = [
+        (did, len(hset), len(hset & ev), int(bool(hset & ev)))
+        for did, hset in sorted(per_doc.items())
+        if did not in set(int(i) for i in eval_doc_ids)
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_windows", "n_hits", "contaminated"]
+    ).astype(
+        {"doc_id": "int64", "n_windows": "int64", "n_hits": "int64",
+         "contaminated": "int64"}
+    )
+
+
 def _write_atomic(df: pd.DataFrame, path: str) -> None:
     """Write-to-temp + rename (same pattern as ``fixtures._write_atomic``):
     a crash mid-generation must never leave a truncated parquet a
@@ -417,7 +456,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V8")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V9")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -447,6 +486,9 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     )
     _write_atomic(
         pq_codes_witness(emb), os.path.join(out_dir, "witness_pq_codes.parquet")
+    )
+    _write_atomic(
+        decontam_witness(docs), os.path.join(out_dir, "witness_decontam.parquet")
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -167,3 +167,51 @@ def test_frame_motion_hand_case(ray_session):
         (1, 40, 0),
         (2, 960, 1),
     ]
+
+
+def test_augment_tiles_round_trip_and_orientation(ray_session, small_scheme):
+    """fliplr twice is identity; rot90 swaps ragged tile shapes; a flip
+    actually moves pixels (orientation-sensitive checksum differs)."""
+    import numpy as np
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.multimodal import augment_tiles
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    f32 = lambda x: x.astype(np.float32).astype(np.float64)  # noqa: E731
+
+    twice = to_array(augment_tiles(augment_tiles(ts, "fliplr"), "fliplr"))
+    np.testing.assert_array_equal(twice, f32(full))
+
+    rows = augment_tiles(ts, "rot90").ds.select_columns(
+        ["image_id", "h", "w"]
+    ).take_all()
+    by = {r["image_id"]: (r["h"], r["w"]) for r in rows}
+    for tr in range(small_scheme.n_tile_rows):
+        for tc in range(small_scheme.n_tile_cols):
+            th, tw = small_scheme.tile_shape(tr, tc)
+            assert by[fixtures.tile_id(tr, tc)] == (tw, th)
+
+    # per-tile fliplr really mirrors each tile's columns
+    one = augment_tiles(ts, "fliplr")
+    got = {}
+    import pyarrow as pa
+
+    from hydro_raster_ray.stages.decode import iter_tiles
+
+    for b in one.ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for info, arr in iter_tiles(b, ts.grid):
+            got[info.image_id] = arr
+    for tr in range(small_scheme.n_tile_rows):
+        for tc in range(small_scheme.n_tile_cols):
+            th, tw = small_scheme.tile_shape(tr, tc)
+            r0, c0 = small_scheme.tile_origin_rc(tr, tc)
+            want = np.fliplr(f32(full[r0 : r0 + th, c0 : c0 + tw]))
+            np.testing.assert_array_equal(got[fixtures.tile_id(tr, tc)], want)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="op must be one of"):
+        augment_tiles(ts, "rot180")

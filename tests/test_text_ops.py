@@ -715,3 +715,39 @@ def test_dedup_filter_semantics():
     assert len(kept) + len(drops) == n_docs
     # every cluster representative survives
     assert set(groups["group_id"]).issubset(kept)
+
+
+def test_decontaminate_hand_cases(tmp_path):
+    """Decontamination: a doc sharing a full window with the eval set is
+    flagged with the right hit count; disjoint docs are clean; eval docs
+    and empty docs are excluded; short docs hash as one whole-doc window."""
+    from hydro_raster_ray.text import ops
+
+    ev = "w1 w2 w3 w4 w5 w6 w7 w8 w9"          # eval doc: 2 windows of 8
+    docs = [
+        ev,                                      # doc 0: the eval doc
+        "x0 w1 w2 w3 w4 w5 w6 w7 w8 x1",        # shares window 1 (not 2)
+        "a b c d e f g h i j",                   # disjoint: 3 windows, 0 hits
+        "w1 w2 w3",                              # short: 1 whole-doc window, no hit
+        "",                                      # empty: excluded
+        "w2 w3 w4 w5 w6 w7 w8 w9",              # exactly eval window 2
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.decontaminate(str(tmp_path), eval_doc_ids=(0,), window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 2, 3, 5]      # 0 is eval, 4 empty
+    assert got.loc[1, "n_windows"] == 3 and got.loc[1, "n_hits"] == 1
+    assert got.loc[1, "contaminated"] == 1
+    assert got.loc[2, "n_hits"] == 0 and got.loc[2, "contaminated"] == 0
+    assert got.loc[3, "n_hits"] == 0            # whole-doc window ≠ any 8-gram
+    assert got.loc[5, "n_windows"] == 1 and got.loc[5, "n_hits"] == 1
