@@ -478,12 +478,15 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
         out = df.groupby(["event_type", "user_id"], as_index=False).agg(
             n=("user_id", "size")
         )
         out["n"] = out["n"].astype(np.int64)
-        return out
+        # Arrow out: feeds a groupby (pandas blocks poison the shuffle)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     counts = (
         ds.map_batches(partial, batch_format="pandas", batch_size=None)

@@ -1085,7 +1085,10 @@ def pack_chunks(sf_dir: str, seq_len: int = 256) -> "ray.data.Dataset":
     return tok.groupby("bucket").map_groups(scan, batch_format="pandas")
 
 
-def rarity_scores(sf_dir: str) -> "ray.data.Dataset":
+def rarity_scores(
+    sf_dir: str, broadcast_budget: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
     """Corpus-level document-frequency (TF-IDF-shaped) rarity scoring: per
     document, the sum over its DISTINCT tokens of ``1_000_000 // df(tok)``
     where ``df`` is the token's document frequency across the corpus — the
@@ -1099,12 +1102,17 @@ def rarity_scores(sf_dir: str) -> "ray.data.Dataset":
        span batches, so within-batch distinct-doc counts are exact
        partials) → one ``groupby(tok).sum`` whose output is VOCABULARY-
        sized, not corpus-sized — the classic partial/combiner df build;
-    2. the df table materializes on the driver (bounded by |vocab| ≪
-       corpus; for open-vocabulary corpora swap this broadcast for a hash
-       join on ``tok`` — same pass-A output feeds it) and broadcasts once
-       via ``ray.put`` as a sorted token array + df array;
-    3. pass B: per-batch distinct tokens per doc → ``searchsorted`` into
-       the broadcast vocab → integer score ``bincount``-summed per doc.
+    2. under ``broadcast_budget`` rows the df table materializes on the
+       driver and broadcasts once via ``ray.put`` (sorted token array +
+       df array); ABOVE it (open-vocabulary corpora — typos/URLs push
+       |vocab| past driver memory) the same pass-A output feeds a native
+       hash join on ``tok`` (high-cardinality: join-safe) against the
+       distinct (doc, tok) pair stream, with per-batch partial per-doc
+       sums → ``groupby(doc_id)`` — nothing vocabulary-sized leaves the
+       cluster;
+    3. pass B (broadcast path): per-batch distinct tokens per doc →
+       ``searchsorted`` into the broadcast vocab → integer score
+       ``bincount``-summed per doc.
 
     Documents with zero tokens are omitted (the SQL unnest+GROUP BY drops
     them identically). Columns: doc_id, n_distinct, rarity_score."""
@@ -1122,26 +1130,72 @@ def rarity_scores(sf_dir: str) -> "ray.data.Dataset":
         pairs = np.unique(doc_of * np.int64(uniq.size) + inv)
         return uniq, pairs // uniq.size, pairs % uniq.size  # vocab, doc, tok
 
-    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_df(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: this table feeds a groupby (pandas blocks poison
+        # Ray's sort shuffle — the doc_pack_chunks engine lesson)
         got = _distinct_pairs(df)
         if got is None:
-            return pd.DataFrame(
-                {"tok": pd.Series([], dtype=object),
-                 "nd": pd.Series([], dtype=np.int64)}
+            return pa.table(
+                {"tok": pa.array([], pa.string()),
+                 "nd": pa.array([], pa.int64())}
             )
         uniq, _, tok_of = got
-        return pd.DataFrame(
-            {"tok": uniq,
-             "nd": np.bincount(tok_of, minlength=uniq.size).astype(np.int64)}
+        return pa.table(
+            {"tok": pa.array(uniq, pa.string()),
+             "nd": pa.array(np.bincount(tok_of, minlength=uniq.size), pa.int64())}
         )
 
-    vocab = (
+    vocab_ds = (
         ds.map_batches(partial_df, batch_format="pandas", batch_size=512)
         .groupby("tok")
         .aggregate(Sum("nd", alias_name="df"))
-        .to_pandas()  # |vocab| rows — bounded, see docstring
-        .sort_values("tok")
+        .materialize()  # |vocab| rows, pinned in the object store
     )
+
+    if vocab_ds.count() > broadcast_budget:
+        # open-vocabulary path: df ⋈ distinct-(doc, tok) pairs on tok
+        from ..stages.cc import auto_join_partitions
+
+        if num_partitions is None:
+            num_partitions = auto_join_partitions()
+
+        def pairs(df: pd.DataFrame) -> pa.Table:
+            got = _distinct_pairs(df)
+            if got is None:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "tok": pa.array([], pa.string())}
+                )
+            uniq, doc_of, tok_of = got
+            dids = df["doc_id"].to_numpy(np.int64)
+            return pa.table(
+                {"doc_id": pa.array(dids[doc_of], pa.int64()),
+                 "tok": pa.array(uniq[tok_of], pa.string())}
+            )
+
+        pair_ds = ds.map_batches(pairs, batch_format="pandas", batch_size=512)
+        j = pair_ds.join(vocab_ds, "inner", num_partitions, on=("tok",))
+
+        def part_sum(df: pd.DataFrame) -> pa.Table:
+            s = df.assign(
+                n_distinct=np.int64(1),
+                rarity_score=(1_000_000 // df["df"].to_numpy(np.int64)),
+            ).groupby("doc_id", as_index=False).agg(
+                n_distinct=("n_distinct", "sum"),
+                rarity_score=("rarity_score", "sum"),
+            )
+            return pa.Table.from_pandas(s, preserve_index=False)
+
+        return (
+            j.map_batches(part_sum, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(
+                Sum("n_distinct", alias_name="n_distinct"),
+                Sum("rarity_score", alias_name="rarity_score"),
+            )
+        )
+
+    vocab = vocab_ds.to_pandas().sort_values("tok")
     vref = ray.put(
         (vocab["tok"].to_numpy(dtype=object), vocab["df"].to_numpy(np.int64))
     )

@@ -751,3 +751,23 @@ def test_decontaminate_hand_cases(tmp_path):
     assert got.loc[2, "n_hits"] == 0 and got.loc[2, "contaminated"] == 0
     assert got.loc[3, "n_hits"] == 0            # whole-doc window ≠ any 8-gram
     assert got.loc[5, "n_windows"] == 1 and got.loc[5, "n_hits"] == 1
+
+
+def test_rarity_join_path_matches_broadcast():
+    """The open-vocabulary hash-join path (broadcast_budget=0) must produce
+    exactly the broadcast path's rows."""
+    from hydro_raster_ray.text import ops
+
+    a = (
+        ops.rarity_scores(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ops.rarity_scores(SF, broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b)
