@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["segment_orders"] = relational.segment_orders
     q["orders_running_total"] = relational.orders_running_total
     q["events_top_users"] = relational.events_top_users_per_type
+    q["events_hll"] = relational.events_hll
     return q
 
 
@@ -553,6 +554,9 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             AS BIGINT) AS run_cents
 FROM orders
+""",
+        "events_hll": f"""
+SELECT reg, rho FROM read_parquet('{F}/witness_hll.parquet')
 """,
         "events_top_users": """
 SELECT event_type, CAST(user_id AS BIGINT) AS user_id,

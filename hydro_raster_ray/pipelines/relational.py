@@ -24,6 +24,8 @@ __all__ = [
     "order_priority_revenue",
     "orders_running_total",
     "events_top_users_per_type",
+    "events_hll",
+    "hll_estimate",
 ]
 
 
@@ -511,3 +513,65 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     return cand.repartition(1).map_batches(
         prune, batch_format="pandas", batch_size=None
     )
+
+
+def events_hll(sf_dir: str, column: str = "user_id") -> "ray.data.Dataset":
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007, public
+    literature) over an events column — the mergeable streaming sketch a
+    100-TB pipeline uses where exact COUNT(DISTINCT) would shuffle every
+    row. 256 registers; hash = ``splitmix64`` (the engine's vectorized
+    primitive), register = top 8 hash bits, rho = 1 + leading-zero count
+    of the remaining 56 bits (0-remainder → 57).
+
+    Insert is idempotent (same key → same register/rho), so NO distinct
+    pass is needed: each batch reduces to its 256 partial register maxima
+    (``np.maximum.at``; rho extracted exactly via unpackbits — float log2
+    would mis-round near powers of two), then one 256-key ``groupby.Max``
+    merges batches — registers are what a multi-node merge ships, ~2 KB
+    per node regardless of corpus size. Returns all 256 rows (reg, rho);
+    rho=0 marks a never-touched register. The estimate derivation is
+    driver-side arithmetic over this table (see tests)."""
+    from ..hashvec import splitmix64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=[column])
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        h = splitmix64(df[column].to_numpy(np.int64).view(np.uint64))
+        reg = (h >> np.uint64(56)).astype(np.int64)
+        rem = h & np.uint64((1 << 56) - 1)
+        bits = np.unpackbits(
+            rem.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+        )[:, 8:]
+        any_set = bits.any(axis=1)
+        rho = np.where(any_set, bits.argmax(axis=1) + 1, 57).astype(np.int64)
+        regs = np.zeros(256, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        return pa.table(
+            {
+                "reg": pa.array(np.arange(256, dtype=np.int64), pa.int64()),
+                "rho": pa.array(regs, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(registers: "pd.DataFrame") -> float:
+    """Standard HLL estimate from the (reg, rho) table (m=256, alpha for
+    m ≥ 128, with the small-range linear-counting correction)."""
+    rho = registers.sort_values("reg")["rho"].to_numpy(np.int64)
+    m = rho.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -434,6 +434,25 @@ def decontam_witness(
     )
 
 
+def hll_witness(keys, m: int = 256) -> pd.DataFrame:
+    """Expected (reg, rho) registers of ``relational.events_hll``:
+    scalar splitmix64 per key, register = top 8 bits, rho = 1 + leading
+    zeros of the low 56 bits (0 → 57), max per register — Python-int
+    mirror of the vectorized unpackbits path."""
+    regs = [0] * m
+    for k in keys:
+        h = _sm64(int(k) & _M64)
+        r = h >> 56
+        rem = h & ((1 << 56) - 1)
+        rho = 57 - rem.bit_length() if rem else 57
+        if rho > regs[r]:
+            regs[r] = rho
+    return pd.DataFrame(
+        {"reg": pd.Series(range(m), dtype=np.int64),
+         "rho": pd.Series(regs, dtype=np.int64)}
+    )
+
+
 def _write_atomic(df: pd.DataFrame, path: str) -> None:
     """Write-to-temp + rename (same pattern as ``fixtures._write_atomic``):
     a crash mid-generation must never leave a truncated parquet a
@@ -456,7 +475,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V9")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V10")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -489,6 +508,12 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     )
     _write_atomic(
         decontam_witness(docs), os.path.join(out_dir, "witness_decontam.parquet")
+    )
+    ev_keys = pq.read_table(
+        os.path.join(testdata_root, tag, "events.parquet"), columns=["user_id"]
+    )["user_id"].to_numpy()
+    _write_atomic(
+        hll_witness(ev_keys), os.path.join(out_dir, "witness_hll.parquet")
     )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -90,3 +90,27 @@ def test_top_users_hand_cases(tmp_path):
     b = got[got["event_type"] == "b"]
     assert list(b["user_id"]) == [1] and list(b["n_events"]) == [2]
     assert len(got) == 4                          # user 99 pruned by k=3
+
+
+def test_hll_registers_and_estimate(tmp_path):
+    """HLL: register table matches the scalar witness bit-for-bit; the
+    estimate lands within the expected relative error of the true distinct
+    count (m=256 → σ ≈ 1.04/√m ≈ 6.5%; assert 4σ); merging is idempotent
+    under duplicates."""
+    import duckdb
+
+    from hydro_raster_ray.pipelines.relational import events_hll, hll_estimate
+    from hydro_raster_ray.text.witness import hll_witness
+
+    SF = "/root/testdata/sf0.01"
+    got = events_hll(SF).to_pandas().sort_values("reg").reset_index(drop=True)
+    keys = duckdb.sql(
+        f"SELECT user_id FROM read_parquet('{SF}/events.parquet')"
+    ).df()["user_id"].to_numpy()
+    want = hll_witness(keys)
+    pd.testing.assert_frame_equal(got, want)
+    true_n = len(np.unique(keys))
+    est = hll_estimate(got)
+    assert abs(est - true_n) / true_n < 4 * 1.04 / np.sqrt(256)
+    # duplicates don't move registers: witness over keys ++ keys is equal
+    pd.testing.assert_frame_equal(hll_witness(list(keys) + list(keys)), want)
