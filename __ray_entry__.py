@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_running_total"] = relational.orders_running_total
     q["events_top_users"] = relational.events_top_users_per_type
     q["events_hll"] = relational.events_hll
+    q["events_retention"] = relational.events_retention
     return q
 
 
@@ -554,6 +555,19 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             AS BIGINT) AS run_cents
 FROM orders
+""",
+        "events_retention": """
+WITH p AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events),
+ act AS (SELECT day, count(*) AS n_active FROM p GROUP BY day),
+ ret AS (SELECT a.day, count(*) AS n_ret
+         FROM p a JOIN p b
+           ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+         GROUP BY a.day)
+SELECT act.day, CAST(act.n_active AS BIGINT) AS n_active,
+       CAST(coalesce(ret.n_ret, 0) AS BIGINT) AS n_retained
+FROM act LEFT JOIN ret USING (day)
 """,
         "events_hll": f"""
 SELECT reg, rho FROM read_parquet('{F}/witness_hll.parquet')

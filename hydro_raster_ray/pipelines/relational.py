@@ -26,6 +26,7 @@ __all__ = [
     "events_top_users_per_type",
     "events_hll",
     "hll_estimate",
+    "events_retention",
 ]
 
 
@@ -575,3 +576,77 @@ def hll_estimate(registers: "pd.DataFrame") -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def events_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Day-over-day retention: per activity day, how many users were
+    active that day AND the next (attributed to the first day) — the
+    cohort-retention join expressed without a self-join of the event log.
+
+    Shape: per-batch DISTINCT (user, day) partials → one
+    ``groupby(user, day)`` dedup (the only corpus-wide shuffle, on the
+    high-cardinality pair key) → ``groupby(user).map_groups`` finds each
+    user's consecutive-day pairs with one sort + diff (per-user history
+    fits a task; the sessionization contract) → thin ``groupby(day)``
+    sums. All counts exact ints. Columns: day, n_active, n_retained."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def distinct_pairs(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(df["day"].to_numpy().astype("datetime64[D]"))
+        nxt = (np.diff(days.astype(np.int64)) == 1)
+        return pd.DataFrame(
+            {
+                "day": days.astype("datetime64[us]"),
+                "act": np.ones(days.size, np.int64),
+                "ret": np.r_[nxt, False].astype(np.int64),
+            }
+        )
+
+    per_day = pairs.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = df.groupby("day", as_index=False).agg(
+            act=("act", "sum"), ret=("ret", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        per_day.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("act", alias_name="n_active"),
+            Sum("ret", alias_name="n_retained"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["day"].astype("datetime64[us]"),
+                "n_active": df["n_active"].astype(np.int64),
+                "n_retained": df["n_retained"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")

@@ -114,3 +114,43 @@ def test_hll_registers_and_estimate(tmp_path):
     assert abs(est - true_n) / true_n < 4 * 1.04 / np.sqrt(256)
     # duplicates don't move registers: witness over keys ++ keys is equal
     pd.testing.assert_frame_equal(hll_witness(list(keys) + list(keys)), want)
+
+
+def test_retention_hand_cases(tmp_path):
+    """Retention: consecutive calendar days count, gaps don't, duplicate
+    same-day events dedup, multi-day streaks attribute to each first day."""
+    rows = [
+        (1, "2024-01-01 08:00"), (1, "2024-01-01 22:00"),  # dup day
+        (1, "2024-01-02 01:00"),                           # retained 1→2
+        (1, "2024-01-04 01:00"),                           # gap: 2→4 no
+        (2, "2024-01-01 09:00"),                           # one-day user
+        (3, "2024-01-02 09:00"), (3, "2024-01-03 09:00"),
+        (3, "2024-01-04 09:00"),                           # streak 2,3,4
+    ]
+    n = len(rows)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    from hydro_raster_ray.pipelines.relational import events_retention
+
+    got = (
+        events_retention(str(tmp_path))
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    d = pd.Timestamp
+    assert got.loc[d("2024-01-01"), "n_active"] == 2   # users 1, 2
+    assert got.loc[d("2024-01-01"), "n_retained"] == 1  # only user 1
+    assert got.loc[d("2024-01-02"), "n_active"] == 2   # users 1, 3
+    assert got.loc[d("2024-01-02"), "n_retained"] == 1  # user 3 (1 gapped)
+    assert got.loc[d("2024-01-03"), "n_retained"] == 1  # user 3 streak
+    assert got.loc[d("2024-01-04"), "n_retained"] == 0  # last day
