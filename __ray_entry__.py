@@ -202,6 +202,20 @@ SELECT z3.id AS zone, CAST(count(*) AS BIGINT) n,
 FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f
 GROUP BY z3.id
 """,
+        "tile_pack_shards": f"""
+WITH t AS (SELECT image_id, octet_length(bytes) AS nb,
+        coalesce(sum(octet_length(bytes))
+                   OVER (ORDER BY image_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum0
+      FROM read_parquet('{F}/tiles.parquet'))
+SELECT image_id, CAST(nb AS BIGINT) AS n_bytes,
+       CAST(cum0 // 262144 AS BIGINT) AS first_shard,
+       CAST((cum0 + nb - 1) // 262144 AS BIGINT) AS last_shard,
+       CAST((cum0 + nb - 1) // 262144 - cum0 // 262144 + 1
+            AS BIGINT) AS n_shards
+FROM t
+""",
         "phash_near_dups": f"""
 SELECT image_id, group_id
 FROM read_parquet('{F}/witness_phash_near.parquet')

@@ -206,6 +206,14 @@ def q_phash_dedup(sf_dir: str):
     return kept.ds.select_columns(["phash", "image_id"])
 
 
+def q_pack_shards(sf_dir: str):
+    """WebDataset-style shard packing of the tile payload stream (ordered
+    byte prefix-sum over image_id order); SQL oracle is the window SUM of
+    octet_length over the same order."""
+    ts, _ = tiles_for(sf_dir)
+    return mosaic.pack_shards(ts)
+
+
 def q_phash_near_dups(sf_dir: str):
     """Image near-dup groups by phash Hamming distance ≤ 3: 4×16-bit band
     LSH (pigeonhole recall = 1), star edges via aggregate(Min) + hash
@@ -1016,6 +1024,7 @@ TILE_QUERIES = {
     "zonal_stats": q_zonal_stats,
     "zonal_majority": q_zonal_majority,
     "phash_near_dups": q_phash_near_dups,
+    "tile_pack_shards": q_pack_shards,
     "voronoi_counts": q_voronoi_counts,
     "idw_mean": q_idw_mean,
     "resample_stats": q_resample_stats,

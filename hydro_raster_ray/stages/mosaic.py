@@ -51,6 +51,7 @@ __all__ = [
     "intersect_tiles",
     "except_tiles",
     "sample_tiles",
+    "pack_shards",
 ]
 
 _FRAG_FIELDS = [
@@ -1166,3 +1167,84 @@ def phash_near_dups(
     import pandas as pd  # noqa: F401 — map_groups pandas contract
 
     return lab.groupby("label").map_groups(attach, batch_format="pandas")
+
+
+def pack_shards(ts: TileSet, shard_bytes: int = 262_144) -> "ray.data.Dataset":
+    """Training-shard packing for image payloads: lay every tile out
+    back-to-back in ``image_id`` order (== row-major tile order) and cut
+    the byte stream into fixed ``shard_bytes`` shards; per tile report its
+    shard span — the image-side analog of ``pack_chunks`` (what a
+    WebDataset-style shard writer needs to map corpus position back to
+    provenance).
+
+    Distributed ordered prefix-sum (the pack_chunks scan): bucket =
+    ``tile_row`` (contiguous in the sort order); pass A reduces per-batch
+    per-bucket byte sums to one number per bucket (driver exclusive
+    prefix, broadcast); pass B sorts each bucket and cumsums locally.
+    Payload LENGTHS come from one vectorized ``binary_length`` and the
+    payload column is dropped immediately. Columns: image_id, n_bytes,
+    first_shard, last_shard, n_shards."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "tile_row": batch["tile_row"],
+                "nb": pc.cast(pc.binary_length(batch["bytes"]), pa.int64()),
+            }
+        )
+
+    meta = ts.ds.map_batches(lengths, batch_format="pyarrow", batch_size=None)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        tr = t["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(tr, return_inverse=True)
+        return pa.table(
+            {
+                "tile_row": pa.array(uniq, pa.int64()),
+                "tot": pa.array(np.bincount(inv, weights=nb).astype(np.int64),
+                                pa.int64()),
+            }
+        )
+
+    totals = (
+        meta.map_batches(bucket_partial, batch_format="pyarrow",
+                         batch_size=None)
+        .groupby("tile_row")
+        .aggregate(_Sum("tot", alias_name="tot"))
+        .to_pandas()  # ≤ n_tile_rows rows
+        .sort_values("tile_row")
+    )
+    trs = totals["tile_row"].to_numpy(np.int64)
+    offs = np.r_[
+        np.zeros(1, np.int64),
+        np.cumsum(totals["tot"].to_numpy(np.int64))[:-1],
+    ]
+    oref = ray.put((trs, offs))
+
+    def scan(df):
+        import pandas as pd
+        import ray as _ray
+
+        t_arr, o_arr = _ray.get(oref)
+        df = df.sort_values("image_id")
+        nb = df["nb"].to_numpy(np.int64)
+        off0 = int(o_arr[np.searchsorted(t_arr, int(df["tile_row"].iloc[0]))])
+        start = off0 + np.r_[np.zeros(1, np.int64), np.cumsum(nb)[:-1]]
+        first = start // shard_bytes
+        last = (start + nb - 1) // shard_bytes
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"].to_numpy(),
+                "n_bytes": nb,
+                "first_shard": first,
+                "last_shard": last,
+                "n_shards": last - first + 1,
+            }
+        )
+
+    return meta.groupby("tile_row").map_groups(scan, batch_format="pandas")

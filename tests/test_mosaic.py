@@ -195,3 +195,28 @@ def test_phash_near_dups_hand_cases(ray_session, tmp_path):
 
     with _pt.raises(ValueError, match="pigeonhole"):
         phash_near_dups(ds, t=4)
+
+
+def test_pack_shards_contiguity(ray_session, small_scheme):
+    """Shard spans tile the byte stream exactly: spans are contiguous in
+    image_id order, cover sum(n_bytes) bytes, and straddling tiles span
+    ceil over the boundary."""
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.mosaic import pack_shards
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    S = 10_000
+    got = (
+        pack_shards(ts, shard_bytes=S)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    start = 0
+    for _, r in got.iterrows():
+        assert r["first_shard"] == start // S
+        assert r["last_shard"] == (start + r["n_bytes"] - 1) // S
+        assert r["n_shards"] == r["last_shard"] - r["first_shard"] + 1
+        start += int(r["n_bytes"])
+    assert got["last_shard"].iloc[-1] == (start - 1) // S
