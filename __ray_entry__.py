@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_near_dups"] = ann.emb_near_dups
     q["emb_quantize"] = ann.emb_quantize
     q["emb_pq"] = ann.emb_pq
+    q["ann_ivfpq_topk"] = ann.ivfpq_topk
     q["cluster_doc_stats"] = ann.cluster_doc_stats
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
@@ -464,6 +465,10 @@ SELECT CAST(a.centroid AS BIGINT) centroid,
        CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en
 FROM a JOIN documents d ON d.doc_id = a.vec_id
 GROUP BY a.centroid
+""",
+        "ann_ivfpq_topk": f"""
+SELECT qid, vec_id, adist_ppm, rank
+FROM read_parquet('{F}/witness_ivfpq_topk.parquet')
 """,
         "emb_pq": f"""
 SELECT vec_id, c0, c1, c2, c3, err_ppm

@@ -32,6 +32,8 @@ __all__ = [
     "emb_near_dups",
     "emb_quantize",
     "emb_pq",
+    "pq_train",
+    "ivfpq_topk",
     "cluster_doc_stats",
 ]
 
@@ -640,6 +642,37 @@ def emb_pq(
     same numpy expression tree as the single-process witness, so codes,
     ties, and ``err_ppm`` hash-match it bit-for-bit. Columns: vec_id,
     c0..c{m-1}, err_ppm."""
+    books = pq_train(sf_dir, m=m, k=k, iters=iters)
+    sd = books.shape[2]
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    ref = ray.put(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        bks = ray.get(ref)
+        mat = _batch_matrix(df)
+        n = mat.shape[0]
+        err = np.zeros(n, dtype=np.float64)
+        out = {"vec_id": df["vec_id"].astype(np.int64)}
+        for s in range(m):
+            sub = mat[:, s * sd : (s + 1) * sd]
+            d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            out[f"c{s}"] = pd.Series(best.astype(np.int64), index=df.index)
+            err = err + d2[np.arange(n), best]
+        out["err_ppm"] = pd.Series(
+            np.floor(err * 1e6).astype(np.int64), index=df.index
+        )
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_train(
+    sf_dir: str, m: int = 4, k: int = 16, iters: int = 3
+) -> np.ndarray:
+    """Distributed PQ codebook training (the Lloyd loop of ``emb_pq``,
+    exposed for IVF-PQ search): returns the (m, k, sub_dim) codebooks,
+    9-decimal rounded per iteration (the determinism contract)."""
     from ray.data.aggregate import Sum as _Sum
 
     _, qm = _load_queries(sf_dir, range(k))
@@ -690,26 +723,104 @@ def emb_pq(
                 )
         books = np.round(new, 9)
 
-    ref = ray.put(books)
+    return books
 
-    def encode(df: pd.DataFrame) -> pd.DataFrame:
-        bks = ray.get(ref)
-        mat = _batch_matrix(df)
-        n = mat.shape[0]
-        err = np.zeros(n, dtype=np.float64)
-        out = {"vec_id": df["vec_id"].astype(np.int64)}
-        for s in range(m):
-            sub = mat[:, s * sd : (s + 1) * sd]
-            d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
-            best = np.argmin(d2, axis=1)
-            out[f"c{s}"] = pd.Series(best.astype(np.int64), index=df.index)
-            err = err + d2[np.arange(n), best]
-        out["err_ppm"] = pd.Series(
-            np.floor(err * 1e6).astype(np.int64), index=df.index
+
+def ivfpq_topk(
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8,
+    m: int = 4, kpq: int = 16, iters: int = 3, nprobe: int = 1,
+) -> "ray.data.Dataset":
+    """IVF-PQ search (the full compressed-domain ANN stack): IVF restricts
+    the scan to each query's ``nprobe`` bucket partitions (``ivf_build``
+    layout — only probed buckets leave storage) and ranking uses the PQ
+    ASYMMETRIC distance — per query ONE (m × kpq) table of exact
+    query-subvector→codeword distances, each candidate scored by m table
+    lookups on its PQ code. Approximate by design (both bucket pruning
+    and code quantization); the exact baseline is ``brute_force_topk``.
+
+    Determinism: codebooks from ``pq_train`` (9-dec rounding), distances
+    floor-quantized to ppm integers BEFORE the per-batch partial top-k
+    (the rounded tie-stable pruning contract), ties by vec_id. Columns:
+    qid, vec_id, adist_ppm, rank (ascending distance)."""
+    books = pq_train(sf_dir, m=m, k=kpq, iters=iters)
+    sd = books.shape[2]
+    idx = ivf_build(sf_dir, n_centroids)
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qids, qm = _load_queries(sf_dir, query_ids)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = cids[
+        np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, : max(1, nprobe)]
+    ]
+    # per-query ADC tables: dt[q][s, c] = ||q_sub_s - books[s, c]||²
+    dts = np.stack(
+        [
+            np.stack(
+                [
+                    ((qm[qi, s * sd : (s + 1) * sd][None, :] - books[s]) ** 2).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )  # (nq, m, kpq)
+
+    def make_partial(sub_qids: np.ndarray, sub_dts: np.ndarray):
+        ref = ray.put((sub_qids, sub_dts, books))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            ids, dtabs, bks = ray.get(ref)
+            mat = _batch_matrix(df)
+            n = mat.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                sub = mat[:, s * sd : (s + 1) * sd]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            vec_ids = df["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(ids):
+                ad = np.zeros(n, dtype=np.float64)
+                for s in range(m):  # fixed s order — witness parity
+                    ad = ad + dtabs[j, s][codes[:, s]]
+                ppm = np.floor(ad * 1e6).astype(np.int64)
+                keep = vec_ids != qid
+                vv, dd = vec_ids[keep], ppm[keep]
+                if dd.size > k:
+                    top = np.lexsort((vv, dd))[:k]
+                    vv, dd = vv[top], dd[top]
+                out.append(
+                    pd.DataFrame({"qid": qid, "vec_id": vv, "adist_ppm": dd})
+                )
+            return pd.concat(out, ignore_index=True)
+
+        return partial
+
+    parts = []
+    for b in np.unique(probes):
+        sel = (probes == b).any(axis=1)
+        ds_b = ray.data.read_parquet(
+            os.path.join(idx, f"centroid={int(b)}"),
+            columns=["vec_id", "embedding"],
         )
-        return pd.DataFrame(out)
+        parts.append(
+            ds_b.map_batches(
+                make_partial(qids[sel], dts[sel]), batch_format="pandas"
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.union(p)
 
-    return ds.map_batches(encode, batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["adist_ppm", "vec_id"]).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["vec_id"] = df["vec_id"].astype(np.int64)
+        df["adist_ppm"] = df["adist_ppm"].astype(np.int64)
+        return df
+
+    return cand.groupby("qid").map_groups(final, batch_format="pandas")
 
 
 def cluster_doc_stats(

@@ -434,6 +434,67 @@ def decontam_witness(
     )
 
 
+def ivfpq_topk_witness(
+    emb: pd.DataFrame, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8,
+    m: int = 4, kpq: int = 16, iters: int = 3, nprobe: int = 1,
+) -> pd.DataFrame:
+    """Expected (qid, vec_id, adist_ppm, rank) of ``ann.ivfpq_topk``:
+    IVF bucket pruning (the ivf_topk_witness logic) + PQ asymmetric
+    distance with whole-table-trained codebooks (the pq_codes_witness
+    Lloyd, 9-dec rounding) — identical expression trees, so the floor-ppm
+    distances match bit-for-bit."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    dim = mat.shape[1]
+    sd = dim // m
+    books = []
+    codes = np.zeros((mat.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        sub = mat[:, s * sd : (s + 1) * sd]
+        cb = np.round(sub[:kpq], 9)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            new = cb.copy()
+            for c in range(kpq):
+                sel = sub[best == c]
+                if sel.shape[0]:
+                    new[c] = sel.sum(axis=0) / sel.shape[0]
+            cb = np.round(new, 9)
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+        books.append(cb)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cn = mn[:n_centroids]
+    cids = ids[:n_centroids]
+    bucket = cids[np.argmax(mn @ cn.T, axis=1)]
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(ids, qid))
+        probed = cids[
+            np.argsort(-(mn[qi] @ cn.T), kind="stable")[: max(1, nprobe)]
+        ]
+        keep = np.isin(bucket, probed) & (ids != qid)
+        ad = np.zeros(mat.shape[0], dtype=np.float64)
+        for s in range(m):
+            dt = ((mat[qi, s * sd : (s + 1) * sd][None, :] - books[s]) ** 2).sum(axis=1)
+            ad = ad + dt[codes[:, s]]
+        ppm = np.floor(ad * 1e6).astype(np.int64)
+        vv, dd = ids[keep], ppm[keep]
+        order = np.lexsort((vv, dd))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((int(qid), int(vv[j]), int(dd[j]), rank))
+    return pd.DataFrame(
+        {
+            "qid": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "vec_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+            "adist_ppm": pd.Series([r[2] for r in rows], dtype=np.int64),
+            "rank": pd.Series([r[3] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def hll_witness(keys, m: int = 256) -> pd.DataFrame:
     """Expected (reg, rho) registers of ``relational.events_hll``:
     scalar splitmix64 per key, register = top 8 bits, rho = 1 + leading
@@ -475,7 +536,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V10")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V11")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -514,6 +575,10 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     )["user_id"].to_numpy()
     _write_atomic(
         hll_witness(ev_keys), os.path.join(out_dir, "witness_hll.parquet")
+    )
+    _write_atomic(
+        ivfpq_topk_witness(emb),
+        os.path.join(out_dir, "witness_ivfpq_topk.parquet"),
     )
     with open(done, "w") as f:
         f.write("ok\n")
