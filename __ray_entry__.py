@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_rarity"] = ops.rarity_scores
     q["doc_dedup_filter"] = ops.dedup_filter
     q["doc_decontaminate"] = ops.decontaminate
+    q["doc_lang_confusion"] = ops.lang_confusion
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -441,6 +442,11 @@ SELECT source,
 FROM inj GROUP BY source
 """,
         "doc_lang_id": _lang_sql(),
+        "doc_lang_confusion": f"""
+WITH L AS ({_lang_sql()})
+SELECT pred_lang, lang, CAST(count(*) AS BIGINT) AS n
+FROM L GROUP BY pred_lang, lang
+""",
         "doc_jaccard_query": """
 WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') toks FROM documents),
  s AS (SELECT doc_id,

@@ -39,6 +39,7 @@ __all__ = [
     "pack_chunks",
     "rarity_scores",
     "dedup_filter",
+    "lang_confusion",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1345,3 +1346,24 @@ def decontaminate(
         )
 
     return ds.map_batches(flag, batch_format="pandas", batch_size=512)
+
+
+def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID evaluation: the (predicted, truth) confusion-matrix
+    counts over the corpus — the quality readout a model-based classifier
+    stage reports. Rides ``lang_id`` then reduces with per-batch partial
+    counts + one |langs|²-bounded groupby. Columns: pred_lang, lang, n."""
+    scored = lang_id(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(["pred_lang", "lang"], as_index=False).agg(
+            n=("lang", "size")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        scored.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["pred_lang", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
