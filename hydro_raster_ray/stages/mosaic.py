@@ -1110,6 +1110,17 @@ def phash_near_dups(
         )
 
     edges = cand2.map_batches(verify, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # no verified near-dup pair anywhere: short-circuit — the joins
+        # below would feed zero-block sides into Ray's join (the
+        # empty-partition abort)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [("image_id", pa.string()), ("group_id", pa.string())]
+            ).empty_table()
+        )
     labels = connected_components(
         edges.select_columns(["a", "b"]), num_partitions=num_partitions
     )

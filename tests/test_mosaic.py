@@ -220,3 +220,27 @@ def test_pack_shards_contiguity(ray_session, small_scheme):
         assert r["n_shards"] == r["last_shard"] - r["first_shard"] + 1
         start += int(r["n_bytes"])
     assert got["last_shard"].iloc[-1] == (start - 1) // S
+
+
+def test_phash_near_dups_no_dups_is_empty(ray_session, tmp_path):
+    """All phashes pairwise far apart in every band → zero edges → empty
+    result (exercises the empty-CC path end to end)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hydro_raster_ray.stages.mosaic import phash_near_dups
+
+    vals = [0x0000000000000000, 0x1111111111111111, 0x2222222222222222]
+    p = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(
+        pa.table({
+            "image_id": pa.array([f"x{i}" for i in range(3)], pa.string()),
+            "phash": pa.array(vals, pa.int64()),
+        }),
+        p,
+    )
+    out = phash_near_dups(ray.data.read_parquet(p)).to_pandas()
+    assert len(out) == 0
