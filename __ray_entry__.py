@@ -204,6 +204,17 @@ SELECT z3.id AS zone, CAST(count(*) AS BIGINT) n,
 FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f
 GROUP BY z3.id
 """,
+        "caption_stats": f"""
+SELECT CAST(regexp_extract(caption, 'cellsize=([0-9.]+)', 1) AS DOUBLE)
+           AS cellsize,
+       regexp_extract(caption, 'crs=(\\S+)', 1) AS crs,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN regexp_extract(caption, 'DEM tile (\\S+) ', 1)
+                          = image_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_id_ok
+FROM read_parquet('{F}/tiles.parquet')
+GROUP BY 1, 2
+""",
         "tile_pack_shards": f"""
 WITH t AS (SELECT image_id, octet_length(bytes) AS nb,
         coalesce(sum(octet_length(bytes))

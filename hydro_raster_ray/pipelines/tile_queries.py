@@ -206,6 +206,42 @@ def q_phash_dedup(sf_dir: str):
     return kept.ds.select_columns(["phash", "image_id"])
 
 
+def q_caption_stats(sf_dir: str):
+    """Caption-metadata audit over the ``input_hint`` caption column:
+    parse cellsize/CRS out of each caption, verify the embedded tile id
+    matches ``image_id`` (the per-row verbatim-carry gate as a QUERY), and
+    reduce to per-(cellsize, crs) counts. The payload column is never
+    read — pure column-pruned metadata scan."""
+    import ray.data
+
+    d = fixtures.ensure_fixture_dir(os.path.basename(os.path.normpath(sf_dir)))
+    ds = ray.data.read_parquet(
+        f"{d}/tiles.parquet", columns=["image_id", "caption"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cs = df["caption"].str.extract(r"cellsize=([0-9.]+)", expand=False)
+        crs = df["caption"].str.extract(r"crs=(\S+)", expand=False)
+        tid = df["caption"].str.extract(r"DEM tile (\S+) ", expand=False)
+        out = pd.DataFrame(
+            {
+                "cellsize": cs.astype(np.float64),
+                "crs": crs,
+                "n": np.int64(1),
+                "n_id_ok": (tid == df["image_id"]).astype(np.int64),
+            }
+        ).groupby(["cellsize", "crs"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["cellsize", "crs"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("n_id_ok", alias_name="n_id_ok")
+        )
+    )
+
+
 def q_pack_shards(sf_dir: str):
     """WebDataset-style shard packing of the tile payload stream (ordered
     byte prefix-sum over image_id order); SQL oracle is the window SUM of
@@ -1025,6 +1061,7 @@ TILE_QUERIES = {
     "zonal_majority": q_zonal_majority,
     "phash_near_dups": q_phash_near_dups,
     "tile_pack_shards": q_pack_shards,
+    "caption_stats": q_caption_stats,
     "voronoi_counts": q_voronoi_counts,
     "idw_mean": q_idw_mean,
     "resample_stats": q_resample_stats,
