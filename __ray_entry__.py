@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_dedup_filter"] = ops.dedup_filter
     q["doc_decontaminate"] = ops.decontaminate
     q["doc_lang_confusion"] = ops.lang_confusion
+    q["doc_token_cms"] = ops.token_cms
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -453,6 +454,9 @@ SELECT source,
 FROM inj GROUP BY source
 """,
         "doc_lang_id": _lang_sql(),
+        "doc_token_cms": f"""
+SELECT cell, cnt FROM read_parquet('{F}/witness_cms.parquet')
+""",
         "doc_lang_confusion": f"""
 WITH L AS ({_lang_sql()})
 SELECT pred_lang, lang, CAST(count(*) AS BIGINT) AS n

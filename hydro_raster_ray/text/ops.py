@@ -40,6 +40,8 @@ __all__ = [
     "rarity_scores",
     "dedup_filter",
     "lang_confusion",
+    "token_cms",
+    "cms_estimate",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1367,3 +1369,83 @@ def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["pred_lang", "lang"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def token_cms(
+    sf_dir: str, depth: int = 4, width: int = 1024
+) -> "ray.data.Dataset":
+    """Count-Min sketch of corpus token frequencies (Cormode &
+    Muthukrishnan 2005, public literature) — the mergeable heavy-hitter
+    counter a 100-TB pipeline uses where an exact token-count table would
+    be vocabulary-sized state per node.
+
+    Every update is an ADD, so the sketch is exactly order- and
+    partitioning-independent (unlike Misra-Gries, whose merge depends on
+    batch boundaries) — per batch: blake2b token hashes (the
+    ``_token_hashes`` batched path) re-mixed per row with
+    ``splitmix64(h ^ row_seed)``, one ``bincount`` per row; merge = one
+    ``groupby(cell).Sum`` over depth·width cells. Returns the full
+    counter table (cell = row·width + col, cnt), the state a point-query
+    ``min`` reads. ``cms_estimate`` derives point estimates driver-side."""
+    from ..hashvec import splitmix64
+
+    ds = read_documents(sf_dir, columns=["text"])
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(
+        0xA24BAED4963EE407
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        hs, _ = _token_hashes(df["text"].str.lower().str.split())
+        cnt = np.zeros(depth * width, dtype=np.int64)
+        if hs.size:
+            for r in range(depth):
+                idx = (splitmix64(hs ^ seeds[r]) % np.uint64(width)).astype(
+                    np.int64
+                )
+                cnt[r * width : (r + 1) * width] += np.bincount(
+                    idx, minlength=width
+                )
+        return pa.table(
+            {
+                "cell": pa.array(
+                    np.arange(depth * width, dtype=np.int64), pa.int64()
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=512)
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_estimate(
+    counters: "pd.DataFrame", tokens, depth: int = 4, width: int = 1024
+) -> dict:
+    """Point-query the CMS table: est(tok) = min over rows of the token's
+    counter — always ≥ the true count, over by at most the collision mass
+    (ε ≈ e/width of the corpus token total, prob 1−e^−depth)."""
+    import hashlib as _hl
+
+    from ..hashvec import splitmix64
+
+    cnt = counters.sort_values("cell")["cnt"].to_numpy(np.int64)
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(
+        0xA24BAED4963EE407
+    )
+    out = {}
+    for tok in tokens:
+        h = np.uint64(
+            int.from_bytes(
+                _hl.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+        )
+        est = min(
+            int(cnt[r * width + int(splitmix64(np.array([h ^ seeds[r]]))[0]
+                                    % np.uint64(width))])
+            for r in range(depth)
+        )
+        out[tok] = est
+    return out

@@ -514,6 +514,29 @@ def hll_witness(keys, m: int = 256) -> pd.DataFrame:
     )
 
 
+def cms_witness(
+    docs: pd.DataFrame, depth: int = 4, width: int = 1024
+) -> pd.DataFrame:
+    """Expected (cell, cnt) counters of ``ops.token_cms``: per token
+    OCCURRENCE (lowercased whitespace tokens), row r increments cell
+    ``splitmix64(blake2b8(tok) ^ (r+1)·SEED) mod width`` — Python-int
+    mirror of the vectorized path (adds commute, so the scalar order is
+    irrelevant)."""
+    seed0 = 0xA24BAED4963EE407
+    cnt = [0] * (depth * width)
+    for text in docs["text"]:
+        for tok in text.lower().split():
+            h = _h64(tok)
+            for r in range(depth):
+                seed = ((r + 1) * seed0) & _M64
+                c = _sm64(h ^ seed) % width
+                cnt[r * width + c] += 1
+    return pd.DataFrame(
+        {"cell": pd.Series(range(depth * width), dtype=np.int64),
+         "cnt": pd.Series(cnt, dtype=np.int64)}
+    )
+
+
 def _write_atomic(df: pd.DataFrame, path: str) -> None:
     """Write-to-temp + rename (same pattern as ``fixtures._write_atomic``):
     a crash mid-generation must never leave a truncated parquet a
@@ -536,7 +559,7 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     """Idempotently write the doc/ANN witness parquets for a scale tag into
     ``out_dir`` (the fixture dir the oracle SQL reads). Marker name is
     documented in FIXTURES.md — keep the two in sync."""
-    done = os.path.join(out_dir, "_DOC_WITNESS_V11")
+    done = os.path.join(out_dir, "_DOC_WITNESS_V12")
     if os.path.exists(done):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -579,6 +602,9 @@ def ensure_doc_witnesses(tag: str, out_dir: str, testdata_root: str = "/root/tes
     _write_atomic(
         ivfpq_topk_witness(emb),
         os.path.join(out_dir, "witness_ivfpq_topk.parquet"),
+    )
+    _write_atomic(
+        cms_witness(docs), os.path.join(out_dir, "witness_cms.parquet")
     )
     with open(done, "w") as f:
         f.write("ok\n")

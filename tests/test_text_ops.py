@@ -812,3 +812,29 @@ def test_ivfpq_topk_matches_witness_and_overlaps_exact():
         # so absolute recall is modest; random 10-of-|bucket| overlap
         # expectation here is <2 — assert clearly above chance
         assert len(set(g["vec_id"]) & exact10) >= 2
+
+
+def test_cms_point_queries_bound_true_counts():
+    """Count-Min guarantees: est(tok) ≥ true count for every token, and
+    with width=1024 ≫ vocab the fixture corpus should estimate the
+    stopword counts exactly (no collisions among ~40 tokens is the
+    overwhelmingly likely draw; equality failure would mean the sketch
+    arithmetic drifted)."""
+    import duckdb
+
+    from hydro_raster_ray.text import ops
+
+    counters = ops.token_cms(SF).to_pandas()
+    true = dict(
+        duckdb.sql(
+            f"""SELECT tok, count(*) FROM (
+                  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) tok
+                  FROM read_parquet('{SF}/documents.parquet')) GROUP BY tok"""
+        ).fetchall()
+    )
+    est = ops.cms_estimate(counters, list(true))
+    assert all(est[t] >= c for t, c in true.items())
+    total = counters["cnt"].sum() // 4  # each occurrence counted once/row
+    assert total == sum(true.values())
+    exact = sum(1 for t, c in true.items() if est[t] == c)
+    assert exact >= 0.9 * len(true)
