@@ -1208,7 +1208,12 @@ def pack_shards(ts: TileSet, shard_bytes: int = 262_144) -> "ray.data.Dataset":
             }
         )
 
-    meta = ts.ds.map_batches(lengths, batch_format="pyarrow", batch_size=None)
+    # materialized: meta is consumed TWICE (bucket totals, then the scan)
+    # and re-executing the lazy lineage would re-read the fat payload
+    # column from storage; the pinned table is 3 thin columns
+    meta = ts.ds.map_batches(
+        lengths, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
     def bucket_partial(t: pa.Table) -> pa.Table:
         tr = t["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1265,8 +1265,16 @@ def dedup_filter(
             }
         )
 
-    drop_ds = groups.map_batches(drops, batch_format="pandas")
+    drop_ds = groups.map_batches(drops, batch_format="pandas").materialize()
     docs = read_documents(sf_dir, columns=["doc_id"])
+    if drop_ds.count() == 0:
+        # no clusters anywhere: every document survives. Short-circuit —
+        # a zero-block join side aborts Ray's hash-shuffle join (the
+        # phash_near_dups finding)
+        def ident(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": pa.compute.cast(t["doc_id"], pa.int64())})
+
+        return docs.map_batches(ident, batch_format="pyarrow")
     j = docs.join(
         drop_ds, "left_outer", num_partitions,
         on=("doc_id",), right_on=("drop_id",),
@@ -1414,8 +1422,11 @@ def token_cms(
             }
         )
 
+    # batch_size=None: ONE sketch per block enters the 4096-key merge
+    # (a fixed 512-doc batch would shuffle 8 rows per document — the
+    # partial/combiner convention is per-block partials)
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=512)
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("cell")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )

@@ -838,3 +838,22 @@ def test_cms_point_queries_bound_true_counts():
     assert total == sum(true.values())
     exact = sum(1 for t, c in true.items() if est[t] == c)
     assert exact >= 0.9 * len(true)
+
+
+def test_dedup_filter_no_clusters_returns_everyone(tmp_path):
+    """All-unique corpus: zero near-dup clusters → every doc survives
+    (exercises the empty-drop-list short-circuit; a zero-block join side
+    aborts Ray's hash join)."""
+    from hydro_raster_ray.text import ops
+
+    docs = [f"totally unique document number {i} with words {i*7} {i*13}"
+            for i in range(20)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    out = ops.dedup_filter(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(20))
