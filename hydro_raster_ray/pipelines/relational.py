@@ -558,8 +558,10 @@ def events_hll(sf_dir: str, column: str = "user_id") -> "ray.data.Dataset":
 
     from ray.data.aggregate import Max
 
+    # batch_size=None: one 256-row register table per BLOCK enters the
+    # merge (the per-block partial/combiner convention)
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("reg")
         .aggregate(Max("rho", alias_name="rho"))
     )
