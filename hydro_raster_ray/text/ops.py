@@ -1389,12 +1389,16 @@ def token_cms(
 
     Every update is an ADD, so the sketch is exactly order- and
     partitioning-independent (unlike Misra-Gries, whose merge depends on
-    batch boundaries) — per batch: blake2b token hashes (the
+    batch boundaries) — per block: blake2b token hashes (the
     ``_token_hashes`` batched path) re-mixed per row with
-    ``splitmix64(h ^ row_seed)``, one ``bincount`` per row; merge = one
-    ``groupby(cell).Sum`` over depth·width cells. Returns the full
-    counter table (cell = row·width + col, cnt), the state a point-query
-    ``min`` reads. ``cms_estimate`` derives point estimates driver-side."""
+    ``splitmix64(h ^ row_seed)``, one ``bincount`` per row. The merge is
+    a TREE of vector adds, not a keyed shuffle: fixed-size sketches need
+    no groupby (measured: Ray's 4096-key sort aggregate cost 10.9 s on a
+    0.1 s workload), so partial sketches repartition to a cluster-sized
+    block count, bincount-combine per block, and the driver sums the
+    surviving ≤ shuffle_blocks tables (bounded model state, the
+    ``ivf_train`` contract). Returns the full counter table
+    (cell = row·width + col, cnt); ``cms_estimate`` point-queries it."""
     from ..hashvec import splitmix64
 
     ds = read_documents(sf_dir, columns=["text"])
@@ -1422,13 +1426,44 @@ def token_cms(
             }
         )
 
-    # batch_size=None: ONE sketch per block enters the 4096-key merge
-    # (a fixed 512-doc batch would shuffle 8 rows per document — the
-    # partial/combiner convention is per-block partials)
-    return (
+    from ..stages.cc import auto_shuffle_blocks
+
+    def combine(t: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            t["cell"].to_numpy(zero_copy_only=False),
+            weights=t["cnt"].to_numpy(zero_copy_only=False),
+            minlength=depth * width,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    np.arange(depth * width, dtype=np.int64), pa.int64()
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = (
         ds.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby("cell")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .repartition(auto_shuffle_blocks())
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+    total = np.zeros(depth * width, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += np.bincount(
+            b["cell"].to_numpy(zero_copy_only=False),
+            weights=b["cnt"].to_numpy(zero_copy_only=False),
+            minlength=depth * width,
+        ).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array(
+                    np.arange(depth * width, dtype=np.int64), pa.int64()
+                ),
+                "cnt": pa.array(total, pa.int64()),
+            }
+        )
     )
 
 
