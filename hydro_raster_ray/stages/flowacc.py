@@ -538,6 +538,63 @@ def flow_length(
     return TileSet(ds=out, grid=grid)
 
 
+def _stream_local(win, br, bc, h, w, weights, threshold, ncols, gr0, gc0):
+    """Per-tile stream-forest chain contraction. Shared by the Strahler
+    edge pass and the final plane pass — the two recompute it identically
+    (same deterministic kernel), so nothing per-cell ever ships.
+
+    Strahler order is CONSTANT along in-degree-1 chains (one inflow ⇒
+    order copies), so only SIGNIFICANT stream cells need the global
+    solve: heads (in-tile stream in-degree 0), junctions (≥ 2), and
+    every border-ring stream cell (the only cells that can receive
+    external inflows or exit the tile — a D8 neighbor of an outside
+    cell is on the ring). Every other stream cell's order equals the
+    order at its chain representative ``rep`` (the significant cell at
+    the top of its chain), resolvable tile-locally.
+
+    Returns ``(stream, sig, rep, nxt, exits, gid)`` over body-flat
+    indices.
+    """
+    nxt, exits, acc, order, _t = _tile_flow(win, br, bc, h, w, weights=weights)
+    stream = np.isfinite(acc) & (acc >= threshold)
+    idx = np.arange(h * w, dtype=np.int64)
+    gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
+    s_idx = np.flatnonzero(stream)
+    srcs = s_idx[nxt[s_idx] >= 0]  # in-tile stream edges s → nxt[s]
+    dsts = nxt[srcs]
+    indeg = np.bincount(dsts, minlength=h * w)
+    ring = np.zeros(h * w, dtype=bool)
+    ring[_border_ring_flat(h, w)] = True
+    sig = stream & (ring | (indeg != 1))
+    # chain cells have exactly one in-tile stream inflow (not ring ⇒ no
+    # external inflow possible); gather it vectorized
+    inflow = np.full(h * w, -1, dtype=np.int64)
+    m1 = indeg[dsts] == 1
+    inflow[dsts[m1]] = srcs[m1]
+    rep = idx.copy()
+    chain = stream & ~sig
+    if chain.any():
+        # descending-z sweep: a chain cell's single inflow sits strictly
+        # higher, so its rep is already resolved (same justified
+        # flat-list loop as _tile_flow)
+        rl, il, cl = rep.tolist(), inflow.tolist(), chain.tolist()
+        for j in order.tolist():
+            if cl[j]:
+                rl[j] = rl[il[j]]
+        rep = np.asarray(rl, dtype=np.int64)
+    return stream, sig, rep, nxt, exits, gid
+
+
+_SIG_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = node (gid=src, z); 1 = edge (src → dst)
+        ("src", pa.int64()),
+        ("dst", pa.int64()),
+        ("z", pa.float64()),
+    ]
+)
+
+
 def strahler(
     ts: TileSet,
     threshold: float = 50.0,
@@ -549,57 +606,77 @@ def strahler(
     semantics: cells with accumulation ≥ ``threshold``; head = 1; a cell
     is max of stream inflows, +1 when the max arrives twice).
 
-    The network is CLOSED under D8 (accumulation is monotone downstream),
-    so the solve runs on the extracted stream forest, which is a small
-    fraction of the corpus at a realistic threshold:
+    The network is CLOSED under D8 (accumulation is monotone downstream)
+    and order is constant along in-degree-1 chains, so the solve runs on
+    the CONTRACTED forest — one level of the module's tiles-of-tiles
+    contraction, applied per tile (``_stream_local``):
 
     1. ``_acc_solve`` (the shared flowacc pass 1 + border sweep);
     2. haloed pass: per tile, recompute accumulation with the broadcast
-       in-flows (exactly flowacc pass 2) and EMIT one row per stream cell
-       ``(gid, receiver gid | −1, z)`` — the stream forest as a table;
-    3. driver: one descending-z sweep resolves every order (an inflow is
-       strictly higher, hence already resolved) — budget-guarded like the
-       border solves, same recursive-contraction growth path;
-    4. no-halo pass: broadcast sorted (gid, order) arrays; each tile's
-       order plane is one vectorized ``searchsorted`` lookup (0 for
+       in-flows (exactly flowacc pass 2), contract in-degree-1 chains
+       tile-locally, and EMIT only significant cells (heads, junctions,
+       ring cells — border-scale, like the flowacc/flow_length solves)
+       as nodes plus contracted edges ``rep(inflow) → significant cell``
+       and cross-tile exit edges;
+    3. driver: one descending-z sweep over the contracted graph resolves
+       every significant order (an inflow's rep sits strictly higher,
+       hence already resolved); ``stream_budget_rows`` guards the
+       CONTRACTED table — the raw stream forest never materializes;
+    4. haloed pass: re-derive the contraction per tile and paint the
+       order plane as one vectorized ``searchsorted`` into the broadcast
+       sorted ``(node gid, order)`` arrays via each cell's rep (0 for
        non-stream finite cells, NaN holes preserved).
     """
     grid = ts.grid
     ncols = grid.ncols
     strips, aref = _acc_solve(ts, halo_broadcast_budget, border_budget_rows)
 
-    _STREAM_SCHEMA = pa.schema(
-        [("gid", pa.int64()), ("rgid", pa.int64()), ("z", pa.float64())]
-    )
-
     def edge_pass(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
 
         in_gids, in_amts = _ray2.get(aref)
         weights = _weights_for(in_gids, in_amts, gr0, gc0, h, w, ncols)
-        nxt, (ex, ex_tr, ex_tc), acc, _o, _t = _tile_flow(
-            win, br, bc, h, w, weights=weights
+        stream, sig, rep, nxt, (ex, ex_tr, ex_tc), gid = _stream_local(
+            win, br, bc, h, w, weights, threshold, ncols, gr0, gc0
         )
-        stream = np.isfinite(acc) & (acc >= threshold)
-        sidx = np.flatnonzero(stream)
-        if not sidx.size:
+        v = np.flatnonzero(sig)
+        if not v.size:  # no stream cells ⇒ no significant cells either
             return None
-        idx = np.arange(h * w, dtype=np.int64)
-        gid = (gr0 + idx // w) * ncols + (gc0 + idx % w)
-        # receiver gid: in-tile via nxt; exits via their window receiver
-        rg = np.full(h * w, -1, dtype=np.int64)
-        m = nxt >= 0
-        rg[m] = gid[nxt[m]]
-        g_r0, g_c0 = gr0 - br, gc0 - bc
-        rg[ex] = (g_r0 + ex_tr) * ncols + (g_c0 + ex_tc)
         zf = win[br : br + h, bc : bc + w].ravel()
+        # in-tile contracted edges: every stream inflow s of a significant
+        # cell t contributes (rep(s) → t); distinct inflows lie on
+        # distinct chains, so their reps are distinct — the +1-on-equal-
+        # max count survives contraction exactly
+        s_idx = np.flatnonzero(stream)
+        srcs = s_idx[nxt[s_idx] >= 0]
+        dsts = nxt[srcs]
+        em = sig[dsts]
+        e_src = gid[rep[srcs[em]]]
+        e_dst = gid[dsts[em]]
+        # cross-tile edges: stream exits → external receiver (a ring cell
+        # of the neighbor tile — significant there; exits are ring cells
+        # here, so rep(exit) = exit)
+        xm = stream[ex]
+        g_r0, g_c0 = gr0 - br, gc0 - bc
+        x_src = gid[ex[xm]]
+        x_dst = (g_r0 + ex_tr[xm].astype(np.int64)) * ncols + (
+            g_c0 + ex_tc[xm].astype(np.int64)
+        )
+        n_n, n_e, n_x = v.size, e_src.size, x_src.size
         return pa.table(
             {
-                "gid": pa.array(gid[sidx], pa.int64()),
-                "rgid": pa.array(rg[sidx], pa.int64()),
-                "z": pa.array(zf[sidx], pa.float64()),
+                "kind": pa.array(
+                    np.r_[np.zeros(n_n, np.int8), np.ones(n_e + n_x, np.int8)]
+                ),
+                "src": pa.array(np.r_[gid[v], e_src, x_src]),
+                "dst": pa.array(
+                    np.r_[np.full(n_n, -1, np.int64), e_dst, x_dst]
+                ),
+                "z": pa.array(
+                    np.r_[zf[v].astype(np.float64), np.zeros(n_e + n_x)]
+                ),
             },
-            schema=_STREAM_SCHEMA,
+            schema=_SIG_SCHEMA,
         )
 
     rows = halo_map(
@@ -607,49 +684,59 @@ def strahler(
         strips=strips,
     )
 
-    # ---- driver: descending-z Strahler sweep over the stream forest ----
-    gids, rgids, zs = [], [], []
+    # ---- driver: descending-z Strahler sweep over the CONTRACTED graph
+    # (significant nodes only — heads + junctions + ring cells; chains
+    # never leave their tiles) ----
+    cols = {"kind": [], "src": [], "dst": [], "z": []}
     n_rows = 0
     for b in rows.iter_batches(batch_size=None, batch_format="pyarrow"):
         n_rows += b.num_rows
         if n_rows > stream_budget_rows:  # pragma: no cover - budget guard
             raise MemoryError(
-                f"stream forest exceeds budget {stream_budget_rows} rows "
-                f"at threshold {threshold}; raise the threshold or apply "
-                "the recursive contraction (module note)"
+                f"contracted stream graph exceeds budget "
+                f"{stream_budget_rows} rows at threshold {threshold}; "
+                "raise the threshold or apply the recursive contraction "
+                "(module note)"
             )
-        gids.append(b["gid"].to_numpy())
-        rgids.append(b["rgid"].to_numpy())
-        zs.append(b["z"].to_numpy())
-    if gids:
-        gid = np.concatenate(gids)
-        rgid = np.concatenate(rgids)
-        z = np.concatenate(zs)
+        for name in cols:
+            cols[name].append(b[name].to_numpy())
+    if n_rows:
+        kind = np.concatenate(cols["kind"])
+        src = np.concatenate(cols["src"])
+        dst = np.concatenate(cols["dst"])
+        z = np.concatenate(cols["z"])
     else:
-        gid = rgid = np.empty(0, dtype=np.int64)
+        kind = np.empty(0, np.int8)
+        src = dst = np.empty(0, np.int64)
         z = np.empty(0)
-    # unstable sorts are fine: equal-z cells are independent (flow strictly
-    # descends across every hop, so a cell's inflows all resolved at
-    # strictly higher z) and gid rows are unique — tie order cannot change
-    # any order value. Stable argsort is 4-5× slower at 10M+ rows.
-    o = np.argsort(-z)
-    gid, rgid = gid[o], rgid[o]
-    # receiver row index, gathered vectorized (gid rows are unique; every
-    # receiver is itself a stream cell — accumulation is monotone)
-    sg_all = np.argsort(gid)
-    kr = np.full(gid.size, -1, dtype=np.int64)
-    valid = rgid >= 0
-    if gid.size:
-        kr[valid] = sg_all[np.searchsorted(gid[sg_all], rgid[valid])]
-    mxl = [0] * gid.size
-    cntl = [0] * gid.size
-    ordl = [0] * gid.size
-    krl = kr.tolist()
-    for k in range(gid.size):
+    nm = kind == 0
+    node_gid, node_z = src[nm], z[nm]
+    e_src, e_dst = src[~nm], dst[~nm]
+    # map edge endpoints to node indices (node gids are unique — each tile
+    # emits exactly its own body cells; every edge endpoint IS a node:
+    # sources are reps/exits, destinations are significant or ring cells)
+    sg = np.argsort(node_gid)  # unique gids — stability is moot
+    sorted_gid = node_gid[sg]
+    n = node_gid.size
+    # per-node single outgoing edge (a node's chain meets at most one
+    # significant cell downstream; exits have exactly one receiver)
+    out = np.full(n, -1, dtype=np.int64)
+    if e_src.size:
+        out[sg[np.searchsorted(sorted_gid, e_src)]] = sg[
+            np.searchsorted(sorted_gid, e_dst)
+        ]
+    # unstable sort fine: equal-z nodes are independent (flow strictly
+    # descends across every hop, so an inflow resolves strictly higher)
+    order = np.argsort(-node_z)
+    mxl = [0] * n
+    cntl = [0] * n
+    ordl = [0] * n
+    outl = out.tolist()
+    for k in order.tolist():
         m = mxl[k]
         oo = 1 if m == 0 else m + (1 if cntl[k] >= 2 else 0)
         ordl[k] = oo
-        r = krl[k]
+        r = outl[k]
         if r >= 0:
             if oo > mxl[r]:
                 mxl[r] = oo
@@ -657,33 +744,40 @@ def strahler(
             elif oo == mxl[r]:
                 cntl[r] += 1
 
-    sg = np.argsort(gid)  # unique gids — stability is moot
-    sorted_gid = gid[sg]
     sorted_ord = np.asarray(ordl, dtype=np.float64)[sg]
 
     import ray as _ray
 
     oref = _ray.put((sorted_gid, sorted_ord))
 
-    # ---- no-halo pass: vectorized order-plane lookup per tile ----
-    from .decode import map_tiles
-
-    def plane(arr, info):
+    # ---- haloed pass: re-derive the tile-local contraction and paint the
+    # plane via each cell's rep (every rep is a broadcast node) ----
+    def plane_pass(t_tr, t_tc, gr0, gc0, h, w, win, br, bc):
         import ray as _ray2
 
+        in_gids, in_amts = _ray2.get(aref)
         sgid, sord = _ray2.get(oref)
-        h, w = arr.shape
-        idx = np.arange(h * w, dtype=np.int64)
-        g = (info.gr0 + idx // w) * ncols + (info.gc0 + idx % w)
-        k = np.searchsorted(sgid, g)
-        k[k >= sgid.size] = 0
-        hit = sgid[k] == g if sgid.size else np.zeros(g.size, dtype=bool)
-        out = np.zeros(h * w)
-        out[hit] = sord[k[hit]]
-        out[np.isnan(arr.ravel())] = np.nan
-        return out.reshape(h, w)
+        weights = _weights_for(in_gids, in_amts, gr0, gc0, h, w, ncols)
+        stream, _sig, rep, _nxt, _ex, gid = _stream_local(
+            win, br, bc, h, w, weights, threshold, ncols, gr0, gc0
+        )
+        outp = np.zeros(h * w)
+        sidx = np.flatnonzero(stream)
+        if sidx.size:
+            outp[sidx] = sord[np.searchsorted(sgid, gid[rep[sidx]])]
+        zf = win[br : br + h, bc : bc + w].ravel()
+        outp[np.isnan(zf)] = np.nan
+        meta = _Meta(
+            f"t{t_tr:04d}_{t_tc:04d}", t_tr, t_tc, gr0, gc0, h, w,
+            "strahler d8",
+        )
+        return rows_to_table([(meta, outp.reshape(h, w))], lossless=True)
 
-    return map_tiles(ts, plane, lossless=True)
+    out_ds = halo_map(
+        ts, plane_pass, corners=True, budget_bytes=halo_broadcast_budget,
+        strips=strips,
+    )
+    return TileSet(ds=out_ds, grid=grid)
 
 
 def stream_mask(ts: TileSet, threshold: float = 50.0, **kwargs) -> TileSet:

@@ -184,6 +184,24 @@ def test_strahler_confluence_rule(ray_session):
     assert np.nanmax(got) >= 2.0
 
 
+def test_strahler_contraction_below_raw_forest_budget(ray_session, small_scheme):
+    """The driver only ever sees the CONTRACTED stream graph: a budget set
+    BELOW the raw stream-cell count (which the pre-contraction
+    implementation materialized and would trip on) must still solve
+    exactly — hard evidence that in-degree-1 chains never leave their
+    tiles."""
+    from hydro_raster_ray.sources import from_arrow_tiles, to_array
+    from hydro_raster_ray.stages.flowacc import strahler
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    full = fixtures.assemble_truth(small_scheme)
+    want = oracle.strahler(_f32(full), threshold=20.0)
+    n_stream = int((want > 0).sum())
+    assert n_stream > 0
+    got = to_array(strahler(ts, threshold=20.0, stream_budget_rows=n_stream - 1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_strahler_exchange_fallback(ray_session, small_scheme):
     from hydro_raster_ray.sources import from_arrow_tiles, to_array
     from hydro_raster_ray.stages.flowacc import strahler
