@@ -219,7 +219,11 @@ GROUP BY 1, 2
         "tile_pack_shards": f"""
 WITH t AS (SELECT image_id, octet_length(bytes) AS nb,
         coalesce(sum(octet_length(bytes))
-                   OVER (ORDER BY image_id
+                   OVER (ORDER BY
+                           CAST(substring(image_id, 2,
+                                strpos(image_id, '_') - 2) AS BIGINT),
+                           CAST(substring(image_id,
+                                strpos(image_id, '_') + 1) AS BIGINT)
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) AS cum0
       FROM read_parquet('{F}/tiles.parquet'))
@@ -477,9 +481,15 @@ FROM s, q ORDER BY sim DESC, s.doc_id LIMIT 20
 """,
         "cluster_doc_stats": """
 WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
- a AS (SELECT e.vec_id,
-        arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[])) centroid
-       FROM embeddings e, c GROUP BY e.vec_id)
+ s AS (SELECT e.vec_id, c.cid,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) sim
+       FROM embeddings e, c),
+ -- tie-break pinned to MIN centroid id on equal similarity = np.argmax's
+ -- first-max over ascending centroid ids (arg_max leaves ties unspecified)
+ a AS (SELECT vec_id, min(cid) centroid
+       FROM (SELECT vec_id, cid, sim,
+                    max(sim) OVER (PARTITION BY vec_id) ms FROM s)
+       WHERE sim = ms GROUP BY vec_id)
 SELECT CAST(a.centroid AS BIGINT) centroid,
        CAST(count(*) AS BIGINT) n_docs,
        CAST(sum(d.n_chars) AS BIGINT) sum_chars,
@@ -521,9 +531,15 @@ QUALIFY rank <= 10
 """,
         "ann_ivf_assign": """
 WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
- a AS (SELECT e.vec_id,
-        arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[])) centroid
-       FROM embeddings e, c GROUP BY e.vec_id)
+ s AS (SELECT e.vec_id, c.cid,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) sim
+       FROM embeddings e, c),
+ -- tie-break pinned to MIN centroid id on equal similarity = np.argmax's
+ -- first-max over ascending centroid ids (arg_max leaves ties unspecified)
+ a AS (SELECT vec_id, min(cid) centroid
+       FROM (SELECT vec_id, cid, sim,
+                    max(sim) OVER (PARTITION BY vec_id) ms FROM s)
+       WHERE sim = ms GROUP BY vec_id)
 SELECT CAST(centroid AS BIGINT) centroid, CAST(count(*) AS BIGINT) n
 FROM a GROUP BY centroid
 """,

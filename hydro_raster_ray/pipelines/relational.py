@@ -83,15 +83,20 @@ def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
     part = pd.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
-    lookup_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    # broadcast sorted key/value arrays, probed with np.searchsorted per
+    # batch — C rate, not a per-row Python dict probe
+    pk = part["p_partkey"].to_numpy()
+    po = np.argsort(pk)
+    lookup_ref = ray.put((pk[po], part["p_brand"].to_numpy()[po]))
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        brand = df["l_partkey"].map(lookup)
+        keys, vals = ray.get(lookup_ref)
+        # every l_partkey exists in part (FK integrity), so the probe hits
+        brand = vals[np.searchsorted(keys, df["l_partkey"].to_numpy())]
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
         out = pd.DataFrame({"p_brand": brand, "revenue": rev, "n": 1})
         return out.groupby("p_brand", as_index=False).agg(
@@ -118,13 +123,17 @@ def segment_orders(sf_dir: str) -> "ray.data.Dataset":
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ck = cust["c_custkey"].to_numpy()
+    co = np.argsort(ck)
+    ref = ray.put((ck[co], cust["c_mktsegment"].to_numpy()[co]))
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        seg = df["o_custkey"].map(ray.get(ref))
+        keys, vals = ray.get(ref)
+        # every o_custkey exists in customer (FK integrity)
+        seg = vals[np.searchsorted(keys, df["o_custkey"].to_numpy())]
         out = pd.DataFrame({"c_mktsegment": seg, "total": df["o_totalprice"], "n": 1})
         return out.groupby("c_mktsegment", as_index=False).agg(
             total=("total", "sum"), n=("n", "sum")

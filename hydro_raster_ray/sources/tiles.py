@@ -53,9 +53,13 @@ class TileSet:
 
 def _derive_meta(batch: pa.Table, scheme: TileScheme, validate: bool) -> pa.Table:
     ids = batch["image_id"]
-    # image_id = f"t{tr:04d}_{tc:04d}" — parse vectorized via fixed slices
-    tr = pc.utf8_slice_codeunits(ids, 1, 5).cast(pa.int32())
-    tc = pc.utf8_slice_codeunits(ids, 6, 10).cast(pa.int32())
+    # image_id = f"t{tr:04d}_{tc:04d}" — %04d widens past 9999, so parse by
+    # splitting on "_" (vectorized), not fixed slices (parse_tile_id parity)
+    parts = pc.split_pattern(
+        pc.utf8_slice_codeunits(ids, 1, 1 << 30), "_"
+    )
+    tr = pc.list_element(parts, 0).cast(pa.int32())
+    tc = pc.list_element(parts, 1).cast(pa.int32())
     tr_np = tr.to_numpy(zero_copy_only=False)
     tc_np = tc.to_numpy(zero_copy_only=False)
     h = batch["h"].to_numpy(zero_copy_only=False)

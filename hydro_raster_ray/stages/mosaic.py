@@ -1001,7 +1001,16 @@ def _hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 def _id64(ids) -> np.ndarray:
     """Deterministic 64-bit node id per image_id string (blake2b-8; the
-    engine-wide convention for string keys in int64 machinery)."""
+    engine-wide convention for string keys in int64 machinery).
+
+    Collision bound: birthday over 63 bits — ~n²/2⁶⁴ expected colliding
+    pairs, i.e. negligible below ~10⁸ DISTINCT near-dup-candidate ids but
+    effectively certain at the full 10¹² corpus; a collision silently
+    merges two unrelated CC groups. The near-dup pipeline only hashes ids
+    that survive banding (candidates, not the corpus), which keeps real
+    workloads far under the bound; past that, widen the CC keyspace to
+    two int64 columns (blake2b-16 split) — the cc primitive is keyed, not
+    arithmetic, so the swap is mechanical."""
     import hashlib as _hl
 
     return np.fromiter(
@@ -1182,11 +1191,13 @@ def phash_near_dups(
 
 def pack_shards(ts: TileSet, shard_bytes: int = 262_144) -> "ray.data.Dataset":
     """Training-shard packing for image payloads: lay every tile out
-    back-to-back in ``image_id`` order (== row-major tile order) and cut
-    the byte stream into fixed ``shard_bytes`` shards; per tile report its
-    shard span — the image-side analog of ``pack_chunks`` (what a
-    WebDataset-style shard writer needs to map corpus position back to
-    provenance).
+    back-to-back in row-major tile order — NUMERIC ``(tile_row,
+    tile_col)``, not lexicographic ``image_id`` (the two diverge once a
+    grid exceeds the 4-digit zero padding of the ``t{r:04d}_{c:04d}``
+    scheme, which ``parse_tile_id`` tolerates) — and cut the byte stream
+    into fixed ``shard_bytes`` shards; per tile report its shard span —
+    the image-side analog of ``pack_chunks`` (what a WebDataset-style
+    shard writer needs to map corpus position back to provenance).
 
     Distributed ordered prefix-sum (the pack_chunks scan): bucket =
     ``tile_row`` (contiguous in the sort order); pass A reduces per-batch
@@ -1204,6 +1215,7 @@ def pack_shards(ts: TileSet, shard_bytes: int = 262_144) -> "ray.data.Dataset":
             {
                 "image_id": batch["image_id"],
                 "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
                 "nb": pc.cast(pc.binary_length(batch["bytes"]), pa.int64()),
             }
         )
@@ -1247,7 +1259,7 @@ def pack_shards(ts: TileSet, shard_bytes: int = 262_144) -> "ray.data.Dataset":
         import ray as _ray
 
         t_arr, o_arr = _ray.get(oref)
-        df = df.sort_values("image_id")
+        df = df.sort_values("tile_col")  # numeric row-major within the row
         nb = df["nb"].to_numpy(np.int64)
         off0 = int(o_arr[np.searchsorted(t_arr, int(df["tile_row"].iloc[0]))])
         start = off0 + np.r_[np.zeros(1, np.int64), np.cumsum(nb)[:-1]]

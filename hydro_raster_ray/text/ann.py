@@ -220,12 +220,24 @@ def ivf_topk(
     # leave storage), scanned by just the queries probing it
     parts = []
     for b in np.unique(probes):
+        bdir = os.path.join(idx, f"centroid={int(b)}")
+        if not os.path.isdir(bdir):
+            continue  # empty bucket: Hive write creates no partition dir
         sel = (probes == b).any(axis=1)
-        ds_b = ray.data.read_parquet(
-            os.path.join(idx, f"centroid={int(b)}"), columns=["vec_id", "embedding"]
-        )
+        ds_b = ray.data.read_parquet(bdir, columns=["vec_id", "embedding"])
         parts.append(
             ds_b.map_batches(make_partial(qids[sel], qn[sel]), batch_format="pandas")
+        )
+    if not parts:  # every probed bucket empty → empty result, right schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
         )
     cand = parts[0]
     for p in parts[1:]:
@@ -798,14 +810,25 @@ def ivfpq_topk(
 
     parts = []
     for b in np.unique(probes):
+        bdir = os.path.join(idx, f"centroid={int(b)}")
+        if not os.path.isdir(bdir):
+            continue  # empty bucket: Hive write creates no partition dir
         sel = (probes == b).any(axis=1)
-        ds_b = ray.data.read_parquet(
-            os.path.join(idx, f"centroid={int(b)}"),
-            columns=["vec_id", "embedding"],
-        )
+        ds_b = ray.data.read_parquet(bdir, columns=["vec_id", "embedding"])
         parts.append(
             ds_b.map_batches(
                 make_partial(qids[sel], dts[sel]), batch_format="pandas"
+            )
+        )
+    if not parts:  # every probed bucket empty → empty result, right schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "adist_ppm": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
             )
         )
     cand = parts[0]
@@ -838,7 +861,14 @@ def cluster_doc_stats(
     a native large×large hash join (neither side broadcast — both are
     corpus-sized at 10¹² rows), then per-batch partials collapse into an
     ``n_centroids``-row groupby. All outputs are exact integers. Columns:
-    centroid, n_docs, sum_chars, n_en."""
+    centroid, n_docs, sum_chars, n_en.
+
+    Tie-break contract: assignment is ``np.argmax`` over a normalized-dot
+    gemm — first max wins, i.e. the MIN centroid id on an exact
+    similarity tie; the SQL oracle pins the same rule. Residual caveat:
+    the two float paths (gemm vs ``list_cosine_similarity``) may disagree
+    on WHICH similarities tie exactly, so hash parity on a tie-rich input
+    is fixture-dependent; the shipped fixtures are tie-free."""
     from ray.data.aggregate import Sum as _Sum
 
     from ..stages.cc import auto_join_partitions

@@ -42,6 +42,7 @@ __all__ = [
     "lang_confusion",
     "token_cms",
     "cms_estimate",
+    "decontaminate",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")

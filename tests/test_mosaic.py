@@ -222,6 +222,38 @@ def test_pack_shards_contiguity(ray_session, small_scheme):
     assert got["last_shard"].iloc[-1] == (start - 1) // S
 
 
+def test_pack_shards_numeric_order_past_4_digits(ray_session):
+    """Past 9999 tile rows, %04d widens and lexicographic image_id order
+    diverges from row-major ('t10000_…' < 't9999_…' as strings): the
+    layout must follow numeric (tile_row, tile_col), and the meta parse
+    must accept the wider ids."""
+    import pyarrow as pa
+
+    from hydro_raster_ray import codecs, fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.mosaic import pack_shards
+
+    scheme = fixtures.make_scheme(10001, 1, tile_h=4, tile_w=4, ragged=False)
+    payload = codecs.encode(np.arange(16, dtype=np.float64).reshape(4, 4),
+                            "raw-f32")
+    t = pa.table(
+        {
+            "image_id": pa.array(["t9999_0000", "t10000_0000"]),
+            "bytes": pa.array([payload, payload], pa.binary()),
+            "w": pa.array([4, 4], pa.int32()),
+            "h": pa.array([4, 4], pa.int32()),
+            "fmt": pa.array(["raw-f32", "raw-f32"]),
+            "caption": pa.array(["a", "b"]),
+            "phash": pa.array([0, 0], pa.int64()),
+        }
+    )
+    ts = from_arrow_tiles(t, scheme)
+    nb = len(payload)
+    got = pack_shards(ts, shard_bytes=nb).to_pandas().set_index("image_id")
+    assert got.loc["t9999_0000", "first_shard"] == 0  # numeric order wins
+    assert got.loc["t10000_0000", "first_shard"] == 1
+
+
 def test_phash_near_dups_no_dups_is_empty(ray_session, tmp_path):
     """All phashes pairwise far apart in every band → zero edges → empty
     result (exercises the empty-CC path end to end)."""

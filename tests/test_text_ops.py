@@ -203,6 +203,43 @@ def test_ivf_topk_matches_witness_and_prunes_reads():
     assert len(parts) >= 2
 
 
+def test_ivf_topk_tolerates_empty_probed_buckets():
+    """With nprobe ≥ 2 a probed centroid may own zero vectors — the Hive
+    write creates no directory for it, and the scan must skip it instead
+    of raising. Simulated by hiding bucket dirs from the built index
+    (restored afterwards): one missing bucket still answers from the
+    rest; ALL buckets missing yields an empty, correctly-typed result."""
+    import shutil
+
+    from hydro_raster_ray.text import ann
+
+    idx = ann.ivf_build(SF)
+    parts = sorted(d for d in os.listdir(idx) if d.startswith("centroid="))
+    assert len(parts) >= 2
+    hidden = []
+    try:
+        shutil.move(os.path.join(idx, parts[0]), os.path.join(idx, "_h0"))
+        hidden.append((os.path.join(idx, "_h0"), os.path.join(idx, parts[0])))
+        got = ann.ivf_topk(SF, nprobe=len(parts)).to_pandas()
+        assert len(got) > 0  # answered from the remaining buckets
+        for i, d in enumerate(parts[1:], 1):
+            shutil.move(os.path.join(idx, d), os.path.join(idx, f"_h{i}"))
+            hidden.append(
+                (os.path.join(idx, f"_h{i}"), os.path.join(idx, d))
+            )
+        empty = ann.ivf_topk(SF, nprobe=len(parts))
+        assert empty.count() == 0
+        # NB: .to_pandas() on a 0-row Dataset drops columns (Ray quirk);
+        # the Dataset schema is the contract
+        assert empty.schema().names == ["qid", "vec_id", "sim", "rank"]
+        empty_pq = ann.ivfpq_topk(SF, nprobe=len(parts))
+        assert empty_pq.count() == 0
+        assert empty_pq.schema().names == ["qid", "vec_id", "adist_ppm", "rank"]
+    finally:
+        for src, dst in hidden:
+            shutil.move(src, dst)
+
+
 def test_emb_near_dups_pathological_single_bucket(tmp_path):
     """Degenerate near-dup corpus: 50k identical vectors -> ONE IVF bucket
     where every pair matches. The chunked earlier-rows block scan must emit
