@@ -814,6 +814,10 @@ FROM read_parquet('{F}/witness_media_motion.parquet')
 SELECT image_id, mean, std, p_low, p_high, edge_energy
 FROM read_parquet('{F}/witness_media_image.parquet')
 """,
+        "media_image_features_jpeg": f"""
+SELECT image_id, mean, std, p_low, p_high, edge_energy
+FROM read_parquet('{F}/witness_media_image_jpeg.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

@@ -1494,6 +1494,58 @@ def _ensure_png16_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_jpeg_witness(tag: str, out: str) -> None:
+    """media_image_features_jpeg witness (own marker → in-place upgrade).
+
+    The lossy-fmt convention: truth is the decode∘encode pixel value (the
+    quantized image), so the witness regenerates the deterministic
+    ``make_fake_jpegs`` corpus and computes features on ``jpeg_decode`` of
+    each payload — exact parity with the query by construction. Codec
+    CORRECTNESS is evidenced independently in ``tests/test_jpeg.py``
+    (hand-built bitstreams with pencil-derived pixels, flat-block scalar
+    math, PSNR gates vs the pre-encode array), mirroring how png16 split
+    container-independence from plumbing parity."""
+    done = os.path.join(out, "_JPEG_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .jpeg import jpeg_decode
+    from .stages.multimodal import make_fake_jpegs
+
+    t = make_fake_jpegs(12, 40, 32)
+    rows = {"image_id": [], "mean": [], "std": [], "p_low": [], "p_high": [],
+            "edge_energy": []}
+    for i in range(t.num_rows):
+        a, _info = jpeg_decode(t["bytes"][i].as_py())
+        a = a.astype(np.float64)
+        v = a[np.isfinite(a)]
+        rows["image_id"].append(t["image_id"][i].as_py())
+        rows["mean"].append(round(float(v.mean()), 6))
+        rows["std"].append(round(float(v.std()), 6))
+        rows["p_low"].append(round(float(np.percentile(v, 5)), 6))
+        rows["p_high"].append(round(float(np.percentile(v, 95)), 6))
+        plane = a if a.ndim == 2 else a[..., 0]
+        gx = np.diff(plane, axis=1)
+        gy = np.diff(plane, axis=0)
+        rows["edge_energy"].append(
+            round(float(np.nansum(gx * gx) + np.nansum(gy * gy)), 4)
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "mean": pa.array(rows["mean"], pa.float64()),
+                "std": pa.array(rows["std"], pa.float64()),
+                "p_low": pa.array(rows["p_low"], pa.float64()),
+                "p_high": pa.array(rows["p_high"], pa.float64()),
+                "edge_energy": pa.array(rows["edge_energy"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_image_jpeg.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -1646,6 +1698,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_stream_witness(tag, out)
     _ensure_lcc_witness(tag, out)
     _ensure_s2_witness(tag, out)
+    _ensure_jpeg_witness(tag, out)
     return out
 
 

@@ -5,12 +5,14 @@ payloads travel as ``binary`` columns with typed metadata (w, h, fmt /
 sample_rate / n_frames), and decode / feature-extract / resize /
 frame-sample run as actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries (Pillow, opencv, ffmpeg) are NOT in this
-container, so the codec boundary is isolated in ``MediaCodec``: real formats
-raise ``NotImplementedError`` unless the optional library import succeeds,
-while the engine's own ``raw-*``/``qlossy`` formats and the deterministic
-``fake-*`` formats decode for real — the Ray-side plumbing (schema, batch
-size, actor signature, output layout) is fully real and tested either way.
+The media codec libraries (Pillow, opencv, ffmpeg) are NOT in this
+container, so the codec boundary is isolated in ``MediaCodec``. PNG and
+baseline JPEG decode FOR REAL via the engine's own pure-stdlib codecs
+(``png.py``, ``jpeg.py``), as do the ``raw-*``/``qlossy``/``pcm16le``/
+``rawv-u8`` formats and the deterministic ``fake-*`` formats; formats
+that genuinely require a native library (mp3, mp4/webm) raise
+``NotImplementedError`` — the Ray-side plumbing (schema, batch size,
+actor signature, output layout) is fully real and tested either way.
 
 Scale notes: media rows are fat — stages default to small ``batch_size`` and
 pyarrow batches (zero-copy payload views); feature extraction emits thin
@@ -35,6 +37,8 @@ __all__ = [
     "sample_frames",
     "frame_motion",
     "make_fake_videos",
+    "image_features_table",
+    "make_fake_jpegs",
     "augment_tiles",
     "audio_features",
     "make_fake_audio",
@@ -50,17 +54,10 @@ class MediaCodec:
       Pillow); decoding is real numpy work with the declared (h, w, 3) shape.
     - ``png``: REAL decode via the pure-stdlib codec (``png.py``) — gray /
       gray+alpha / RGB / RGBA / palette, 8- and 16-bit, all five filters.
-    - ``jpeg``: requires Pillow (DCT/Huffman are out of pure-numpy budget)
-      → NotImplementedError here.
+    - ``jpeg``: REAL decode via the pure-stdlib baseline codec
+      (``jpeg.py``) — Huffman + dequant + IDCT, gray/YCbCr, 4:4:4 /
+      4:2:2 / 4:2:0, restart markers; progressive raises.
     """
-
-    def __init__(self):
-        try:  # pragma: no cover - not installable in this sandbox
-            from PIL import Image  # noqa: F401
-
-            self._pil = True
-        except ImportError:
-            self._pil = False
 
     def decode(self, buf, h: int, w: int, fmt: str) -> np.ndarray:
         if fmt in codecs.FORMATS:
@@ -82,12 +79,14 @@ class MediaCodec:
                 )
             return img.astype(np.float64)
         if fmt == "jpeg":
-            if not self._pil:
-                raise NotImplementedError(
-                    "jpeg decode requires Pillow, which is not available in "
-                    "this environment; plug a real codec into MediaCodec"
+            from ..jpeg import jpeg_decode
+
+            img, _info = jpeg_decode(buf)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"jpeg payload is {img.shape[:2]}, row metadata says {(h, w)}"
                 )
-            raise NotImplementedError("real jpeg codec path not wired yet")
+            return img.astype(np.float64)
         raise ValueError(f"unknown media fmt {fmt!r}")
 
     def decode_audio(self, buf, fmt: str) -> np.ndarray:
@@ -211,6 +210,64 @@ def resize_images(ts: TileSet, factor: int, concurrency: int = 4):
 
     return map_tiles(
         ts, Resize, concurrency=concurrency, lossless=True, batch_size=32
+    )
+
+
+def image_features_table(
+    ds: "ray.data.Dataset", concurrency: int = 4, batch_size: int = 32
+):
+    """``image_features`` over a plain image table (image_id, bytes, h, w,
+    fmt) — e.g. a real-codec corpus (jpeg/png) rather than DEM tiles."""
+    from ..runtime import auto_pool
+
+    return ds.map_batches(
+        _ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=auto_pool(concurrency),
+    )
+
+
+def make_fake_jpegs(
+    n_images: int, h: int, w: int, quality: int = 90
+) -> pa.Table:
+    """Deterministic REAL-jpeg image table (image_id, bytes, h, w, fmt):
+    image i is the uint8 plane ``(2·row + 3·col + 17·i) mod 256`` —
+    grayscale when ``i % 3 == 0``, RGB 4:4:4 when 1, RGB 4:2:0 when 2
+    (channels are the plane, its transpose-ish shift, and its negative) —
+    encoded with the engine's baseline codec (``jpeg.jpeg_encode``). Row
+    sizes vary (``h+i%5``, ``w+i%7``) to exercise ragged MCU grids. Pure
+    formula, no RNG."""
+    from ..jpeg import jpeg_encode
+
+    ids, bufs, hs, ws = [], [], [], []
+    for i in range(n_images):
+        hi, wi = h + i % 5, w + i % 7
+        yy, xx = np.mgrid[0:hi, 0:wi]
+        plane = ((2 * yy + 3 * xx + 17 * i) % 256).astype(np.uint8)
+        if i % 3 == 0:
+            img = plane
+            buf = jpeg_encode(img, quality=quality)
+        else:
+            img = np.stack(
+                [plane, (plane + 85) % 256, 255 - plane], axis=-1
+            ).astype(np.uint8)
+            buf = jpeg_encode(
+                img, quality=quality,
+                subsampling="444" if i % 3 == 1 else "420",
+            )
+        ids.append(f"j{i:04d}")
+        bufs.append(buf)
+        hs.append(hi)
+        ws.append(wi)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "fmt": pa.array(["jpeg"] * n_images, pa.string()),
+        }
     )
 
 

@@ -35,8 +35,15 @@ def test_codec_dispatch():
     out = c.decode(png_encode(rgb), 5, 7, "png")
     assert out.dtype == np.float64
     np.testing.assert_array_equal(out, rgb.astype(np.float64))
-    with pytest.raises(NotImplementedError):
-        c.decode(b"\xff\xd8\xff\xe0", 4, 4, "jpeg")
+    # jpeg is a REAL decode now too (pure-stdlib baseline codec)
+    from hydro_raster_ray.jpeg import jpeg_encode
+
+    g = np.full((4, 4), 200, np.uint8)
+    np.testing.assert_array_equal(
+        c.decode(jpeg_encode(g), 4, 4, "jpeg"), 200.0
+    )
+    with pytest.raises(ValueError):
+        c.decode(b"\xff\xd8\xff\xe0", 4, 4, "jpeg")  # truncated
     with pytest.raises(ValueError):
         c.decode(b"", 1, 1, "gif")
 
