@@ -786,6 +786,10 @@ FROM read_parquet('{F}/witness_streams.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_reproject_lcc.parquet')
 """,
+        "reproject_epsg_itm": f"""
+SELECT image_id, n_px, n_valid, sum_z
+FROM read_parquet('{F}/witness_reproject_epsg2157.parquet')
+""",
         "flow_length_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_flowlen.parquet')

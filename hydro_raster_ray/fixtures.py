@@ -1358,6 +1358,42 @@ def _ensure_lcc_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_epsg_witness(tag: str, out: str) -> None:
+    """Registry-driven EPSG warp witness (own marker → in-place upgrade):
+    BNG metres → Irish TM metres (EPSG:2157, a code the pre-registry
+    dispatch raised on) through geographic coordinates via
+    ``crs_transform`` — the same scalar mirror as the UTM/LCC
+    witnesses."""
+    done = os.path.join(out, "_EPSG_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .grid import map2sub, sub2map
+    from .sources.tiles import TileScheme
+    from .stages.reproject import crs_transform, target_grid_for
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    g = scheme.grid
+    full = assemble_truth(scheme)
+    fwd, inv = crs_transform(27700, 2157)
+    spec = target_grid_for(g, fwd, g.cellsize, crs="EPSG:2157")
+    itm_scheme = TileScheme(grid=spec, tile_h=64, tile_w=64)
+    X, Y = sub2map(np.arange(spec.nrows), np.arange(spec.ncols), spec)
+    XX, YY = np.meshgrid(X, Y)
+    sx, sy = inv(XX.ravel(), YY.ravel())
+    rr, cc = map2sub(sx, sy, g)
+    ok = (rr >= 0) & (rr < g.nrows) & (cc >= 0) & (cc < g.ncols)
+    warped = np.full(XX.size, np.nan)
+    warped[ok] = full[rr[ok], cc[ok]]
+    warped = _f32(warped.reshape(spec.nrows, spec.ncols))
+    _write_atomic(
+        _per_tile_stats_table(itm_scheme, warped),
+        os.path.join(out, "witness_reproject_epsg2157.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_stream_witness(tag: str, out: str) -> None:
     """Stream-network + flow-length + Strahler witnesses (own marker →
     in-place upgrade): whole-array flow accumulation, threshold ≥ 50
@@ -1699,6 +1735,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_lcc_witness(tag, out)
     _ensure_s2_witness(tag, out)
     _ensure_jpeg_witness(tag, out)
+    _ensure_epsg_witness(tag, out)
     return out
 
 

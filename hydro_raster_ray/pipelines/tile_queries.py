@@ -496,6 +496,18 @@ def q_reproject_utm(sf_dir: str):
     return per_tile_stats(warped)
 
 
+def q_reproject_epsg_itm(sf_dir: str):
+    """Registry-driven warp by EPSG code: BNG → Irish TM (EPSG:2157, a
+    code the pre-registry dispatch raised on) via ``reproject_epsg`` —
+    the reference's ``Raster.reproject(dst_crs)`` API shape over the
+    parameter tables; per-tile stats vs the whole-array witness."""
+    from ..stages.reproject import reproject_epsg
+
+    ts, scheme = tiles_for(sf_dir)
+    warped = reproject_epsg(ts, 27700, 2157, scheme.grid.cellsize)
+    return per_tile_stats(warped)
+
+
 def q_reproject_lcc(sf_dir: str):
     """Projected→projected warp into the Lambert-conformal-conic family:
     BNG metres → Lambert-93 metres (EPSG:2154 projection constants,
@@ -1105,6 +1117,7 @@ TILE_QUERIES = {
     "reproject_tmerc": q_reproject_tmerc,
     "reproject_utm": q_reproject_utm,
     "reproject_lcc": q_reproject_lcc,
+    "reproject_epsg_itm": q_reproject_epsg_itm,
     "hillshade_stats": q_hillshade_stats,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,

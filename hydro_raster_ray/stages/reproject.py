@@ -435,42 +435,131 @@ def _ident(x, y):
     return x, y
 
 
+# ---------------------------------------------------------------------------
+# EPSG parameter registry — public EPSG-registry projection parameters for
+# the four implemented families, so ``epsg_transform`` is table-driven
+# rather than a handful of if-branches (the reference warps between
+# arbitrary EPSG codes via PROJ, ``Raster.py:695-733``; the engine covers
+# the same families data-driven). Projection math only (module-wide
+# scoping): codes on non-WGS84 datums use their own ellipsoid, but no
+# Helmert shift is applied.
+
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 6356752.314245179),
+    "GRS80": (6378137.0, 6356752.314140356),
+    "Airy1830": (6377563.396, 6356256.909),
+    "AiryModified": (6377340.189, 6356034.448),
+    "Intl1924": (6378388.0, 6356911.9461279465),
+    "Clarke1866": (6378206.4, 6356583.8),
+}
+
+# Transverse Mercator: code → (ellipsoid, k0, lat0, lon0, FE, FN)
+_EPSG_TM = {
+    27700: ("Airy1830", 0.9996012717, 49.0, -2.0, 400000.0, -100000.0),
+    2157: ("GRS80", 0.99982, 53.5, -8.0, 600000.0, 750000.0),  # Irish TM
+    29902: ("AiryModified", 1.000035, 53.5, -8.0, 200000.0, 250000.0),
+    2193: ("GRS80", 0.9996, 0.0, 173.0, 1600000.0, 10000000.0),  # NZTM2000
+    2180: ("GRS80", 0.9993, 0.0, 19.0, 500000.0, -5300000.0),  # Poland CS92
+}
+# Lambert conformal conic (2SP): code → (ellipsoid, sp1, sp2, lat0, lon0,
+# FE, FN)
+_EPSG_LCC = {
+    2154: ("GRS80", 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+    3978: ("GRS80", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0),  # Canada Atlas
+    31370: (  # Belge Lambert 72 (pole-origin 2SP; projection only)
+        "Intl1924", 51.16666723333333, 49.8333339, 90.0,
+        4.367486666666666, 150000.013, 5400088.438,
+    ),
+}
+for _i in range(9):  # RGF93 conic-conformal zones CC42..CC50
+    _lat = 42.0 + _i
+    _EPSG_LCC[3942 + _i] = (
+        "GRS80", _lat - 0.75, _lat + 0.75, _lat, 3.0,
+        1700000.0, 1200000.0 + _i * 1000000.0,
+    )
+# Albers equal-area (2SP): code → (ellipsoid, sp1, sp2, lat0, lon0, FE, FN)
+_EPSG_ALBERS = {
+    5070: ("GRS80", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3577: ("GRS80", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0),  # GDA94 Australia
+    3310: ("GRS80", 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0),  # California
+}
+# Polar stereographic (variant B): code → (ellipsoid, lat_ts, lon0, FE, FN)
+_EPSG_STEREO = {
+    3413: ("WGS84", 70.0, -45.0, 0.0, 0.0),  # NSIDC Sea Ice North
+    3031: ("WGS84", -71.0, 0.0, 0.0, 0.0),  # Antarctic Polar Stereographic
+    3976: ("WGS84", -70.0, 0.0, 0.0, 0.0),  # NSIDC Sea Ice South
+    3995: ("WGS84", 71.0, 0.0, 0.0, 0.0),  # Arctic Polar Stereographic
+}
+# UTM zone ranges: (lo, hi, ellipsoid, first zone, south)
+_EPSG_UTM_RANGES = (
+    (32601, 32660, "WGS84", 1, False),
+    (32701, 32760, "WGS84", 1, True),
+    (25828, 25838, "GRS80", 28, False),  # ETRS89 / UTM 28N..38N
+    (26901, 26923, "GRS80", 1, False),  # NAD83 / UTM 1N..23N
+    (26701, 26722, "Clarke1866", 1, False),  # NAD27 / UTM 1N..22N
+)
+
+
 def epsg_transform(code: int):
     """(forward, inverse) between geographic degrees (lon, lat) and EPSG
-    ``code``'s native coordinates, for the supported projection families:
-    4326 (geographic), 3857 (spherical web mercator), 27700 (BNG transverse
-    Mercator on Airy 1830 — projection math only, no Helmert datum shift;
-    see ``TransverseMercator``), 326xx/327xx (UTM north/south on WGS84).
-    This is the engine's analog of the reference's arbitrary-EPSG warp
-    entry point (``Raster.py:695-733``) for the CRS families its demos use;
-    unsupported codes raise with that scoping stated."""
+    ``code``'s native coordinates, table-driven over the implemented
+    projection families: 4326 (geographic), 3857 (spherical web
+    mercator), the UTM zone ranges in ``_EPSG_UTM_RANGES``, and every
+    code registered in ``_EPSG_TM`` / ``_EPSG_LCC`` / ``_EPSG_ALBERS`` /
+    ``_EPSG_STEREO`` (public EPSG parameters; extend those dicts for
+    further codes of the same families). This is the engine's analog of
+    the reference's arbitrary-EPSG warp entry point
+    (``Raster.py:695-733``); codes of unimplemented families raise with
+    that scoping stated."""
     code = int(code)
     if code == 4326:
         return _ident, _ident
     if code == 3857:
         return web_mercator, inv_web_mercator
-    if code == 27700:
-        return bng_tmerc.forward, bng_tmerc.inverse
-    if 32601 <= code <= 32660:
-        t = utm_tmerc(code - 32600)
+    for lo, hi, ell, z0, south in _EPSG_UTM_RANGES:
+        if lo <= code <= hi:
+            a, b = _ELLIPSOIDS[ell]
+            t = TransverseMercator(
+                a=a, b=b, f0=0.9996, lat0=0.0,
+                lon0=-183.0 + 6.0 * (z0 + code - lo),
+                e0=500000.0, n0=10000000.0 if south else 0.0,
+            )
+            return t.forward, t.inverse
+    if code in _EPSG_TM:
+        ell, k0, lat0, lon0, fe, fn = _EPSG_TM[code]
+        a, b = _ELLIPSOIDS[ell]
+        t = TransverseMercator(
+            a=a, b=b, f0=k0, lat0=lat0, lon0=lon0, e0=fe, n0=fn
+        )
         return t.forward, t.inverse
-    if 32701 <= code <= 32760:
-        t = utm_tmerc(code - 32700, south=True)
+    if code in _EPSG_LCC:
+        ell, sp1, sp2, lat0, lon0, fe, fn = _EPSG_LCC[code]
+        a, b = _ELLIPSOIDS[ell]
+        t = LambertConformalConic(
+            a=a, b=b, sp1=sp1, sp2=sp2, lat0=lat0, lon0=lon0, e0=fe, n0=fn
+        )
         return t.forward, t.inverse
-    if code == 2154:
-        return lambert93.forward, lambert93.inverse
-    if code == 5070:
-        return conus_albers.forward, conus_albers.inverse
-    if code == 3413:
-        return nsidc_north.forward, nsidc_north.inverse
-    if code == 3031:
-        return antarctic_south.forward, antarctic_south.inverse
+    if code in _EPSG_ALBERS:
+        ell, sp1, sp2, lat0, lon0, fe, fn = _EPSG_ALBERS[code]
+        a, b = _ELLIPSOIDS[ell]
+        t = AlbersEqualArea(
+            a=a, b=b, sp1=sp1, sp2=sp2, lat0=lat0, lon0=lon0, e0=fe, n0=fn
+        )
+        return t.forward, t.inverse
+    if code in _EPSG_STEREO:
+        ell, lat_ts, lon0, fe, fn = _EPSG_STEREO[code]
+        a, b = _ELLIPSOIDS[ell]
+        t = PolarStereographic(
+            a=a, b=b, lat_ts=lat_ts, lon0=lon0, e0=fe, n0=fn
+        )
+        return t.forward, t.inverse
     raise ValueError(
-        f"EPSG:{code} is outside the supported projection families "
-        "(4326, 3857, 27700, UTM 326xx/327xx, 2154 Lambert conformal "
-        "conic, 5070 Albers equal-area, 3413/3031 polar stereographic); "
-        "datum-shifted CRSs need a Helmert step composed in front "
-        "(out of scope per SURVEY §2.4)"
+        f"EPSG:{code} is outside the registered codes of the supported "
+        "projection families (geographic, web mercator, transverse "
+        "Mercator/UTM, Lambert conformal conic, Albers equal-area, polar "
+        "stereographic) — add its parameters to the _EPSG_* registry "
+        "tables; datum-shifted CRSs need a Helmert step composed in "
+        "front (out of scope per SURVEY §2.4)"
     )
 
 

@@ -124,8 +124,10 @@ def test_epsg_dispatch_and_composition():
     x, y = fwd(400000.0, 250000.0)
     x2, y2 = inv(x, y)
     assert abs(x2 - 400000.0) < 1e-5 and abs(y2 - 250000.0) < 1e-5
-    with pytest.raises(ValueError, match="EPSG:31370"):
-        epsg_transform(31370)
+    # 31370 is registered now (round-5 registry); an unimplemented
+    # family still raises with the scoping stated
+    with pytest.raises(ValueError, match="EPSG:28992"):
+        epsg_transform(28992)
 
 
 def test_custom_parameterizations():

@@ -217,15 +217,56 @@ def test_epsg_registry_families():
     # identity for geographic; known code families resolve; others raise
     f, i = epsg_transform(4326)
     assert f(1.5, 52.0) == (1.5, 52.0)
-    for code in (3857, 27700, 32630, 32730, 2154, 5070):
+    # TM-family codes only where (-1.5E, 52N) is near their central
+    # meridian (the series diverge far from it); conic/stereo codes are
+    # closed-form in longitude, so any northern point works
+    for code in (3857, 27700, 32630, 32730, 2154, 5070,
+                 2157, 29902, 3978, 3946, 3995, 25830):
         f, i = epsg_transform(code)
         x, y = f(np.array([-1.5]), np.array([52.0]))
         lon, lat = i(x, y)
         np.testing.assert_allclose([lon[0], lat[0]], [-1.5, 52.0], atol=1e-6)
     with pytest.raises(ValueError):
-        epsg_transform(31370)  # datum-shifted CRS: needs a Helmert step
+        epsg_transform(28992)  # oblique stereographic: unimplemented family
+
+
+def test_epsg_registry_true_origins():
+    """Each registered projection maps its true origin to its false
+    origin — a registry-independent pin on the parameter tables (a wrong
+    k0/FE/FN/parallel shows up here immediately)."""
+    from hydro_raster_ray.stages.reproject import epsg_transform
+
+    cases = {
+        2193: ((173.0, 0.0), (1600000.0, 10000000.0)),  # NZTM2000
+        2180: ((19.0, 0.0), (500000.0, -5300000.0)),  # Poland CS92
+        2157: ((-8.0, 53.5), (600000.0, 750000.0)),  # Irish TM
+        29902: ((-8.0, 53.5), (200000.0, 250000.0)),  # Irish Grid
+        3946: ((3.0, 46.0), (1700000.0, 5200000.0)),  # RGF93 CC46
+        3978: ((-95.0, 49.0), (0.0, 0.0)),  # Canada Atlas Lambert
+        3577: ((132.0, 0.0), (0.0, 0.0)),  # GDA94 Australian Albers
+        3310: ((-120.0, 0.0), (0.0, -4000000.0)),  # California Albers
+        3995: ((10.0, 90.0), (0.0, 0.0)),  # Arctic Polar Stereo (pole)
+        3976: ((10.0, -90.0), (0.0, 0.0)),  # NSIDC Sea Ice South (pole)
+        25830: ((-3.0, 0.0), (500000.0, 0.0)),  # ETRS89 / UTM 30N
+        26910: ((-123.0, 0.0), (500000.0, 0.0)),  # NAD83 / UTM 10N
+        26715: ((-93.0, 0.0), (500000.0, 0.0)),  # NAD27 / UTM 15N
+    }
+    for code, ((lon, lat), (E, N)) in cases.items():
+        f, i = epsg_transform(code)
+        e, n = f(np.array([lon]), np.array([lat]))
+        np.testing.assert_allclose([e[0], n[0]], [E, N], atol=1e-4,
+                                   err_msg=f"EPSG:{code}")
+        # and the inverse round-trips a nearby grid point
+        lo2, la2 = i(np.array([E + 25000.0]), np.array([N + 18000.0]))
+        e2, n2 = f(lo2, la2)
+        np.testing.assert_allclose(
+            [e2[0], n2[0]], [E + 25000.0, N + 18000.0], atol=1e-5,
+            err_msg=f"EPSG:{code}",
+        )
 
     # projected->projected composition round-trips through geographic
+    from hydro_raster_ray.stages.reproject import crs_transform
+
     fwd, inv = crs_transform(27700, 32630)
     E = np.linspace(350000.0, 450000.0, 7)
     N = np.linspace(-150000.0, -50000.0, 7)
