@@ -330,41 +330,77 @@ def _mega_bucket_edges(
     pending = bm
     edge_parts: list[ray.data.Dataset] = []
     for lo, hi in zip(los.tolist(), his.tolist()):
-        blk = (
-            bm.map_batches(
-                lambda df, lo=lo, hi=hi: df.loc[
-                    (df["vec_id"].to_numpy() >= lo)
-                    & (df["vec_id"].to_numpy() < hi),
-                    ["vec_id", "embedding"],
-                ],
-                batch_format="pandas",
-            )
-            .to_pandas()
-            .sort_values("vec_id")
-        )
-        if blk.empty:
+        # the range's rows stay IN THE OBJECT STORE: materialize the
+        # filtered slice and hand its block refs to the scan actors —
+        # the driver never holds embedding bytes (VERDICT r4 item 6; the
+        # former formulation .to_pandas()'d each range through the
+        # driver). Rounds are still sequential by design: each range must
+        # finish before the pending set shrinks — on a degenerate bucket
+        # that is n_ranges corpus-of-pending passes, the documented bound
+        # for this pathological-fallback role.
+        # filter from the FULL bucket, not `pending`: rows that already
+        # matched are no longer pending but remain legitimate candidate
+        # TARGETS for later rows (the contract is lowest-id EARLIER match)
+        blk_ds = bm.map_batches(
+            lambda df, lo=lo, hi=hi: df.loc[
+                (df["vec_id"].to_numpy() >= lo)
+                & (df["vec_id"].to_numpy() < hi),
+                ["vec_id", "embedding"],
+            ],
+            batch_format="pandas",
+        ).materialize()
+        if blk_ds.count() == 0:
             continue
-        blk_ids = blk["vec_id"].to_numpy().astype(np.int64)
-        bmat = _batch_matrix(blk)
-        bref = ray.put(
-            (blk_ids, bmat / np.linalg.norm(bmat, axis=1, keepdims=True))
-        )
+        try:  # Ray 2.49: ref bundles; fall back to the older accessor
+            refs = [
+                r
+                for bd in blk_ds.iter_internal_ref_bundles()
+                for r in bd.block_refs
+            ]
+        except AttributeError:  # pragma: no cover - older Ray
+            refs = list(blk_ds.get_internal_block_refs())
 
-        def scan(df: _pd.DataFrame, bref=bref) -> _pd.DataFrame:
-            ids_b, mn_b = ray.get(bref)
-            if df.empty:
+        class _RangeScan:
+            """Actor: assemble the range matrix ONCE per actor from the
+            object-store refs, then match pending batches against it."""
+
+            def __init__(self):
+                import pandas as _pd2
+
+                blocks = ray.get(list(refs))
+                dfs = [
+                    b.to_pandas() if isinstance(b, pa.Table) else b
+                    for b in blocks
+                ]
+                blk = _pd2.concat(dfs, ignore_index=True).sort_values(
+                    "vec_id"
+                )
+                self.ids = blk["vec_id"].to_numpy().astype(np.int64)
+                m = _batch_matrix(blk)
+                self.mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+            def __call__(self, df: _pd.DataFrame) -> _pd.DataFrame:
+                if df.empty:
+                    df = df.copy()
+                    df["match"] = _pd.Series([], dtype=np.int64)
+                    return df
+                m = _batch_matrix(df)
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                rid = df["vec_id"].to_numpy().astype(np.int64)
+                pos = _first_hit(
+                    mn, rid, self.mn, self.ids, threshold, block_rows
+                )
                 df = df.copy()
-                df["match"] = _pd.Series([], dtype=np.int64)
+                df["match"] = np.where(
+                    pos >= 0, self.ids[np.maximum(pos, 0)], -1
+                )
                 return df
-            m = _batch_matrix(df)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            rid = df["vec_id"].to_numpy().astype(np.int64)
-            pos = _first_hit(mn, rid, mn_b, ids_b, threshold, block_rows)
-            df = df.copy()
-            df["match"] = np.where(pos >= 0, ids_b[np.maximum(pos, 0)], -1)
-            return df
 
-        res = pending.map_batches(scan, batch_format="pandas").materialize()
+        from ..runtime import auto_pool
+
+        res = pending.map_batches(
+            _RangeScan, batch_format="pandas", concurrency=auto_pool(4)
+        ).materialize()
         edge_parts.append(
             res.map_batches(
                 lambda df: df.loc[df["match"] >= 0, ["match", "vec_id"]]
