@@ -81,6 +81,7 @@ def main() -> int:
     qs = E.queries()
     sqls = E.oracle_sql()
     n_fail = 0
+    results = []  # JSON artifact rows (GRAFT_ORACLE_JSON)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,16 +90,22 @@ def main() -> int:
             mine = to_pandas(fn(sf_dir))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: ray query raised {type(ex).__name__}: {ex}")
+            results.append({"name": name, "status": "fail",
+                            "detail": f"ray raised {type(ex).__name__}"})
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok   {name}: rows={len(mine)} ({dt:.1f}s) [rows-only, no oracle]")
+            results.append({"name": name, "status": "ok", "rows": len(mine),
+                            "sec": round(dt, 1), "detail": "rows-only"})
             continue
         try:
             theirs = con.sql(sqls[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
+            results.append({"name": name, "status": "fail",
+                            "detail": f"oracle raised {type(ex).__name__}"})
             n_fail += 1
             continue
         problems = []
@@ -110,6 +117,8 @@ def main() -> int:
             problems.append("value-hash mismatch")
         if problems:
             n_fail += 1
+            results.append({"name": name, "status": "fail",
+                            "detail": "; ".join(problems), "sec": round(dt, 1)})
             print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
             m = mine[sorted(mine.columns)].sort_values(sorted(mine.columns)[:2])
             t = (
@@ -120,9 +129,28 @@ def main() -> int:
             print("  mine:\n", m.head(8).to_string(), sep="")
             print("  oracle:\n", t.head(8).to_string(), sep="")
         else:
+            results.append({"name": name, "status": "ok", "rows": len(mine),
+                            "sec": round(dt, 1),
+                            "detail": "rows+schema+hash match"})
             print(f"ok   {name}: rows={len(mine)} hash match ({dt:.1f}s)")
     ray.shutdown()
     print("FAILURES:", n_fail)
+    jpath = os.environ.get("GRAFT_ORACLE_JSON")
+    if jpath:
+        import json
+
+        with open(jpath, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                    "n_queries": len(results),
+                    "failures": n_fail,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
