@@ -378,6 +378,23 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(strahler(ts, threshold=500.0))
 
+    def ep3d_s2_join_10m():
+        # 10× the default gauge count so the join's ~6 s aggregator-startup
+        # floor (the reason ep3c was excluded from scaling, BASELINE.md)
+        # stops dominating and the 2→8 CPU efficiency measures compute;
+        # table built lazily — only when this opt-in stage is named
+        import ray as _ray
+
+        from hydro_raster_ray.stages.spatial_join import s2_gauge_join
+
+        big = fixtures.gauges_large_table(scheme, 10_000_000)
+        ts = read_tiles(
+            BENCH_DIR, scheme, columns=["w", "h", "fmt", "caption", "phash"]
+        )
+        gauges = _ray.data.from_arrow(big).repartition(max(8, NUM_CPUS))
+        n = s2_gauge_join(ts, gauges).to_pandas()["n_gauges"].sum()
+        assert n == 10_000_000, n
+
     def ep14_twi():
         # two-raster map algebra at bench scale: flow-acc ⋈ slope on
         # image_id, ln((acc+1)/max(tan β, 1e-6)) per tile
@@ -489,7 +506,8 @@ def run_bench() -> dict:
     # headline (ep9/ep10), kept out of the default list so the full bench
     # stays inside the driver's wall budget; reachable ONLY by naming them
     # in GRAFT_BENCH_ONLY
-    opt_in = [ep11_basins, ep12_flowlen, ep13_strahler, ep14_twi]
+    opt_in = [ep11_basins, ep12_flowlen, ep13_strahler, ep14_twi,
+              ep3d_s2_join_10m]
     if only is not None:
         stages = stages + [fn for fn in opt_in if fn.__name__ in only]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))

@@ -123,3 +123,80 @@ def test_s2_scalar_vector_parity_and_parent_containment(lng, lat):
     clng, clat = s2.leaf_to_lnglat(np.array([p14], dtype=np.uint64))
     releaf = int(s2.lnglat_to_leaf(clng, clat)[0])
     assert int(s2.parent(np.array([releaf], dtype=np.uint64), 14)[0]) == p14
+
+
+@st.composite
+def u8_images(draw, max_side=20):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    color = draw(st.booleans())
+    n = h * w * (3 if color else 1)
+    vals = draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    a = np.array(vals, dtype=np.uint8)
+    return a.reshape(h, w, 3) if color else a.reshape(h, w)
+
+
+def _ideal_420_reconstruction(img):
+    """Best-possible 4:2:0 round-trip: exact YCbCr, 2x2-mean chroma
+    downsample with edge-replication padding (the codec's scheme),
+    nearest upsample, exact inverse — NO DCT/quantization anywhere.
+    Any 4:2:0 codec's RGB error is bounded below by this."""
+    x = img.astype(np.float64)
+    y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
+    cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
+    h, w = y.shape
+
+    def down_up(c):
+        he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        p = np.empty((he, we))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        d = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+        return np.repeat(np.repeat(d, 2, 0), 2, 1)[:h, :w]
+
+    cb, cr = down_up(cb), down_up(cr)
+    rec = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], -1
+    )
+    return np.clip(rec.round(), 0, 255)
+
+
+@SET
+@given(u8_images(), st.sampled_from(["444", "420"]))
+def test_jpeg_roundtrip_shape_determinism_and_noise_floor(img, ss):
+    """Laws of the baseline JPEG codec over ARBITRARY uint8 content:
+    decode∘encode preserves shape and dtype; encoding is deterministic;
+    and at quality 95 the error is bounded by laws that hold even for
+    adversarial noise. For 4:4:4 that is a flat 28 dB RGB PSNR floor.
+    For 4:2:0 a flat RGB floor is the WRONG law — per-pixel saturated
+    chroma noise is unrecoverable after 2x2 chroma averaging no matter
+    the quality (hypothesis found a case where the information-theoretic
+    subsampling bound itself is 20 dB) — so the 4:2:0 laws are (a) the
+    luma channel, which is never subsampled, keeps the 28 dB floor, and
+    (b) RGB MSE stays within a constant factor of the exact-arithmetic
+    subsampling bound: quantization adds little on top of what 4:2:0
+    already destroyed."""
+    from hydro_raster_ray.jpeg import jpeg_decode, jpeg_encode
+
+    buf = jpeg_encode(img, quality=95, subsampling=ss)
+    assert buf == jpeg_encode(img, quality=95, subsampling=ss)
+    out, info = jpeg_decode(buf)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (info.height, info.width) == img.shape[:2]
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    if ss == "444" or img.ndim == 2:
+        assert psnr(out, img) >= 28.0
+    else:
+        def luma(x):
+            return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+        assert psnr(luma(out), luma(img)) >= 28.0
+        bound = np.mean((_ideal_420_reconstruction(img) - img.astype(float)) ** 2)
+        mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+        assert mse <= bound * 1.6 + 3.0, (mse, bound)
