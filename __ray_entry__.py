@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_stratified_sample"] = ops.stratified_sample
     q["doc_pack_chunks"] = ops.pack_chunks
     q["doc_rarity"] = ops.rarity_scores
+    q["doc_lm_surprisal"] = ops.lm_surprisal_scores
     q["doc_dedup_filter"] = ops.dedup_filter
     q["doc_decontaminate"] = ops.decontaminate
     q["doc_lang_confusion"] = ops.lang_confusion
@@ -434,6 +435,29 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(sum(1000000 // d.df) AS BIGINT) AS rarity_score
 FROM toks t JOIN dfreq d USING (tok)
 GROUP BY t.doc_id
+""",
+        # add-one-smoothed bigram-LM surprisal (integer inverse-probability
+        # form — see text/ops.lm_surprisal_scores for why not log-space)
+        "doc_lm_surprisal": """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+  FROM documents),
+ flat AS (SELECT unnest(t) tok FROM tk),
+ v AS (SELECT count(DISTINCT tok) v FROM flat),
+ pairs AS (
+  SELECT doc_id, unnest(t[1:-2]) w1, unnest(t[2:-1]) w2
+  FROM tk WHERE len(t) >= 2),
+ big AS (SELECT w1, w2, count(*) c12 FROM pairs GROUP BY 1, 2),
+ ctx AS (SELECT w1, count(*) c1 FROM pairs GROUP BY 1)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(((ctx.c1 + v.v) * 1000000) // (big.c12 + 1)) AS BIGINT)
+           AS lm_surprisal
+FROM pairs p
+CROSS JOIN v
+JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+JOIN ctx ON ctx.w1 = p.w1
+GROUP BY p.doc_id
 """,
         "doc_pii_scrub": f"""
 WITH inj AS (

@@ -38,6 +38,7 @@ __all__ = [
     "repetition_stats",
     "pack_chunks",
     "rarity_scores",
+    "lm_surprisal_scores",
     "dedup_filter",
     "lang_confusion",
     "token_cms",
@@ -1232,6 +1233,226 @@ def rarity_scores(
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=512)
+
+
+def lm_surprisal_scores(
+    sf_dir: str, broadcast_budget: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Bigram-LM surprisal quality scoring — the CCNet/KenLM perplexity
+    filter reshaped for oracle exactness. Train an add-one-smoothed bigram
+    model over the corpus itself, then score every document by the sum
+    over its bigram INSTANCES of the scaled inverse conditional
+    probability
+
+        surprise(w1 w2) = ((c(w1·) + V) * 1_000_000) // (c(w1 w2) + 1)
+                        = floor(1e6 / P_laplace(w2 | w1))
+
+    where V is the corpus vocabulary size and c(w1·) counts w1 as a
+    bigram context. High score = improbable under the corpus's own model,
+    the perplexity-filter signal. A production filter sums LOGS of these
+    ratios; the linear integer form keeps every step associative and
+    bit-exact against the DuckDB oracle (the ``rarity_scores`` precedent —
+    no ``ln`` float hazard on either side).
+
+    Distributed shape (vocabulary-sized reductions, never a corpus-sized
+    driver table):
+
+    1. per-batch bigram partial counts → ``groupby(big).sum`` → the c12
+       table (bigram-vocabulary-sized); the context table c(w1·)
+       aggregates FROM that table (not from the corpus again) by
+       splitting the bigram key; V from a distinct-token groupby count;
+    2. under ``broadcast_budget`` bigram rows, per-bigram integer scores
+       build on the driver and broadcast once via ``ray.put`` (sorted
+       key array + score array); each batch probes with
+       ``np.searchsorted`` and accumulates exact int64 per-doc sums with
+       ``np.add.at`` (bincount's float64 weights would round past 2^53);
+    3. above it (open bigram vocabulary), c12 ⋈ ctx on the first token
+       computes the score column, then (doc_id, bigram, k)-compressed
+       instance counts hash-join the score table on the bigram key
+       (high-cardinality: join-safe per the ``Dataset.join`` lesson)
+       with per-batch partial per-doc sums → ``groupby(doc_id)``.
+
+    Documents with <2 tokens are omitted (SQL parity: the shifted-slice
+    unnest emits no pair row). Columns: doc_id, n_bigrams, lm_surprisal.
+    """
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def _bigram_arrays(df: pd.DataFrame):
+        """(bigram key per instance, batch-local doc index) or None."""
+        toks = df["text"].str.lower().str.split()
+        n = len(df)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if not flat.size:
+            return None
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[np.cumsum(lens) - 1] = False  # each doc's final token
+        idx = np.nonzero(keep)[0]
+        if not idx.size:
+            return None
+        big = pd.Series(flat[idx]).str.cat(pd.Series(flat[idx + 1]), sep=" ")
+        return big.to_numpy(dtype=object), doc_of[idx]
+
+    _EMPTY_BIG = pa.table(
+        {"big": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        got = _bigram_arrays(df)
+        if got is None:
+            return _EMPTY_BIG
+        uniq, cnt = np.unique(got[0], return_counts=True)
+        return pa.table(
+            {"big": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    big_ds = (
+        ds.map_batches(partial_counts, batch_format="pandas", batch_size=512)
+        .groupby("big")
+        .aggregate(Sum("n", alias_name="c12"))
+        .materialize()  # |bigram vocab| rows, pinned in the object store
+    )
+
+    def partial_vocab(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.lower().str.split()
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        uniq = np.unique(flat) if flat.size else np.array([], dtype=object)
+        return pa.table({"tok": pa.array(uniq, pa.string())})
+
+    V = int(
+        ds.map_batches(partial_vocab, batch_format="pandas", batch_size=512)
+        .groupby("tok")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("lm_surprisal", pa.int64())]
+    )
+    n_big = big_ds.count()
+    if n_big == 0:
+        # corpus of <2-token docs: Dataset.join aborts on an empty side
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_big <= broadcast_budget:
+        bt = big_ds.to_pandas()  # bigram-vocab-sized, under budget
+        w1 = bt["big"].str.split(" ", n=1).str[0]
+        c1 = bt.groupby(w1)["c12"].transform("sum").to_numpy(np.int64)
+        c12 = bt["c12"].to_numpy(np.int64)
+        score = ((c1 + np.int64(V)) * np.int64(1_000_000)) // (c12 + 1)
+        keys = bt["big"].to_numpy(dtype=object)
+        order = np.argsort(keys)
+        sref = ray.put((keys[order], score[order]))
+
+        def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            got = _bigram_arrays(df)
+            if got is None:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype=np.int64),
+                     "n_bigrams": pd.Series([], dtype=np.int64),
+                     "lm_surprisal": pd.Series([], dtype=np.int64)}
+                )
+            big, bdoc = got
+            bkeys, bscore = _ray.get(sref)
+            s = bscore[np.searchsorted(bkeys, big)]
+            n = len(df)
+            tot = np.zeros(n, dtype=np.int64)
+            np.add.at(tot, bdoc, s)  # exact int64 accumulation
+            nb = np.bincount(bdoc, minlength=n)
+            kept = nb > 0
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64)[kept],
+                 "n_bigrams": nb[kept].astype(np.int64),
+                 "lm_surprisal": tot[kept]}
+            )
+
+        return ds.map_batches(score_batch, batch_format="pandas", batch_size=512)
+
+    # open-bigram-vocabulary path: nothing vocabulary-sized on the driver
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+
+    def split_ctx(df: pd.DataFrame) -> pa.Table:
+        w1 = df["big"].str.split(" ", n=1).str[0]
+        return pa.table(
+            {"w1": pa.array(w1.to_numpy(dtype=object), pa.string()),
+             "n": pa.array(df["c12"].to_numpy(np.int64), pa.int64())}
+        )
+
+    ctx_ds = (
+        big_ds.map_batches(split_ctx, batch_format="pandas")
+        .groupby("w1")
+        .aggregate(Sum("n", alias_name="c1"))
+    )
+
+    def add_w1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(w1=df["big"].str.split(" ", n=1).str[0])
+
+    scored = big_ds.map_batches(add_w1, batch_format="pandas").join(
+        ctx_ds, "inner", num_partitions, on=("w1",)
+    )
+
+    def mk_score(df: pd.DataFrame) -> pa.Table:
+        s = (
+            (df["c1"].to_numpy(np.int64) + np.int64(V)) * np.int64(1_000_000)
+        ) // (df["c12"].to_numpy(np.int64) + 1)
+        return pa.table(
+            {"big": pa.array(df["big"].to_numpy(dtype=object), pa.string()),
+             "s": pa.array(s, pa.int64())}
+        )
+
+    score_ds = scored.map_batches(mk_score, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        got = _bigram_arrays(df)
+        if got is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "big": pa.array([], pa.string()),
+                 "k": pa.array([], pa.int64())}
+            )
+        big, bdoc = got
+        dids = df["doc_id"].to_numpy(np.int64)[bdoc]
+        g = (
+            pd.DataFrame({"doc_id": dids, "big": big})
+            .groupby(["doc_id", "big"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+             "big": pa.array(g["big"].to_numpy(dtype=object), pa.string()),
+             "k": pa.array(g["size"].to_numpy(np.int64), pa.int64())}
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pandas", batch_size=512)
+    j = pair_ds.join(score_ds, "inner", num_partitions, on=("big",))
+
+    def part_sum(df: pd.DataFrame) -> pa.Table:
+        k = df["k"].to_numpy(np.int64)
+        agg = (
+            df.assign(n_bigrams=k, lm_surprisal=k * df["s"].to_numpy(np.int64))
+            .groupby("doc_id", as_index=False)
+            .agg(n_bigrams=("n_bigrams", "sum"),
+                 lm_surprisal=("lm_surprisal", "sum"))
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        j.map_batches(part_sum, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("lm_surprisal", alias_name="lm_surprisal"),
+        )
+    )
 
 
 def dedup_filter(

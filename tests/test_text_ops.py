@@ -894,3 +894,56 @@ def test_dedup_filter_no_clusters_returns_everyone(tmp_path):
     )
     out = ops.dedup_filter(str(tmp_path)).to_pandas()
     assert sorted(out["doc_id"]) == list(range(20))
+
+
+def test_lm_surprisal_hand_case(tmp_path):
+    """doc_lm_surprisal vs pencil arithmetic: add-one bigram model,
+    integer surprise = ((c1 + V) * 1e6) // (c12 + 1) summed over bigram
+    INSTANCES (repeats score every time, unlike rarity's distinct
+    tokens); <2-token docs drop (SQL shifted-slice unnest parity)."""
+    from hydro_raster_ray.text import ops
+
+    docs = ["a b a b c", "b c d", "x", ""]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        ops.lm_surprisal_scores(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # V = |{a,b,c,d,x}| = 5; c12: ab=2 ba=1 bc=2 cd=1; c1: a=2 b=3 c=1
+    s_ab = ((2 + 5) * 1_000_000) // (2 + 1)   # 2333333
+    s_ba = ((3 + 5) * 1_000_000) // (1 + 1)   # 4000000
+    s_bc = ((3 + 5) * 1_000_000) // (2 + 1)   # 2666666
+    s_cd = ((1 + 5) * 1_000_000) // (1 + 1)   # 3000000
+    assert got["doc_id"].tolist() == [0, 1]   # 'x' and '' emit no bigram
+    assert got["n_bigrams"].tolist() == [4, 2]
+    assert got["lm_surprisal"].tolist() == [
+        2 * s_ab + s_ba + s_bc, s_bc + s_cd]
+
+
+def test_lm_surprisal_join_path_matches_broadcast():
+    """The open-bigram-vocabulary hash-join path (broadcast_budget=0)
+    must produce exactly the broadcast path's rows."""
+    from hydro_raster_ray.text import ops
+
+    a = (
+        ops.lm_surprisal_scores(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    b = (
+        ops.lm_surprisal_scores(SF, broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b)
