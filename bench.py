@@ -381,18 +381,23 @@ def run_bench() -> dict:
     def ep3d_s2_join_10m():
         # 10× the default gauge count so the join's ~6 s aggregator-startup
         # floor (the reason ep3c was excluded from scaling, BASELINE.md)
-        # stops dominating and the 2→8 CPU efficiency measures compute;
-        # table built lazily — only when this opt-in stage is named
-        import ray as _ray
-
+        # stops dominating and the 2→8 CPU efficiency measures compute.
+        # The gauge table generates DISTRIBUTED (gauges_large_ds — the
+        # driver build was an 11 s serial term) in 64 blocks so the S2
+        # cell pass parallelizes past 8 tasks, and the join partitions
+        # scale with the CPU allocation instead of the conservative
+        # auto_join_partitions floor.
         from hydro_raster_ray.stages.spatial_join import s2_gauge_join
 
-        big = fixtures.gauges_large_table(scheme, 10_000_000)
         ts = read_tiles(
             BENCH_DIR, scheme, columns=["w", "h", "fmt", "caption", "phash"]
         )
-        gauges = _ray.data.from_arrow(big).repartition(max(8, NUM_CPUS))
-        n = s2_gauge_join(ts, gauges).to_pandas()["n_gauges"].sum()
+        gauges = fixtures.gauges_large_ds(scheme, 10_000_000, num_blocks=64)
+        n = (
+            s2_gauge_join(ts, gauges, num_partitions=max(8, NUM_CPUS))
+            .to_pandas()["n_gauges"]
+            .sum()
+        )
         assert n == 10_000_000, n
 
     def ep14_twi():

@@ -228,17 +228,26 @@ def _halton(n: int, base: int) -> np.ndarray:
     return out
 
 
-def _halton_vec(n: int, base: int) -> np.ndarray:
-    """Vectorized radical inverse — bit-identical to ``_halton`` (the extra
-    iterations for already-exhausted elements add exactly 0.0)."""
-    k = np.arange(1, n + 1, dtype=np.int64)
-    out = np.zeros(n)
+def _radical_inverse(k: np.ndarray, base: int) -> np.ndarray:
+    """Vectorized radical inverse of 1-based indices ``k`` — bit-identical
+    for any index slice: iteration count depends only on ``k.max()`` and
+    the extra iterations for already-exhausted elements add exactly 0.0,
+    so computing a sub-range gives the same values as the full range
+    (what makes the large-gauge fixture distributable block-by-block)."""
+    k = k.astype(np.int64, copy=True)
+    out = np.zeros(k.size)
     f = 1.0
-    while k.max() > 0:
+    while k.size and k.max() > 0:
         f /= base
         out += f * (k % base)
         k //= base
     return out
+
+
+def _halton_vec(n: int, base: int) -> np.ndarray:
+    """Vectorized radical inverse — bit-identical to ``_halton`` (the extra
+    iterations for already-exhausted elements add exactly 0.0)."""
+    return _radical_inverse(np.arange(1, n + 1, dtype=np.int64), base)
 
 
 def gauges_table(scheme: TileScheme, n: int = 25) -> pa.Table:
@@ -280,6 +289,39 @@ def gauges_large_table(scheme: TileScheme, n: int) -> pa.Table:
             "y": pa.array(y),
             "value": pa.array(v),
         }
+    )
+
+
+def gauges_large_ds(
+    scheme: TileScheme, n: int, num_blocks: int = 64
+) -> "ray.data.Dataset":
+    """Distributed ``gauges_large_table``: the Halton radical inverse is
+    index-addressable (see ``_radical_inverse``), so each block generates
+    its own id-range slice inside ``map_batches`` — the table never
+    materializes on the driver (at 10M+ gauges the driver build is an
+    ~11 s serial term and a ~300 MB driver→object-store copy). Bit-exact
+    vs the driver table by test."""
+    import ray
+
+    ext = scheme.grid.extent
+    grid = scheme.grid
+
+    def mk(batch: pa.Table) -> pa.Table:
+        gid = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ext[0] + _radical_inverse(gid + 1, 2) * (ext[1] - ext[0])
+        y = ext[2] + _radical_inverse(gid + 1, 3) * (ext[3] - ext[2])
+        v = analytic_z(x, y, grid)
+        return pa.table(
+            {
+                "gid": pa.array(gid, pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "value": pa.array(v),
+            }
+        )
+
+    return ray.data.range(n, override_num_blocks=num_blocks).map_batches(
+        mk, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -1582,6 +1624,53 @@ def _ensure_jpeg_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_wav_witness(tag: str, out: str) -> None:
+    """media_audio_features_wav witness (own marker → in-place upgrade).
+
+    Independence split: the witness rebuilds each clip's QUANTIZED sample
+    arrays straight from the generator formula (``_fake_wav_samples``) and
+    applies the published decode math (q/32768, (q8-128)/128, channel-mean
+    downmix) plus the feature formulas — it never touches the RIFF
+    container or the stdlib ``wave`` parser the engine decodes with.
+    Container-parse correctness is evidenced separately by hand-built
+    RIFF bytes in ``tests/test_multimodal.py``."""
+    done = os.path.join(out, "_WAV_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .stages.multimodal import _fake_wav_samples
+
+    sr, seconds, n_clips = 8000, 0.5, 32
+    rows = {"audio_id": [], "rms": [], "peak": [], "zcr": [], "dom_freq": []}
+    for c in range(n_clips):
+        kind, chans = _fake_wav_samples(c, sr, seconds)
+        if kind == 2:
+            scaled = [(ch.astype(np.float64) - 128.0) / 128.0 for ch in chans]
+        else:
+            scaled = [ch.astype(np.float64) / 32768.0 for ch in chans]
+        x = np.mean(scaled, axis=0)
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0
+        rows["audio_id"].append(f"w{c:04d}")
+        rows["rms"].append(round(float(np.sqrt((x * x).mean())), 6))
+        rows["peak"].append(round(float(np.abs(x).max()), 6))
+        rows["zcr"].append(round(float((np.diff(np.signbit(x)) != 0).mean()), 6))
+        rows["dom_freq"].append(round(float(np.argmax(spec) * sr / x.size), 6))
+    _write_atomic(
+        pa.table(
+            {
+                "audio_id": pa.array(rows["audio_id"], pa.string()),
+                "rms": pa.array(rows["rms"], pa.float64()),
+                "peak": pa.array(rows["peak"], pa.float64()),
+                "zcr": pa.array(rows["zcr"], pa.float64()),
+                "dom_freq": pa.array(rows["dom_freq"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_audio_wav.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -1735,6 +1824,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_lcc_witness(tag, out)
     _ensure_s2_witness(tag, out)
     _ensure_jpeg_witness(tag, out)
+    _ensure_wav_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out
 

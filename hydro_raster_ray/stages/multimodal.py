@@ -42,6 +42,7 @@ __all__ = [
     "augment_tiles",
     "audio_features",
     "make_fake_audio",
+    "make_fake_wavs",
 ]
 
 
@@ -94,10 +95,35 @@ class MediaCodec:
 
         - ``pcm16le``: interleaved-free mono 16-bit little-endian PCM — the
           frombuffer/scale below is the REAL decode for this container.
-        - real codecs (mp3/ogg/flac): require an audio lib → stub.
+        - ``wav``: REAL RIFF/WAVE container decode via the stdlib ``wave``
+          parser (chunk walk, fmt validation) — 8-bit unsigned and 16-bit
+          signed PCM, any channel count (downmixed by channel mean).
+        - real compressed codecs (mp3/ogg/flac): require an audio lib → stub.
         """
         if fmt == "pcm16le":
             return np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+        if fmt == "wav":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(bytes(buf)), "rb") as wf:
+                nch = wf.getnchannels()
+                width = wf.getsampwidth()
+                frames = wf.readframes(wf.getnframes())
+            if width == 2:
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:  # WAV 8-bit is unsigned, midpoint 128
+                x = (
+                    np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                ) / 128.0
+            else:
+                raise NotImplementedError(
+                    f"wav sample width {width} (24/32-bit) not supported"
+                )
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)  # downmix to mono
+            return x
         raise NotImplementedError(
             f"{fmt} audio decode requires an audio codec lib, not available "
             "here; plug one into MediaCodec.decode_audio"
@@ -368,6 +394,67 @@ def make_fake_audio(n_clips: int, sample_rate: int = 8000, seconds: float = 0.5)
             "sample_rate": pa.array([sample_rate] * n_clips, pa.int32()),
             "n_samples": pa.array([n] * n_clips, pa.int32()),
             "fmt": pa.array(["pcm16le"] * n_clips, pa.string()),
+        }
+    )
+
+
+def _fake_wav_samples(c: int, sample_rate: int, seconds: float):
+    """Quantized sample arrays for clip ``c`` of the wav corpus — the
+    GENERATOR formula, shared with the fixture witness so the witness
+    never touches the container or the ``wave`` parser. Clip kinds cycle
+    mono-16 / stereo-16 / mono-8; returns (kind, channel arrays)."""
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    f0 = 150.0 + 41.0 * c
+    f1 = 700.0 + 59.0 * c
+    left = 0.55 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * f1 * t)
+    kind = c % 3
+    if kind == 0:  # mono 16-bit
+        return kind, [(left * 32767.0).astype("<i2")]
+    if kind == 1:  # stereo 16-bit: distinct L/R tones
+        right = 0.4 * np.sin(2 * np.pi * f1 * t)
+        return kind, [(left * 32767.0).astype("<i2"),
+                      (right * 32767.0).astype("<i2")]
+    # mono 8-bit unsigned (midpoint 128)
+    return kind, [np.round(left * 127.0 + 128.0).astype(np.uint8)]
+
+
+def make_fake_wavs(
+    n_clips: int, sample_rate: int = 8000, seconds: float = 0.5
+) -> pa.Table:
+    """Deterministic REAL-WAV audio table (audio_id, bytes, sample_rate,
+    n_samples, fmt='wav'): each clip is a two-tone mix with formula-fixed
+    frequencies, containered through the stdlib ``wave`` writer. Clips
+    cycle mono-16-bit / stereo-16-bit / mono-8-bit so the decode path's
+    width and downmix branches all see real traffic."""
+    import io
+    import wave
+
+    ids, bufs = [], []
+    n = int(sample_rate * seconds)
+    for c in range(n_clips):
+        kind, chans = _fake_wav_samples(c, sample_rate, seconds)
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(len(chans))
+            wf.setsampwidth(1 if kind == 2 else 2)
+            wf.setframerate(sample_rate)
+            if len(chans) == 1:
+                wf.writeframes(chans[0].tobytes())
+            else:
+                inter = np.empty(n * len(chans), dtype=chans[0].dtype)
+                for k, ch in enumerate(chans):
+                    inter[k :: len(chans)] = ch
+                wf.writeframes(inter.tobytes())
+        ids.append(f"w{c:04d}")
+        bufs.append(bio.getvalue())
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "sample_rate": pa.array([sample_rate] * n_clips, pa.int32()),
+            "n_samples": pa.array([n] * n_clips, pa.int32()),
+            "fmt": pa.array(["wav"] * n_clips, pa.string()),
         }
     )
 

@@ -73,11 +73,22 @@ def s2_gauge_join(
     gauges: "ray.data.Dataset",
     level: int = 14,
     num_partitions: int | None = None,
+    broadcast_budget: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Count gauges inside each tile's footprint via an S2-cell hash join
-    + exact bbox verify. ``gauges`` needs ``x``/``y`` columns (projected
+    """Count gauges inside each tile's footprint via an S2-cell join +
+    exact bbox verify. ``gauges`` needs ``x``/``y`` columns (projected
     grid coordinates). Columns: image_id, n_gauges (tiles with ≥1 gauge).
-    """
+
+    Under ``broadcast_budget`` tile-cell rows (the tile side is metadata —
+    a handful of level-14 cells per tile), the cell→tile table broadcasts
+    once via ``ray.put`` (cell-sorted arrays) and the gauge stream probes
+    it inside one ``map_batches`` with a ``searchsorted`` range expansion
+    — NO all-to-all exchange of the 10M+ gauge rows (measured 2→8 CPU
+    efficiency 0.53 → see BASELINE.md for the hash join this replaces;
+    the join's aggregator floor and the 400 MB gauge shuffle dominated).
+    Above the budget (continent-scale tile sets), the original
+    ``Dataset.join`` path runs — both paths verified row-identical by
+    test and by the driver oracle."""
     import ray.data  # noqa: F401 - type only
 
     from .reproject import bng_tmerc
@@ -144,10 +155,65 @@ def s2_gauge_join(
 
     meta = ts.ds.select_columns(["image_id", "gr0", "gc0", "h", "w"])
     tiles_k = meta.map_batches(tile_cells, batch_format="pyarrow")
+
+    tk = tiles_k.materialize()  # tile-cell rows: ~|cells/tile| × |tiles|
+    if tk.count() <= broadcast_budget:
+        tt = tk.to_pandas()  # under budget by the check above
+        order = np.argsort(tt["cell"].to_numpy(np.int64), kind="stable")
+        tref = ray.put(
+            (
+                tt["cell"].to_numpy(np.int64)[order],
+                tt["image_id"].to_numpy(dtype=object)[order],
+                tt["xmin"].to_numpy(np.float64)[order],
+                tt["xmax"].to_numpy(np.float64)[order],
+                tt["ymin"].to_numpy(np.float64)[order],
+                tt["ymax"].to_numpy(np.float64)[order],
+            )
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            cells, ids, xmin, xmax, ymin, ymax = _ray.get(tref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            lon, lat = bng_tmerc.inverse(x, y)
+            gc = s2.parent(s2.lnglat_to_leaf(lon, lat), level).view(np.int64)
+            lo = np.searchsorted(cells, gc, side="left")
+            hi = np.searchsorted(cells, gc, side="right")
+            width = hi - lo
+            gi = np.repeat(np.arange(gc.size, dtype=np.int64), width)
+            # candidate row index: lo[g] + within-range offset
+            off = np.arange(width.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(width) - width, width
+            )
+            cand = np.repeat(lo, width) + off
+            m = (
+                (x[gi] >= xmin[cand])
+                & (x[gi] < xmax[cand])
+                & (y[gi] >= ymin[cand])
+                & (y[gi] < ymax[cand])
+            )
+            hit_ids = ids[cand[m]]
+            uniq, cnt = np.unique(hit_ids, return_counts=True)
+            return pa.table(
+                {
+                    "image_id": pa.array(uniq.astype(object), pa.string()),
+                    "n_gauges": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        part = gauges.select_columns(["x", "y"]).map_batches(
+            probe, batch_format="pyarrow"
+        )
+        return part.groupby("image_id").aggregate(
+            Sum("n_gauges", alias_name="n_gauges")
+        )
+
     gauges_k = gauges.select_columns(["x", "y"]).map_batches(
         gauge_cells, batch_format="pyarrow"
     )
-    joined = tiles_k.join(
+    joined = tk.join(
         gauges_k, "inner", num_partitions, on=("cell",), right_on=("gcell",)
     )
 

@@ -116,3 +116,19 @@ def test_partitioned_skewed_gauges(ray_session, small_scheme):
     ts = from_arrow_tiles(t, small_scheme, validate=False)
     out = knn_idw_partitioned(ts, ray.data.from_arrow(gt), k=8)
     np.testing.assert_array_equal(to_array(out), want)
+
+
+def test_gauges_large_ds_bit_exact_vs_driver_table(ray_session, small_scheme):
+    """The distributed Halton gauge generator must be BIT-identical to the
+    driver-side table for any block split (the radical inverse's extra
+    loop iterations add exactly 0.0 — fixtures._radical_inverse)."""
+    import pandas as pd
+
+    want = fixtures.gauges_large_table(small_scheme, 1000).to_pandas()
+    got = (
+        fixtures.gauges_large_ds(small_scheme, 1000, num_blocks=7)
+        .to_pandas()
+        .sort_values("gid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -222,3 +222,76 @@ def test_augment_tiles_round_trip_and_orientation(ray_session, small_scheme):
 
     with _pt.raises(ValueError, match="op must be one of"):
         augment_tiles(ts, "rot180")
+
+
+def _riff_wav(nch, bits, rate, payload):
+    """Hand-built RIFF/WAVE bytes — independent of the stdlib wave WRITER,
+    so decode tests prove container parsing, not writer/reader symmetry."""
+    import struct
+
+    block = nch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_hand_built_mono16():
+    """Pencil-derived: 16-bit samples scale by 1/32768 exactly."""
+    import struct
+
+    codec = MediaCodec()
+    buf = _riff_wav(1, 16, 8000, struct.pack("<4h", 0, 16384, -32768, 32767))
+    x = codec.decode_audio(buf, "wav")
+    np.testing.assert_array_equal(
+        x, np.array([0.0, 0.5, -1.0, 32767 / 32768]))
+
+
+def test_wav_decode_hand_built_stereo_downmix():
+    """Stereo downmixes by exact channel mean: L=0.5, R=-1.0 → -0.25."""
+    import struct
+
+    codec = MediaCodec()
+    buf = _riff_wav(2, 16, 8000, struct.pack("<2h", 16384, -32768))
+    np.testing.assert_array_equal(
+        codec.decode_audio(buf, "wav"), np.array([-0.25]))
+
+
+def test_wav_decode_hand_built_u8():
+    """8-bit WAV is unsigned with midpoint 128: (q-128)/128."""
+    codec = MediaCodec()
+    buf = _riff_wav(1, 8, 8000, bytes([128, 255, 0]))
+    np.testing.assert_array_equal(
+        codec.decode_audio(buf, "wav"), np.array([0.0, 127 / 128, -1.0]))
+
+
+def test_wav_decode_unsupported_width_raises():
+    import struct
+
+    codec = MediaCodec()
+    buf = _riff_wav(1, 32, 8000, struct.pack("<i", 0))
+    with pytest.raises(NotImplementedError):
+        codec.decode_audio(buf, "wav")
+
+
+def test_fake_wavs_roundtrip_matches_generator_formula():
+    """decode_audio on the containered corpus == the decode math applied
+    to the generator's quantized samples (the witness's exact recipe) —
+    proves the wave-writer→wave-parser plumbing is lossless for all
+    three clip kinds (mono16 / stereo16 / mono8)."""
+    from hydro_raster_ray.stages.multimodal import (
+        _fake_wav_samples,
+        make_fake_wavs,
+    )
+
+    t = make_fake_wavs(6)
+    codec = MediaCodec()
+    for i in range(t.num_rows):
+        kind, chans = _fake_wav_samples(i, 8000, 0.5)
+        if kind == 2:
+            scaled = [(c.astype(np.float64) - 128.0) / 128.0 for c in chans]
+        else:
+            scaled = [c.astype(np.float64) / 32768.0 for c in chans]
+        want = np.mean(scaled, axis=0)
+        got = codec.decode_audio(t["bytes"][i].as_py(), "wav")
+        np.testing.assert_array_equal(got, want)

@@ -174,3 +174,34 @@ def test_s2_gauge_join_large_tiles_complete(ray_session):
     got = s2_gauge_join(ts, gauges).to_pandas()
     assert got["n_gauges"].sum() == n
     assert len(got) == 16  # every tile holds gauges (Halton is space-filling)
+
+
+def test_s2_gauge_join_paths_identical(ray_session):
+    """The broadcast probe path (default under budget) and the
+    Dataset.join path (broadcast_budget=0) must produce identical rows —
+    same candidate set by construction (one level-14 cell per gauge,
+    per-tile-deduped cell rows), same bbox predicate."""
+    import pandas as pd
+    import ray.data
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.spatial_join import s2_gauge_join
+
+    scheme = fixtures.make_scheme(4, 4, tile_h=64, tile_w=64, ragged=True)
+    ts = from_arrow_tiles(fixtures.tiles_table(scheme), scheme)
+    gauges = ray.data.from_arrow(fixtures.gauges_large_table(scheme, 5000))
+    a = (
+        s2_gauge_join(ts, gauges)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        s2_gauge_join(ts, gauges, broadcast_budget=0)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)[a.columns]
+    )
+    assert a["n_gauges"].sum() == 5000
+    pd.testing.assert_frame_equal(a, b)
