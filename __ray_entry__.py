@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_pq"] = ann.emb_pq
     q["ann_ivfpq_topk"] = ann.ivfpq_topk
     q["cluster_doc_stats"] = ann.cluster_doc_stats
+    q["emb_semdedup"] = ann.semdedup
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -552,6 +553,28 @@ SELECT q.qid, e.vec_id,
                  e.vec_id) AS BIGINT) rank
 FROM embeddings e, q WHERE e.vec_id <> q.qid
 QUALIFY rank <= 10
+""",
+        # SemDeDup: same seed-centroid assignment as ann_ivf_assign, then a
+        # per-cluster lower-id-wins pairwise prune at cosine > 0.44
+        "emb_semdedup": """
+WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+ s AS (SELECT e.vec_id, c.cid,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) sim
+       FROM embeddings e, c),
+ a AS (SELECT vec_id, min(cid) centroid
+       FROM (SELECT vec_id, cid, sim,
+                    max(sim) OVER (PARTITION BY vec_id) ms FROM s)
+       WHERE sim = ms GROUP BY vec_id),
+ ae AS (SELECT a.vec_id, a.centroid, e.embedding
+        FROM a JOIN embeddings e USING (vec_id)),
+ dropped AS (SELECT DISTINCT hi.vec_id
+             FROM ae lo JOIN ae hi
+               ON lo.centroid = hi.centroid AND lo.vec_id < hi.vec_id
+              AND list_cosine_similarity(lo.embedding::DOUBLE[],
+                                         hi.embedding::DOUBLE[]) > 0.44)
+SELECT CAST(ae.vec_id AS BIGINT) vec_id, CAST(ae.centroid AS BIGINT) centroid,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) kept
+FROM ae LEFT JOIN dropped d ON ae.vec_id = d.vec_id
 """,
         "ann_ivf_assign": """
 WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),

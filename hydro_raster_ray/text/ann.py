@@ -35,6 +35,7 @@ __all__ = [
     "pq_train",
     "ivfpq_topk",
     "cluster_doc_stats",
+    "semdedup",
 ]
 
 
@@ -126,6 +127,71 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> "ray.data.Dataset":
         ds.map_batches(assign, batch_format="pandas")
         .groupby("centroid")
         .aggregate(Count(alias_name="n"))
+    )
+
+
+def semdedup(
+    sf_dir: str, n_centroids: int = 8, threshold: float = 0.44
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    cluster-then-prune — assign every embedding to its nearest centroid,
+    then within each cluster drop any vector whose cosine similarity to a
+    LOWER-id vector of the same cluster exceeds ``threshold`` (the
+    deterministic stand-in for the paper's keep-one-per-similar-group
+    rule; lowest id = the engine's near-dup convention).
+
+    Distributed shape: centroids are the first C vectors (the
+    deterministic-centroid convention shared with ``ivf_assign`` — Lloyd
+    training has its own oracled query), broadcast once; one
+    ``map_batches`` assign pass tags rows, then
+    ``groupby(centroid).map_groups`` runs each cluster's pairwise gemm
+    where its rows land — only (vec_id, centroid, embedding) moves, no
+    all-pairs across clusters. The O(|cluster|²) pairwise is the
+    technique's intrinsic cost (the paper runs it at ~100k cluster size);
+    chunk the gemm row-block-wise inside the group if clusters outgrow
+    worker heap. The ``> threshold`` comparison carries the same residual
+    float-path caveat as ``cluster_doc_stats`` (numpy gemm vs the
+    oracle's list_cosine_similarity may differ in final ulps; the default
+    threshold sits ≥6e-3 from every fixture pair similarity).
+
+    Columns: vec_id, centroid, kept (1 = survives dedup).
+    """
+    cids, cm = _load_queries(sf_dir, range(n_centroids))
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ref = ray.put((cids, cn))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cmat = ray.get(ref)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        best = np.argmax(mn @ cmat.T, axis=1)  # first max = min centroid id
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "centroid": ids[best].astype(np.int64),
+                "embedding": df["embedding"],
+            }
+        )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        m = _batch_matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.triu(mn @ mn.T, k=1) > threshold
+        kept = (~s.any(axis=0)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "centroid": df["centroid"].to_numpy(np.int64),
+                "kept": kept,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("centroid")
+        .map_groups(prune, batch_format="pandas")
     )
 
 

@@ -947,3 +947,51 @@ def test_lm_surprisal_join_path_matches_broadcast():
         .reset_index(drop=True)[a.columns]
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_hand_case(tmp_path):
+    """SemDeDup vs pencil assignment: seeds = first 8 vectors; a planted
+    near-copy of seed 2 (cos ≈ 0.9998 > 0.44) is dropped while its
+    lower-id twin survives; an in-cluster but dissimilar vector keeps."""
+    from hydro_raster_ray.text import ann
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    seeds = rng.normal(size=(8, dim))
+    # orthogonalize-ish so assignments are unambiguous
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    near2 = seeds[2] + 0.01 * rng.normal(size=dim)      # vec 8: dup of seed 2
+    far2 = seeds[2] * 0.3 + 0.29 * seeds[2][::-1]       # vec 9: same-ish dir?
+    vecs = np.vstack([seeds, near2, far2])
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float32).astype(np.float64)),
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * 10, pa.int32()),
+        }),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    got = (
+        ann.semdedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # reference: same math scalar-side
+    mn = vecs.astype(np.float32).astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    best = np.argmax(mn @ mn[:8].T, axis=1)
+    assert got["centroid"].tolist() == best.tolist()
+    kept = []
+    for c in range(8):
+        idx = np.nonzero(best == c)[0]
+        sub = mn[idx]
+        tri = np.triu(sub @ sub.T, k=1) > 0.44
+        k = ~tri.any(axis=0)
+        kept.extend(zip(idx, k))
+    want = [int(k) for _, k in sorted(kept)]
+    assert got["kept"].tolist() == want
+    # the planted near-dup must actually exercise the drop branch
+    assert got.loc[got["vec_id"] == 8, "kept"].item() == 0
+    assert got.loc[got["vec_id"] == 2, "kept"].item() == 1
