@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_error_asof"] = relational.events_error_asof
     q["events_error_range_join"] = relational.events_error_range_join
     q["order_priority_revenue"] = relational.order_priority_revenue
+    q["returned_item_revenue"] = relational.returned_item_revenue
     q["pricing_summary"] = relational.pricing_summary
     q["revenue_by_brand"] = relational.revenue_by_brand
     q["segment_orders"] = relational.segment_orders
@@ -553,6 +554,25 @@ SELECT q.qid, e.vec_id,
                  e.vec_id) AS BIGINT) rank
 FROM embeddings e, q WHERE e.vec_id <> q.qid
 QUALIFY rank <= 10
+""",
+        # TPC-H Q10 analog: 3-way join + group + top-k; ORDER BY uses the
+        # ROUNDED revenue on both sides so the k boundary cannot flip
+        "returned_item_revenue": """
+WITH r AS (
+  SELECT o.o_custkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) rev,
+         count(*) n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT CAST(c.c_custkey AS BIGINT) c_custkey, c.c_name, n.n_name,
+       CAST(round(r.rev, 2) AS DOUBLE) revenue,
+       CAST(r.n_items AS BIGINT) n_items
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY round(r.rev, 2) DESC, c.c_custkey
+LIMIT 20
 """,
         # SemDeDup: same seed-centroid assignment as ann_ivf_assign, then a
         # per-cluster lower-id-wins pairwise prune at cosine > 0.44

@@ -22,6 +22,7 @@ __all__ = [
     "events_sliding",
     "events_sessions",
     "order_priority_revenue",
+    "returned_item_revenue",
     "orders_running_total",
     "events_top_users_per_type",
     "events_hll",
@@ -309,6 +310,116 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None) -> "r
         return df
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def returned_item_revenue(
+    sf_dir: str, num_partitions: int | None = None, k: int = 20
+) -> "ray.data.Dataset":
+    """TPC-H Q10 analog: the top-k customers by revenue lost to returned
+    items — the canonical 3-way join + group + top-k reporting pipeline.
+
+    Distributed shape (one large×large exchange, everything else
+    broadcast or result-sized):
+
+    1. lineitem is filtered to ``l_returnflag = 'R'`` INSIDE the first
+       map_batches after a column-pruned read (only 4 columns leave
+       storage) — the big side shrinks before the join;
+    2. filtered lineitem ⋈ orders on the order key via the native
+       ``Dataset.join`` (high-cardinality key: join-safe), per-batch
+       Arrow partial revenue sums → ``groupby(o_custkey)`` — output is
+       customer-cardinality;
+    3. customer and nation dims broadcast once (sorted-key arrays +
+       ``searchsorted``, the segment_orders recipe) and attach name /
+       nation to the aggregate;
+    4. global top-k via ``sort([rounded revenue desc, custkey asc]).limit``
+       over the customer-sized table — ordering uses the ROUNDED revenue
+       on both the engine and SQL side so the k-boundary cannot flip on
+       float last-bits.
+
+    Columns: c_custkey, c_name, n_name, revenue (2-dec), n_items.
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned_only(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["l_returnflag"] == "R"]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(d["l_orderkey"].to_numpy(np.int64)),
+                "rev": pa.array(
+                    (d["l_extendedprice"] * (1 - d["l_discount"])).to_numpy()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = li.map_batches(returned_only, batch_format="pandas").join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = df.assign(n_items=np.int64(1)).groupby(
+            "o_custkey", as_index=False
+        ).agg(revenue=("rev", "sum"), n_items=("n_items", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).sort_values("c_custkey")
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).sort_values("n_nationkey")
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_name"].to_numpy(dtype=object),
+            cust["c_nationkey"].to_numpy(np.int64),
+            nat["n_nationkey"].to_numpy(np.int64),
+            nat["n_name"].to_numpy(dtype=object),
+        )
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ck, cn, cnk, nk, nn = ray.get(ref)
+        # FK integrity: every o_custkey exists in customer
+        ci = np.searchsorted(ck, df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].to_numpy(np.int64),
+                "c_name": cn[ci],
+                "n_name": nn[np.searchsorted(nk, cnk[ci])],
+                "revenue": df["revenue"].round(2),
+                "n_items": df["n_items"].astype(np.int64),
+            }
+        )
+
+    return (
+        agg.map_batches(attach, batch_format="pandas")
+        .sort(key=["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def events_error_asof(sf_dir: str) -> "ray.data.Dataset":

@@ -154,3 +154,37 @@ def test_retention_hand_cases(tmp_path):
     assert got.loc[d("2024-01-02"), "n_retained"] == 1  # user 3 (1 gapped)
     assert got.loc[d("2024-01-03"), "n_retained"] == 1  # user 3 streak
     assert got.loc[d("2024-01-04"), "n_retained"] == 0  # last day
+
+
+def test_returned_item_revenue_topk(ray_session):
+    """TPC-H Q10 analog: exactly k rows, ordered by (rounded revenue desc,
+    custkey asc), matching an independent DuckDB evaluation row-for-row."""
+    import duckdb
+
+    from hydro_raster_ray.pipelines.relational import returned_item_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = returned_item_revenue(sf, k=20).to_pandas().reset_index(drop=True)
+    assert len(got) == 20
+    r = got["revenue"].to_numpy()
+    k = got["c_custkey"].to_numpy()
+    order_keys = list(zip(-r, k))
+    assert order_keys == sorted(order_keys)
+    want = duckdb.sql(f"""
+        WITH r AS (
+          SELECT o.o_custkey, sum(l.l_extendedprice * (1 - l.l_discount)) rev,
+                 count(*) n_items
+          FROM read_parquet('{sf}/lineitem.parquet') l
+          JOIN read_parquet('{sf}/orders.parquet') o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey)
+        SELECT CAST(c.c_custkey AS BIGINT) c_custkey, c.c_name, n.n_name,
+               CAST(round(r.rev, 2) AS DOUBLE) revenue,
+               CAST(r.n_items AS BIGINT) n_items
+        FROM r JOIN read_parquet('{sf}/customer.parquet') c
+          ON c.c_custkey = r.o_custkey
+        JOIN read_parquet('{sf}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey
+        ORDER BY round(r.rev, 2) DESC, c.c_custkey LIMIT 20
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
