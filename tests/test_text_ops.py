@@ -995,3 +995,59 @@ def test_semdedup_hand_case(tmp_path):
     # the planted near-dup must actually exercise the drop branch
     assert got.loc[got["vec_id"] == 8, "kept"].item() == 0
     assert got.loc[got["vec_id"] == 2, "kept"].item() == 1
+
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_lm_surprisal_random_corpus_duckdb_parity(tmp_path, seed):
+    """Engine vs an independent DuckDB evaluation of the same integer
+    bigram-surprisal definition on seeded random corpora with shared
+    phrases (repeated bigrams across docs), empty docs and single-token
+    docs — the randomized complement of the pencil hand-case."""
+    import duckdb
+
+    from hydro_raster_ray.text import ops
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    phrases = [" ".join(rng.choice(vocab, 4)) for _ in range(6)]
+    docs = []
+    for i in range(40):
+        parts = [phrases[j] for j in rng.integers(0, 6, rng.integers(1, 4))]
+        parts += list(rng.choice(vocab, rng.integers(0, 5)))
+        docs.append(" ".join(parts))
+    docs += ["", "solo", phrases[0]]
+    path = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        path,
+    )
+    got = (
+        ops.lm_surprisal_scores(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+          FROM read_parquet('{path}')),
+         flat AS (SELECT unnest(t) tok FROM tk),
+         v AS (SELECT count(DISTINCT tok) v FROM flat),
+         pairs AS (
+          SELECT doc_id, unnest(t[1:-2]) w1, unnest(t[2:-1]) w2
+          FROM tk WHERE len(t) >= 2),
+         big AS (SELECT w1, w2, count(*) c12 FROM pairs GROUP BY 1, 2),
+         ctx AS (SELECT w1, count(*) c1 FROM pairs GROUP BY 1)
+        SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(((ctx.c1 + v.v) * 1000000) // (big.c12 + 1)) AS BIGINT)
+                   AS lm_surprisal
+        FROM pairs p CROSS JOIN v
+        JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        JOIN ctx ON ctx.w1 = p.w1
+        GROUP BY p.doc_id ORDER BY p.doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
