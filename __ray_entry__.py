@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivfpq_topk"] = ann.ivfpq_topk
     q["cluster_doc_stats"] = ann.cluster_doc_stats
     q["emb_semdedup"] = ann.semdedup
+    q["ann_lsh_topk"] = ann.lsh_topk
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -573,6 +574,31 @@ JOIN customer c ON c.c_custkey = r.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 ORDER BY round(r.rev, 2) DESC, c.c_custkey
 LIMIT 20
+""",
+        # LSH-bucketed ANN: sign-bit bucket words over the first-8-vector
+        # hyperplanes (sign margin >=4e-7 vs ~1e-14 cross-engine dot error),
+        # Hamming<=1 probe, exact rerank with the brute_force tie-break
+        "ann_lsh_topk": """
+WITH p AS (SELECT vec_id pid, embedding pe FROM embeddings WHERE vec_id < 8),
+ b AS (SELECT e.vec_id,
+        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                            p.pe::DOUBLE[]) > 0
+                 THEN 1 << pid ELSE 0 END) AS BIGINT) bucket
+       FROM embeddings e, p GROUP BY e.vec_id),
+ q AS (SELECT b.vec_id qid, b.bucket qb, e.embedding qe
+       FROM b JOIN embeddings e USING (vec_id)
+       WHERE b.vec_id IN (100, 101, 102)),
+ cand AS (SELECT q.qid, b.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qe::DOUBLE[]), 6) sim
+          FROM q JOIN b ON bit_count(xor(b.bucket, q.qb)) <= 1
+          JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE b.vec_id != q.qid)
+SELECT CAST(qid AS BIGINT) qid, CAST(vec_id AS BIGINT) vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+            AS BIGINT) rank
+FROM cand
+QUALIFY rank <= 5
 """,
         # SemDeDup: same seed-centroid assignment as ann_ivf_assign, then a
         # per-cluster lower-id-wins pairwise prune at cosine > 0.44

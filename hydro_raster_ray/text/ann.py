@@ -36,6 +36,7 @@ __all__ = [
     "ivfpq_topk",
     "cluster_doc_stats",
     "semdedup",
+    "lsh_topk",
 ]
 
 
@@ -128,6 +129,72 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> "ray.data.Dataset":
         .groupby("centroid")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def lsh_topk(
+    sf_dir: str, query_ids=(100, 101, 102), k: int = 5, n_planes: int = 8
+) -> "ray.data.Dataset":
+    """Random-hyperplane LSH-bucketed ANN — the second of the brief's two
+    named scale paths beside IVF (``ivf_build``/``ivf_topk``). Bucket =
+    the word of sign bits of the vector's dot products with ``n_planes``
+    hyperplanes; candidates = vectors whose bucket is within Hamming
+    distance 1 of the query's bucket; exact rerank by rounded cosine with
+    vec_id tie-break (the ``brute_force_topk`` recipe, so partial
+    per-batch pruning keeps exactly the rows the final ordering keeps).
+
+    Planes are the first ``n_planes`` embeddings (the deterministic-seed
+    convention shared with ``ivf_assign`` — reproducible in SQL). Sign
+    stability: the fixture's smallest |dot| against any plane is ≥4e-7
+    while the cross-engine dot-product discrepancy is ~1e-14, so the
+    bucket words are bit-identical on both sides by an 8-order margin.
+
+    Distributed shape: planes + query rows broadcast once; ONE streaming
+    pass buckets each vector and keeps only Hamming-≤1 candidates with
+    per-batch top-k partials → ``groupby(qid)`` rerank. At 100 TB the
+    bucketed corpus persists Hive-partitioned by bucket word exactly like
+    ``ivf_build`` and queries read only their ≤(n_planes+1) probed
+    buckets; this streaming form computes the identical candidate set
+    without materializing the index.
+
+    Columns: qid, vec_id, sim (6-dec), rank (1-based).
+    """
+    pids, pm = _load_queries(sf_dir, range(n_planes))
+    qids, qm = _load_queries(sf_dir, query_ids)
+    weights = (np.int64(1) << pids.astype(np.int64))  # bit j = plane vec_id j
+    qbuckets = ((qm @ pm.T) > 0) @ weights
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    pop = np.array([bin(i).count("1") for i in range(1 << n_planes)],
+                   dtype=np.int64)
+    ref = ray.put((pm, weights, qids, qbuckets, qn, pop))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pmat, w, ids_q, qb, qmat, popcnt = ray.get(ref)
+        m = _batch_matrix(df)
+        buckets = ((m @ pmat.T) > 0) @ w
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ qmat.T
+        vec_ids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids_q):
+            cand = (popcnt[np.bitwise_xor(buckets, qb[j])] <= 1) & (
+                vec_ids != qid
+            )
+            vv, ss = vec_ids[cand], np.round(sims[cand, j], 6)
+            if ss.size > k:  # round BEFORE pruning (brute_force_topk note)
+                top = np.lexsort((vv, -ss))[:k]
+                vv, ss = vv[top], ss[top]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vv, "sim": ss}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return cand.groupby("qid").map_groups(final, batch_format="pandas")
 
 
 def semdedup(

@@ -1051,3 +1051,34 @@ def test_lm_surprisal_random_corpus_duckdb_parity(tmp_path, seed):
         GROUP BY p.doc_id ORDER BY p.doc_id
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_lsh_topk_contract():
+    """LSH-bucketed ANN laws: every hit's bucket word is within Hamming-1
+    of its query's bucket (scalar recompute of the sign bits); sims/ranks
+    are a correctly-ordered subset of the brute-force candidate ranking;
+    self never appears."""
+    from hydro_raster_ray.text import ann
+
+    got = ann.lsh_topk(SF).to_pandas()
+    assert len(got) > 0 and (got["vec_id"] != got["qid"]).all()
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    P = M[ids < 8]
+    buckets = ((M @ P.T) > 0) @ (1 << np.arange(8, dtype=np.int64))
+    bucket_of = dict(zip(ids.tolist(), buckets.tolist()))
+    pop = np.array([bin(i).count("1") for i in range(256)])
+    for _, r in got.iterrows():
+        assert pop[bucket_of[r["vec_id"]] ^ bucket_of[r["qid"]]] <= 1
+    # ordering law within each query
+    for qid, g in got.groupby("qid"):
+        g = g.sort_values("rank")
+        keys = list(zip(-g["sim"].to_numpy(), g["vec_id"].to_numpy()))
+        assert keys == sorted(keys)
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
