@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
+    q["events_funnel"] = relational.events_funnel
     q["events_error_asof"] = relational.events_error_asof
     q["events_error_range_join"] = relational.events_error_range_join
     q["order_priority_revenue"] = relational.order_priority_revenue
@@ -646,6 +647,32 @@ SELECT to_timestamp(floor(epoch(ts) / 900) * 900 - k.range * 900)::TIMESTAMP win
        event_type,
        CAST(round(sum(value), 2) AS DOUBLE) sum_value, CAST(count(*) AS BIGINT) n
 FROM events, range(4) k GROUP BY 1, 2
+""",
+        # greedy ordered funnel: first view, first later click, first later
+        # purchase, all within 48h of the first view (µs-exact arithmetic)
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+ s2 AS (SELECT e.user_id, min(e.ts) t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+        GROUP BY e.user_id),
+ s3 AS (SELECT e.user_id, min(e.ts) t3
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                      JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+        GROUP BY e.user_id)
+SELECT CAST(s1.user_id AS BIGINT) user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) reached,
+       CAST(coalesce(epoch_us(s3.t3) - epoch_us(s1.t1), -1) AS BIGINT)
+           us_to_last
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
 """,
         "events_error_asof": """
 SELECT CAST(c.event_id AS BIGINT) AS event_id,

@@ -21,6 +21,7 @@ __all__ = [
     "events_hourly",
     "events_sliding",
     "events_sessions",
+    "events_funnel",
     "order_priority_revenue",
     "returned_item_revenue",
     "orders_running_total",
@@ -262,6 +263,66 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_funnel(
+    sf_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+    window_hours: int = 48,
+) -> "ray.data.Dataset":
+    """Ordered conversion funnel per user: greedy step chain — t1 = the
+    user's first ``steps[0]`` event, each later step = its first
+    occurrence STRICTLY after the previous step's time and within
+    ``window_hours`` of t1. The product-analytics pipeline the events
+    windows family was missing (sessions/retention/top-k exist).
+
+    Same distribution as sessionization: ``groupby(user_id).map_groups``
+    co-locates each user's history once; the per-group kernel is a sorted
+    scan in integer microseconds (exact parity with the SQL INTERVAL
+    arithmetic — the asof-join epoch_us recipe). Users with no step-1
+    event emit nothing (SQL's s1 CTE drops them identically).
+
+    Columns: user_id, reached (1..len(steps)), us_to_last (µs from t1 to
+    the final step's time, -1 unless the whole funnel completed).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    window_us = np.int64(window_hours) * 3_600_000_000
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("ts")
+        us = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = d["event_type"].to_numpy()
+        first = us[et == steps[0]]
+        if first.size == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "reached": pd.Series([], dtype=np.int64),
+                    "us_to_last": pd.Series([], dtype=np.int64),
+                }
+            )
+        t1 = first[0]
+        deadline = t1 + window_us
+        t_prev, reached = t1, 1
+        for s in steps[1:]:
+            nxt = us[(et == s) & (us > t_prev) & (us <= deadline)]
+            if nxt.size == 0:
+                break
+            t_prev = nxt[0]
+            reached += 1
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "reached": [np.int64(reached)],
+                "us_to_last": [
+                    np.int64(t_prev - t1) if reached == len(steps) else np.int64(-1)
+                ],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
 
 
 def order_priority_revenue(sf_dir: str, num_partitions: int | None = None) -> "ray.data.Dataset":

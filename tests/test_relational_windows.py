@@ -188,3 +188,45 @@ def test_returned_item_revenue_topk(ray_session):
         ORDER BY round(r.rev, 2) DESC, c.c_custkey LIMIT 20
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_events_funnel_hand_case(tmp_path, ray_session):
+    """Pencil funnel: strict ordering (a click AT the view's timestamp
+    does not count), the 48h deadline binds (late purchase ignored),
+    users with no view emit nothing, full completion reports exact µs."""
+    from hydro_raster_ray.pipelines.relational import events_funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    H = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: full funnel inside the window → reached 3, 5h to purchase
+        (1, t0, "view"), (1, t0 + 2 * H, "click"), (1, t0 + 5 * H, "purchase"),
+        # user 2: click at exactly t1 (strict > excludes) then a later
+        # click; purchase lands at t1+50h > deadline → reached 2
+        (2, t0, "view"), (2, t0, "click"), (2, t0 + 3 * H, "click"),
+        (2, t0 + 50 * H, "purchase"),
+        # user 3: no view at all → excluded entirely
+        (3, t0, "click"), (3, t0 + H, "purchase"),
+        # user 4: view only → reached 1
+        (4, t0 + 7 * H, "view"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = (
+        events_funnel(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [1, 2, 4]
+    assert got["reached"].tolist() == [3, 2, 1]
+    assert got["us_to_last"].tolist() == [5 * 3_600_000_000, -1, -1]
