@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_top_users"] = relational.events_top_users_per_type
     q["events_hll"] = relational.events_hll
     q["events_retention"] = relational.events_retention
+    q["large_order_customers"] = relational.large_order_customers
+    q["local_supplier_revenue"] = relational.local_supplier_revenue
+    q["events_zscore_outliers"] = relational.events_zscore_outliers
     return q
 
 
@@ -575,6 +578,54 @@ JOIN customer c ON c.c_custkey = r.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 ORDER BY round(r.rev, 2) DESC, c.c_custkey
 LIMIT 20
+""",
+        # TPC-H Q18 analog: HAVING-filtered aggregate semi-join; ORDER BY a
+        # raw stored column (o_totalprice), so no float-reassociation risk
+        "large_order_customers": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) sq FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+SELECT CAST(o.o_custkey AS BIGINT) c_custkey, c.c_name,
+       CAST(o.o_orderkey AS BIGINT) o_orderkey, o.o_orderdate,
+       o.o_totalprice, CAST(round(big.sq, 2) AS DOUBLE) sum_qty
+FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+        # TPC-H Q5 analog: multiway star join, same-nation customer/supplier,
+        # one region; revenue ordering on the ROUNDED sum both sides
+        "local_supplier_revenue": """
+SELECT n.n_name, CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                      AS DOUBLE) revenue,
+       CAST(count(*) AS BIGINT) n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC, n.n_name
+""",
+        # per-user z-score outliers: moments are exact int64 cents sums, the
+        # z expression is the IDENTICAL double formula on both sides
+        "events_zscore_outliers": """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(round(value * 100) AS BIGINT) cents
+           FROM events WHERE event_type = 'purchase'),
+ m AS (SELECT user_id, count(*) n, sum(cents) s, sum(cents * cents) ss
+       FROM e GROUP BY user_id),
+ z AS (SELECT e.event_id, e.user_id, e.cents,
+              (e.cents - CAST(m.s AS DOUBLE) / m.n)
+              / sqrt((m.ss - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1)) z
+       FROM e JOIN m USING (user_id)
+       WHERE m.n >= 5
+         AND (m.ss - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1) > 0)
+SELECT CAST(event_id AS BIGINT) event_id, CAST(user_id AS BIGINT) user_id,
+       CAST(cents AS BIGINT) cents, CAST(round(z, 6) AS DOUBLE) z
+FROM z WHERE abs(z) > 2 ORDER BY event_id
 """,
         # LSH-bucketed ANN: sign-bit bucket words over the first-8-vector
         # hyperplanes (sign margin >=4e-7 vs ~1e-14 cross-engine dot error),

@@ -29,6 +29,9 @@ __all__ = [
     "events_hll",
     "hll_estimate",
     "events_retention",
+    "large_order_customers",
+    "local_supplier_revenue",
+    "events_zscore_outliers",
 ]
 
 
@@ -833,3 +836,331 @@ def events_retention(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(final, batch_format="pandas")
+
+def large_order_customers(
+    sf_dir: str, min_qty: float = 300.0, k: int = 100
+) -> "ray.data.Dataset":
+    """TPC-H Q18 analog: orders whose total lineitem quantity exceeds
+    ``min_qty``, with the owning customer attached — the canonical
+    HAVING-filtered-aggregate semi-join.
+
+    Distributed shape:
+
+    1. lineitem, pruned to two columns, per-batch partial sums →
+       ``groupby(l_orderkey)`` (the one high-cardinality exchange; the
+       aggregate IS the operator);
+    2. the HAVING filter runs distributed, so only qualifying orders
+       reach the driver — by construction an extreme-tail fraction
+       (``min_qty`` sits past the sum-of-quantities p99; 46 of 15 000
+       orders on the sf0.01 fixture). The qualifying (orderkey, qty)
+       set is broadcast once via ``ray.put``;
+    3. orders is scanned with a ``searchsorted`` membership probe (a
+       broadcast semi-join — the big side never shuffles), customer
+       name attached from a second broadcast;
+    4. global top-k by (o_totalprice desc, o_orderkey) over the tiny
+       survivor set. o_totalprice is a raw stored column (no float
+       reassociation), so the ordering is identical on the SQL side.
+
+    Columns: c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty (2-dec).
+    """
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["sum_qty"] > min_qty]
+
+    # distributed HAVING (vectorized batch filter, not a per-row lambda):
+    # qualifying orders are an extreme-tail fraction, so this to_pandas()
+    # is result-sized (not corpus-sized) by design
+    qual = (
+        agg.map_batches(having, batch_format="pandas")
+        .to_pandas()
+        .sort_values("l_orderkey")
+    )
+    qk = qual["l_orderkey"].to_numpy(np.int64)
+    qq = qual["sum_qty"].to_numpy()
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).sort_values("c_custkey")
+    ref = ray.put(
+        (qk, qq, cust["c_custkey"].to_numpy(np.int64),
+         cust["c_name"].to_numpy(dtype=object))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        okeys, oqty, ck, cn = ray.get(ref)
+        keys = df["o_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(okeys, keys)
+        pos_c = np.minimum(pos, okeys.size - 1) if okeys.size else pos
+        hit = (okeys.size > 0) & (okeys[pos_c] == keys)
+        d = df[hit]
+        ci = np.searchsorted(ck, d["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "c_custkey": d["o_custkey"].to_numpy(np.int64),
+                "c_name": cn[ci],
+                "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": d["o_orderdate"].astype("datetime64[us]"),
+                "o_totalprice": d["o_totalprice"].to_numpy(),
+                "sum_qty": np.round(oqty[pos_c[hit]], 2),
+            }
+        )
+
+    return (
+        orders.map_batches(probe, batch_format="pandas")
+        .sort(key=["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def local_supplier_revenue(
+    sf_dir: str, region: str = "ASIA", num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """TPC-H Q5 analog: revenue from lineitems where the supplier and the
+    ordering customer sit in the SAME nation, restricted to one region,
+    grouped by nation — the canonical multiway star join.
+
+    Distributed shape: all four dimension tables (customer, supplier,
+    nation, region) broadcast once as sorted key arrays; both fact scans
+    prune to region-local rows INSIDE their first map_batches (orders →
+    customer-nation attach + filter, lineitem → supplier-nation attach +
+    filter), so the one large×large ``Dataset.join`` on the order key
+    exchanges only region-local survivors. The same-nation equality
+    filter and per-batch revenue partials run post-join; final output is
+    nation-cardinality. Columns: n_name, revenue (2-dec), n (BIGINT),
+    ordered by (revenue desc, n_name).
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).sort_values("c_custkey")
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).sort_values("n_nationkey")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(
+        reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int).tolist()
+    )
+    in_region = nat["n_regionkey"].astype(int).isin(rkeys).to_numpy()
+    nat_keys = nat["n_nationkey"].to_numpy(np.int64)
+    nat_in = in_region.astype(bool)
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64),
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64),
+            nat_keys,
+            nat_in,
+            nat["n_name"].to_numpy(dtype=object),
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def orders_local(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ck, cnk, _, _, nk, nin, _ = ray.get(ref)
+        cn = cnk[np.searchsorted(ck, df["o_custkey"].to_numpy(np.int64))]
+        keep = nin[np.searchsorted(nk, cn)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    df["o_orderkey"].to_numpy(np.int64)[keep]
+                ),
+                "cust_nat": pa.array(cn[keep]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def lineitem_local(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        _, _, sk, snk, nk, nin, _ = ray.get(ref)
+        sn = snk[np.searchsorted(sk, df["l_suppkey"].to_numpy(np.int64))]
+        keep = nin[np.searchsorted(nk, sn)]
+        d = df[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(d["l_orderkey"].to_numpy(np.int64)),
+                "supp_nat": pa.array(sn[keep]),
+                "rev": pa.array(
+                    (d["l_extendedprice"] * (1 - d["l_discount"])).to_numpy()
+                ),
+            }
+        )
+
+    j = li.map_batches(lineitem_local, batch_format="pandas").join(
+        orders.map_batches(orders_local, batch_format="pandas"),
+        "inner",
+        num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["supp_nat"].to_numpy() == df["cust_nat"].to_numpy()]
+        out = d.assign(n=np.int64(1)).groupby("supp_nat", as_index=False).agg(
+            revenue=("rev", "sum"), n=("n", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("supp_nat")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, _, nk, _, nname = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "n_name": nname[
+                    np.searchsorted(nk, df["supp_nat"].to_numpy(np.int64))
+                ],
+                "revenue": df["revenue"].round(2),
+                "n": df["n"].astype(np.int64),
+            }
+        )
+
+    return (
+        agg.map_batches(final, batch_format="pandas")
+        .sort(key=["revenue", "n_name"], descending=[True, False])
+    )
+
+def events_zscore_outliers(
+    sf_dir: str, event_type: str = "purchase", min_n: int = 5,
+    thresh: float = 2.0,
+) -> "ray.data.Dataset":
+    """Per-user z-score anomaly flagging over one event type: events whose
+    value sits more than ``thresh`` sample standard deviations from that
+    user's own mean — the grouped-moments outlier detector.
+
+    Exactness contract: values are quantized to integer cents FIRST, so
+    the per-user moments (n, Σc, Σc²) are exact int64 sums — order-free,
+    shuffle-safe, and bit-identical to the SQL side. The float z-score is
+    then ONE identical double expression on both sides
+    (``(c - S/n) / sqrt((SS - S·S/n)/(n-1))``), so hash parity is by
+    construction, not by luck.
+
+    Shape: pass 1 computes per-user moments via per-batch partials + one
+    ``groupby(user_id)`` (user-cardinality output); pass 2 re-scans events
+    with the moment table broadcast (sorted-key ``searchsorted`` probe —
+    at user counts past a broadcast budget this becomes the
+    ``rarity_scores`` hash-join path; same recipe). Columns: event_id,
+    user_id, cents, z (6-dec), ordered by event_id.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def cents_only(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["event_type"] == event_type]
+        return pa.table(
+            {
+                "event_id": pa.array(d["event_id"].to_numpy(np.int64)),
+                "user_id": pa.array(d["user_id"].to_numpy(np.int64)),
+                "cents": pa.array(
+                    np.round(d["value"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    ev = ds.map_batches(cents_only, batch_format="pandas")
+
+    def moments(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        c = df["cents"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "n": np.int64(1), "s": c, "ss": c * c}
+        ).groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    mom = (
+        ev.map_batches(moments, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+    # user-cardinality table; broadcast is the fixture-scale path (the
+    # rarity_scores budgeted hash-join recipe is the >budget upgrade)
+    mdf = mom.to_pandas().sort_values("user_id")
+    ref = ray.put(
+        (
+            mdf["user_id"].to_numpy(np.int64),
+            mdf["n"].to_numpy(np.int64),
+            mdf["s"].to_numpy(np.int64),
+            mdf["ss"].to_numpy(np.int64),
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uk, un, us, uss = ray.get(ref)
+        ui = np.searchsorted(uk, df["user_id"].to_numpy(np.int64))
+        n = un[ui].astype(np.float64)
+        s = us[ui].astype(np.float64)
+        ss = uss[ui].astype(np.float64)
+        c = df["cents"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss - s * s / n) / (n - 1.0)
+            z = (c - s / n) / np.sqrt(var)
+        keep = (un[ui] >= min_n) & (var > 0) & (np.abs(z) > thresh)
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].to_numpy(np.int64),
+                "user_id": d["user_id"].to_numpy(np.int64),
+                "cents": d["cents"].to_numpy(np.int64),
+                "z": np.round(z[keep], 6),
+            }
+        )
+
+    return ev.map_batches(score, batch_format="pandas").sort("event_id")

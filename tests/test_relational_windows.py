@@ -230,3 +230,102 @@ def test_events_funnel_hand_case(tmp_path, ray_session):
     assert got["user_id"].tolist() == [1, 2, 4]
     assert got["reached"].tolist() == [3, 2, 1]
     assert got["us_to_last"].tolist() == [5 * 3_600_000_000, -1, -1]
+
+
+def test_large_order_customers_semantics(ray_session):
+    """Q18 analog at sf0.001: every returned order's quantity sum really
+    exceeds the threshold, ordering is (o_totalprice desc, orderkey), and
+    the survivor set matches an independent DuckDB evaluation."""
+    import duckdb
+
+    from hydro_raster_ray.pipelines.relational import large_order_customers
+
+    sf = "/root/testdata/sf0.001"
+    got = large_order_customers(sf, min_qty=200.0).to_pandas()
+    want = duckdb.sql(f"""
+        WITH big AS (SELECT l_orderkey, sum(l_quantity) sq
+                     FROM read_parquet('{sf}/lineitem.parquet')
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        SELECT CAST(o.o_custkey AS BIGINT) c_custkey, c.c_name,
+               CAST(o.o_orderkey AS BIGINT) o_orderkey, o.o_orderdate,
+               o.o_totalprice, CAST(round(big.sq, 2) AS DOUBLE) sum_qty
+        FROM big JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_orderkey = big.l_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """).df()
+    assert len(got) == len(want) > 0
+    assert (got["sum_qty"] > 200).all()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[want.columns], want
+    )
+
+
+def test_local_supplier_revenue_same_nation_only(tmp_path, ray_session):
+    """Pencil case: only the lineitem whose supplier nation equals the
+    customer nation AND sits in the requested region contributes."""
+    from hydro_raster_ray.pipelines.relational import local_supplier_revenue
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["EURASIA", "ELSEWHERE"]),
+    }), os.path.join(tmp_path, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 11, 12], pa.int32()),
+        "n_name": pa.array(["A", "B", "C"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    }), os.path.join(tmp_path, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([10, 12], pa.int32()),
+    }), os.path.join(tmp_path, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5, 6], pa.int64()),
+        "s_nationkey": pa.array([10, 11], pa.int32()),
+    }), os.path.join(tmp_path, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+    }), os.path.join(tmp_path, "orders.parquet"))
+    # li rows: (order, supp, price, disc)
+    #  100/5: cust nation A == supp nation A, region ok  -> counts (90.0)
+    #  100/6: supp nation B != cust nation A             -> excluded
+    #  101/5: cust nation C is region 1, order pruned    -> excluded
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 100, 101], pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 70.0]),
+        "l_discount": pa.array([0.10, 0.0, 0.0]),
+    }), os.path.join(tmp_path, "lineitem.parquet"))
+    got = local_supplier_revenue(str(tmp_path), region="EURASIA").to_pandas()
+    assert got["n_name"].tolist() == ["A"]
+    assert got["revenue"].tolist() == [90.0]
+    assert got["n"].tolist() == [1]
+    assert got["n"].dtype == np.int64
+
+
+def test_events_zscore_outliers_hand_case(tmp_path, ray_session):
+    """Pencil moments: user 1 has 5 purchases of 100 cents and one of 700 —
+    only the 700 clears |z|>2; user 2 (n=2 < min_n) and the zero-variance
+    user 3 emit nothing; non-purchase rows are ignored."""
+    from hydro_raster_ray.pipelines.relational import events_zscore_outliers
+
+    vals = [(1, 1.00, "purchase")] * 5 + [(1, 7.00, "purchase")] + \
+        [(2, 1.00, "purchase"), (2, 9.00, "purchase")] + \
+        [(3, 2.00, "purchase")] * 6 + [(1, 99.0, "click")]
+    t0 = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([t0] * len(vals), pa.timestamp("us")),
+        "user_id": pa.array([v[0] for v in vals], pa.int64()),
+        "event_type": pa.array([v[2] for v in vals]),
+        "value": pa.array([v[1] for v in vals]),
+        "props": pa.array(["{}"] * len(vals)),
+    }), os.path.join(tmp_path, "events.parquet"))
+    got = events_zscore_outliers(str(tmp_path)).to_pandas()
+    assert got["event_id"].tolist() == [5]
+    assert got["cents"].tolist() == [700]
+    # n=6, s=1200, ss=540000: var=(540000-240000)/5=60000, std=244.948...
+    # z=(700-200)/sqrt(60000)
+    assert abs(got["z"].iloc[0] - round(500 / np.sqrt(60000.0), 6)) < 1e-12
