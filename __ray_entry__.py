@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_decontaminate"] = ops.decontaminate
     q["doc_lang_confusion"] = ops.lang_confusion
     q["doc_token_cms"] = ops.token_cms
+    q["doc_cooccurrence"] = ops.cooccurrence_topk
+    q["doc_len_quantiles"] = ops.len_quantiles_by_lang
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -428,6 +430,40 @@ WITH g AS (SELECT doc_id, group_id
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id
 FROM documents d LEFT JOIN drops USING (doc_id)
 WHERE drops.doc_id IS NULL
+""",
+        # windowed token-pair co-occurrence: positions (i, j), 0 < j-i < 3,
+        # pair ordered lexicographically; exact int counts, total-order top-k
+        "doc_cooccurrence": """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '\\S+') toks
+           FROM documents),
+ p AS (SELECT doc_id, unnest(toks) tok,
+              generate_subscripts(toks, 1) i FROM t),
+ pr AS (SELECT least(a.tok, b.tok) tok_a, greatest(a.tok, b.tok) tok_b
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.i > a.i AND b.i < a.i + 3)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) n_pair
+FROM pr GROUP BY tok_a, tok_b
+ORDER BY n_pair DESC, tok_a, tok_b LIMIT 50
+""",
+        # grouped exact type-1 quantiles: rank = ceil(num*n/den) in INTEGER
+        # arithmetic on both sides (float ceil would round differently under
+        # DECIMAL vs IEEE double)
+        "doc_len_quantiles": """
+WITH r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) rn,
+                  count(*) OVER (PARTITION BY lang) n
+           FROM documents)
+SELECT lang, CAST(max(n) AS BIGINT) n_docs,
+       CAST(max(CASE WHEN rn = (1 * n + 3) // 4 THEN n_chars END)
+            AS BIGINT) p25,
+       CAST(max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END)
+            AS BIGINT) p50,
+       CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END)
+            AS BIGINT) p75,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
+            AS BIGINT) p90
+FROM r GROUP BY lang
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

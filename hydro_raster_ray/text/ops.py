@@ -44,6 +44,8 @@ __all__ = [
     "token_cms",
     "cms_estimate",
     "decontaminate",
+    "cooccurrence_topk",
+    "len_quantiles_by_lang",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1717,3 +1719,105 @@ def cms_estimate(
         )
         out[tok] = est
     return out
+
+def cooccurrence_topk(
+    sf_dir: str, window: int = 3, k: int = 50
+) -> "ray.data.Dataset":
+    """Top-k co-occurring token pairs within a ``window``-token sliding
+    window — the PMI/word-vector co-occurrence counting kernel.
+
+    A pair is two token POSITIONS (i, j) in the same document with
+    ``0 < j - i < window``, emitted as the lexicographically ordered
+    (tok_a ≤ tok_b) pair; counts are exact ints, so the oracle hash is
+    exact by construction. Top-k orders by (n_pair desc, tok_a, tok_b) —
+    a total order, so the k boundary cannot tie.
+
+    Shape: pair generation is one flat vectorized pass per batch (token
+    stream + doc-id stream, shifted-mask joins — no per-row Python), the
+    per-batch partial groupby collapses to pair-vocabulary cardinality,
+    then ONE ``groupby(pair)`` exchange and a result-sized sort+limit.
+    100-TB note: the exchange is the operator's inherent all-to-all on
+    the open pair vocabulary, same contract as ``rarity_scores``' df
+    join; hot pairs (stopword×stopword) pre-collapse inside every batch
+    partial before they shuffle."""
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
+            if len(toks) else np.empty(0, dtype=object)
+        if flat.size:
+            flat = np.char.lower(flat.astype(str)).astype(object)
+        did = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        parts = []
+        for d in range(1, window):
+            if flat.size <= d:
+                break
+            a, b = flat[:-d], flat[d:]
+            same = did[:-d] == did[d:]
+            lo = np.minimum(a[same], b[same])
+            hi = np.maximum(a[same], b[same])
+            parts.append(pd.DataFrame({"tok_a": lo, "tok_b": hi}))
+        if not parts:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                                 "tok_b": pd.Series([], dtype=object),
+                                 "n_pair": pd.Series([], dtype=np.int64)})
+        out = pd.concat(parts, ignore_index=True)
+        out["n_pair"] = np.int64(1)
+        return out.groupby(["tok_a", "tok_b"], as_index=False).agg(
+            n_pair=("n_pair", "sum")
+        )
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pandas", batch_size=256)
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n_pair", alias_name="n_pair"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_pair"] = df["n_pair"].astype(np.int64)
+        return df
+
+    return (
+        agg.map_batches(final, batch_format="pandas")
+        .sort(key=["n_pair", "tok_a", "tok_b"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def len_quantiles_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped quantiles: per-language p25/p50/p75/p90 of document
+    length (type-1 / k-th smallest with k = ceil(q·n) — integer-exact, so
+    engine and SQL agree bit-for-bit with no interpolation floats).
+
+    Shape: column-pruned read → ONE ``groupby(lang)`` with a sorted
+    ``map_groups`` kernel (languages are few and each group's int64
+    length column fits a task by orders of magnitude; for corpus-scale
+    grouped quantiles over high-cardinality keys the multi-rank partial
+    histogram in ``stages/stats.py`` is the recorded upgrade path).
+    Columns: lang, n_docs, p25, p50, p75, p90."""
+    ds = read_documents(sf_dir, columns=["lang", "n_chars"])
+
+    def q1(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy(np.int64))
+        n = v.size
+        # rank = ceil(num·n / den) via INTEGER arithmetic — float ceil(q·n)
+        # would round differently under DuckDB DECIMAL vs IEEE double
+        idx = {
+            (num, den): (num * n + den - 1) // den - 1
+            for num, den in ((1, 4), (1, 2), (3, 4), (9, 10))
+        }
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "n_docs": np.array([n], np.int64),
+                "p25": v[[idx[(1, 4)]]],
+                "p50": v[[idx[(1, 2)]]],
+                "p75": v[[idx[(3, 4)]]],
+                "p90": v[[idx[(9, 10)]]],
+            }
+        )
+
+    return ds.groupby("lang").map_groups(q1, batch_format="pandas")

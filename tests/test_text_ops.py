@@ -1082,3 +1082,53 @@ def test_lsh_topk_contract():
         keys = list(zip(-g["sim"].to_numpy(), g["vec_id"].to_numpy()))
         assert keys == sorted(keys)
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
+
+
+def _write_docs(tmp_path, texts, langs=None, n_chars=None):
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs or ["en"] * n),
+        "source": pa.array(["t"] * n),
+        "n_chars": pa.array(n_chars or [len(t) for t in texts], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_cooccurrence_hand_case(tmp_path):
+    """Pencil pairs over 'a b a c' with window=3: distance-1 pairs
+    (a,b),(a,b),(a,c); distance-2 pairs (a,a),(b,c). Pair order is
+    lexicographic, counting includes same-token pairs, and no pair
+    crosses a document boundary."""
+    from hydro_raster_ray.text.ops import cooccurrence_topk
+
+    sf = _write_docs(tmp_path, ["a B a c", "x"])
+    got = cooccurrence_topk(sf, window=3, k=10).to_pandas()
+    pairs = {(r.tok_a, r.tok_b): r.n_pair for r in got.itertuples()}
+    assert pairs == {("a", "b"): 2, ("a", "c"): 1, ("a", "a"): 1,
+                     ("b", "c"): 1}
+    # top-1 is the count-2 pair; ties broken by (tok_a, tok_b)
+    assert got.iloc[0][["tok_a", "tok_b"]].tolist() == ["a", "b"]
+    assert got["n_pair"].dtype == np.int64
+
+
+def test_len_quantiles_hand_case(tmp_path):
+    """Type-1 rank arithmetic: n=4 lengths [10,20,30,40] → p25=10 (rank
+    ceil(1)=1), p50=20, p75=30, p90=40 (rank ceil(3.6)=4); a 1-doc
+    language returns its single length for every quantile."""
+    from hydro_raster_ray.text.ops import len_quantiles_by_lang
+
+    sf = _write_docs(
+        tmp_path, ["x"] * 5, langs=["en"] * 4 + ["fr"],
+        n_chars=[30, 10, 40, 20, 7],
+    )
+    got = (
+        len_quantiles_by_lang(sf).to_pandas()
+        .sort_values("lang").reset_index(drop=True)
+    )
+    en = got[got["lang"] == "en"].iloc[0]
+    assert [en.p25, en.p50, en.p75, en.p90] == [10, 20, 30, 40]
+    assert en.n_docs == 4
+    fr = got[got["lang"] == "fr"].iloc[0]
+    assert [fr.p25, fr.p50, fr.p75, fr.p90] == [7, 7, 7, 7]
