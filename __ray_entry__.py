@@ -179,6 +179,55 @@ SELECT t.fmt, CAST(count(DISTINCT t.image_id) AS BIGINT) n_tiles,
        CAST(count(*) AS BIGINT) n_px, CAST(count(p.z) AS BIGINT) n_valid
 FROM {_TI} t JOIN {_PX} p ON p.tile_id = t.image_id GROUP BY t.fmt
 """,
+        # marching squares, reproduced INDEPENDENTLY in SQL: 2×2 corner
+        # windows via self-join, crossing flags, the identical double
+        # crossing-parameter expression, the fixed saddle pairing
+        # (top,right)+(bottom,left), cell-local point coordinates (see
+        # stages/contour.py for the shared geometry contract)
+        "contour_stats": f"""
+WITH px AS (SELECT gr, gc, z FROM {_PX} WHERE z IS NOT NULL),
+ cell AS (
+   SELECT a.z z00, b.z z01, c.z z10, d.z z11
+   FROM px a
+   JOIN px b ON b.gr = a.gr AND b.gc = a.gc + 1
+   JOIN px c ON c.gr = a.gr + 1 AND c.gc = a.gc
+   JOIN px d ON d.gr = a.gr + 1 AND d.gc = a.gc + 1),
+ lv AS (SELECT unnest([CAST(-50 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(50 AS DOUBLE)]) L),
+ fl AS (
+   SELECT L, z00, z01, z10, z11,
+          (z00 >= L) <> (z01 >= L) ct,
+          (z01 >= L) <> (z11 >= L) cr,
+          (z10 >= L) <> (z11 >= L) cb,
+          (z00 >= L) <> (z10 >= L) cl
+   FROM cell, lv),
+ y AS (
+   SELECT L, ct, cr, cb, cl,
+          CAST(ct AS INT) + CAST(cr AS INT) + CAST(cb AS INT)
+              + CAST(cl AS INT) n,
+          CASE WHEN ct THEN (L - z00) / (z01 - z00) END tt,
+          CASE WHEN cr THEN (L - z01) / (z11 - z01) END tr,
+          CASE WHEN cb THEN (L - z10) / (z11 - z10) END tb,
+          CASE WHEN cl THEN (L - z00) / (z10 - z00) END tl
+   FROM fl),
+ seg AS (
+   SELECT L, n,
+     CASE WHEN n = 4
+          THEN sqrt((tt - 1) * (tt - 1) + (0 - tr) * (0 - tr))
+               + sqrt((tb - 0) * (tb - 0) + (1 - tl) * (1 - tl))
+          WHEN ct AND cr THEN sqrt((tt - 1) * (tt - 1) + (0 - tr) * (0 - tr))
+          WHEN ct AND cb THEN sqrt((tt - tb) * (tt - tb) + (0 - 1) * (0 - 1))
+          WHEN ct AND cl THEN sqrt((tt - 0) * (tt - 0) + (0 - tl) * (0 - tl))
+          WHEN cr AND cb THEN sqrt((1 - tb) * (1 - tb) + (tr - 1) * (tr - 1))
+          WHEN cr AND cl THEN sqrt((1 - 0) * (1 - 0) + (tr - tl) * (tr - tl))
+          WHEN cb AND cl THEN sqrt((tb - 0) * (tb - 0) + (1 - tl) * (1 - tl))
+     END d
+   FROM y WHERE n > 0)
+SELECT L AS "level", CAST(count(*) AS BIGINT) n_cells,
+       CAST(sum(n // 2) AS BIGINT) n_segments,
+       CAST(round(sum(5.0 * d), 3) AS DOUBLE) total_len
+FROM seg GROUP BY L ORDER BY L
+""",
         "grid_global_stats": f"""
 SELECT CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
        CAST(round(sum(z), 2) AS DOUBLE) sum_z, min(z) min_z, max(z) max_z,

@@ -1056,6 +1056,18 @@ def q_focal_median_stats(sf_dir: str):
     return per_tile_stats(focal_stats(ts, "median"))
 
 
+def q_contour_stats(sf_dir: str):
+    """Marching-squares contour statistics at levels (-50, 0, 50) — the
+    iso-line operator as a data product (``stages/contour.py``). The
+    oracle is a genuinely independent SQL reproduction: a 2×2 pixel
+    self-join over the decoded-truth witness walking the identical
+    crossing/pairing geometry — not a witness-file SELECT."""
+    from ..stages.contour import contour_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return contour_stats(ts)
+
+
 def q_grid_percentiles(sf_dir: str):
     """Exact corpus-wide order statistics (p10/p50/p90) via the
     multi-rank distributed histogram refinement
@@ -1139,6 +1151,7 @@ TILE_QUERIES = {
     "reproject_lcc": q_reproject_lcc,
     "reproject_epsg_itm": q_reproject_epsg_itm,
     "hillshade_stats": q_hillshade_stats,
+    "contour_stats": q_contour_stats,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,
