@@ -179,6 +179,24 @@ SELECT t.fmt, CAST(count(DISTINCT t.image_id) AS BIGINT) n_tiles,
        CAST(count(*) AS BIGINT) n_px, CAST(count(p.z) AS BIGINT) n_valid
 FROM {_TI} t JOIN {_PX} p ON p.tile_id = t.image_id GROUP BY t.fmt
 """,
+        # histogram equalization reproduced in SQL: identical double binning
+        # expression, then pure-integer cdf→remap (see stats.py contract)
+        "hist_equalize_stats": f"""
+WITH p AS (SELECT tile_id, z FROM {_PX} WHERE z IS NOT NULL),
+ mm AS (SELECT min(z) zmin, max(z) zmax FROM p),
+ b AS (SELECT tile_id,
+              LEAST(CAST(floor((z - zmin) / (zmax - zmin) * 256) AS BIGINT),
+                    255) bin
+       FROM p, mm),
+ h AS (SELECT bin, count(*) cnt FROM b GROUP BY bin),
+ c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) cdf FROM h),
+ k AS (SELECT min(cdf) cdfmin, (SELECT count(*) FROM p) n FROM c),
+ m AS (SELECT bin, (cdf - cdfmin) * 255 // (n - cdfmin) eq FROM c, k)
+SELECT b.tile_id image_id, CAST(count(*) AS BIGINT) n_valid,
+       CAST(sum(m.eq) AS BIGINT) sum_eq,
+       CAST(min(m.eq) AS BIGINT) min_eq, CAST(max(m.eq) AS BIGINT) max_eq
+FROM b JOIN m USING (bin) GROUP BY b.tile_id ORDER BY image_id
+""",
         # marching squares, reproduced INDEPENDENTLY in SQL: 2×2 corner
         # windows via self-join, crossing flags, the identical double
         # crossing-parameter expression, the fixed saddle pairing

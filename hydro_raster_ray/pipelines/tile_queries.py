@@ -1068,6 +1068,17 @@ def q_contour_stats(sf_dir: str):
     return contour_stats(ts)
 
 
+def q_hist_equalize(sf_dir: str):
+    """Global histogram equalization (256-bin, integer-exact remap) —
+    per-tile stats of the equalized raster; the oracle reproduces the
+    whole bin→cdf→remap chain in SQL (``stages/stats.hist_equalize_stats``
+    docstring has the shared contract)."""
+    from ..stages.stats import hist_equalize_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return hist_equalize_stats(ts)
+
+
 def q_grid_percentiles(sf_dir: str):
     """Exact corpus-wide order statistics (p10/p50/p90) via the
     multi-rank distributed histogram refinement
@@ -1152,6 +1163,7 @@ TILE_QUERIES = {
     "reproject_epsg_itm": q_reproject_epsg_itm,
     "hillshade_stats": q_hillshade_stats,
     "contour_stats": q_contour_stats,
+    "hist_equalize_stats": q_hist_equalize,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,

@@ -542,3 +542,92 @@ def zonal_majority(ts: TileSet, features, breaks, attribute="id"):
     return counts.repartition(1).map_batches(
         majority, batch_format="pandas", batch_size=None
     )
+
+def hist_equalize_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
+    """Global histogram equalization (the classic image contrast remap —
+    Gonzalez & Woods §3.3, public algorithm) as per-tile integer stats.
+
+    The remap is integer-exact end to end so the SQL oracle matches
+    bit-for-bit with no float rounding contract:
+
+    - bin  = min(floor((z - zmin)/(zmax - zmin) · nbins), nbins-1) — one
+      IDENTICAL double expression both sides (same operand order), then
+      exact int;
+    - eq(b) = (cdf(b) - cdfmin) · (nbins-1) // (n - cdfmin) — pure int64
+      arithmetic on exact counts (cdfmin = the first occupied bin's cdf,
+      the textbook normalization).
+
+    Shape: pass 1 is the existing ``global_stats`` reduction (zmin/zmax);
+    pass 2 bins each tile and ships per-batch (bin, cnt) partials through
+    a ``groupby(bin)`` whose output is nbins rows — the driver sees ONLY
+    the 256-entry histogram (result-sized by construction), builds the
+    cdf/eq lookup, and broadcasts it once via ``ray.put``; pass 3 remaps
+    each tile vectorized (``eq_map[bins]`` take) and emits per-tile
+    integer stats. Three corpus passes total — inherent to any global
+    equalization (the remap of pixel i depends on the histogram of every
+    other pixel). Columns: image_id, n_valid, sum_eq, min_eq, max_eq."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    grid = ts.grid
+    gs = global_stats(ts)
+    zmin, zmax = float(gs["min"]), float(gs["max"])
+    n_valid_total = int(gs["n_valid"])
+    span = zmax - zmin
+    if span <= 0:  # degenerate flat raster: single bin, eq = 0 everywhere
+        span = 1.0
+
+    def _bins(arr: np.ndarray) -> np.ndarray:
+        z = arr[np.isfinite(arr)].astype(np.float64)
+        b = np.floor((z - zmin) / span * nbins)
+        return np.minimum(b, nbins - 1).astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(nbins, np.int64)
+        for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            counts += np.bincount(_bins(arr), minlength=nbins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()),
+             "cnt": pa.array(counts[nz], pa.int64())}
+        )
+
+    hist = (
+        ts.ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # nbins rows max — result-sized by construction
+        .sort_values("bin")
+    )
+    counts = np.zeros(nbins, np.int64)
+    counts[hist["bin"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    cdf = np.cumsum(counts)
+    occupied = counts > 0
+    cdfmin = int(cdf[occupied][0]) if occupied.any() else 0
+    denom = max(n_valid_total - cdfmin, 1)
+    eq_map = (cdf - cdfmin) * (nbins - 1) // denom
+    ref = _ray.put(eq_map)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        emap = _ray.get(ref)
+        ids, nv, se, mn, mx = [], [], [], [], []
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            eq = emap[_bins(arr)]
+            if eq.size == 0:
+                continue
+            ids.append(info.image_id)
+            nv.append(eq.size)
+            se.append(int(eq.sum(dtype=np.int64)))
+            mn.append(int(eq.min()))
+            mx.append(int(eq.max()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_valid": pa.array(nv, pa.int64()),
+                "sum_eq": pa.array(se, pa.int64()),
+                "min_eq": pa.array(mn, pa.int64()),
+                "max_eq": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return ts.ds.map_batches(remap, batch_format="pyarrow").sort("image_id")

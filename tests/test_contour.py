@@ -104,3 +104,31 @@ def test_contour_nan_corner_skips_cell(ray_session):
     got = contour_stats(ts, levels=(0.5,)).to_pandas()
     assert got["n_cells"].tolist() == [1]
     assert got["n_segments"].tolist() == [1]
+
+
+def test_hist_equalize_pencil_case(ray_session):
+    """Textbook 2×2 equalization, nbins=4: values [0,0,1,3] over range
+    [0,3] bin to [0,0,1,3] (v=3 clamps into the last bin); cdf=[2,3,3,4],
+    cdfmin=2 → eq(b)=(cdf-2)*3//2 = [0,1,1,3] → remapped [0,0,1,3]."""
+    z = np.array([[0.0, 0.0], [1.0, 3.0]])
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import hist_equalize_stats
+
+    got = hist_equalize_stats(ts, nbins=4).to_pandas()
+    assert got["n_valid"].tolist() == [4]
+    assert got["sum_eq"].tolist() == [0 + 0 + 1 + 3]
+    assert got["min_eq"].tolist() == [0]
+    assert got["max_eq"].tolist() == [3]
+
+
+def test_hist_equalize_flat_raster(ray_session):
+    """Degenerate flat raster: zero span → every pixel lands in bin 0 and
+    equalizes to 0 (no div-by-zero)."""
+    z = np.full((2, 3), 7.0)
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import hist_equalize_stats
+
+    got = hist_equalize_stats(ts).to_pandas()
+    assert got["sum_eq"].tolist() == [0]
+    assert got["min_eq"].tolist() == [0]
+    assert got["max_eq"].tolist() == [0]
