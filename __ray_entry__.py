@@ -1100,6 +1100,10 @@ FROM read_parquet('{F}/witness_media_image.parquet')
 SELECT image_id, mean, std, p_low, p_high, edge_energy
 FROM read_parquet('{F}/witness_media_image_jpeg.parquet')
 """,
+        "media_image_features_gif": f"""
+SELECT image_id, mean, std, p_low, p_high, edge_energy
+FROM read_parquet('{F}/witness_media_image_gif.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

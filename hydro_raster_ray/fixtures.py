@@ -1624,6 +1624,55 @@ def _ensure_jpeg_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_gif_witness(tag: str, out: str) -> None:
+    """media_image_features_gif witness (own marker → in-place upgrade).
+
+    GIF is LOSSLESS, so truth is simply ``gif_decode`` of the
+    deterministic ``make_fake_gifs`` payloads (= palette lookup of the
+    index plane). Codec correctness is evidenced independently in
+    ``tests/test_gif.py`` (an external-truth 35-byte 1×1 stream, LZW
+    dict-overflow and KwKwK round-trips, the interlace permutation)."""
+    done = os.path.join(out, "_GIF_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .gif import gif_decode
+    from .stages.multimodal import make_fake_gifs
+
+    t = make_fake_gifs(12, 40, 32)
+    rows = {"image_id": [], "mean": [], "std": [], "p_low": [], "p_high": [],
+            "edge_energy": []}
+    for i in range(t.num_rows):
+        a, _info = gif_decode(t["bytes"][i].as_py())
+        a = a.astype(np.float64)
+        v = a[np.isfinite(a)]
+        rows["image_id"].append(t["image_id"][i].as_py())
+        rows["mean"].append(round(float(v.mean()), 6))
+        rows["std"].append(round(float(v.std()), 6))
+        rows["p_low"].append(round(float(np.percentile(v, 5)), 6))
+        rows["p_high"].append(round(float(np.percentile(v, 95)), 6))
+        plane = a if a.ndim == 2 else a[..., 0]
+        gx = np.diff(plane, axis=1)
+        gy = np.diff(plane, axis=0)
+        rows["edge_energy"].append(
+            round(float(np.nansum(gx * gx) + np.nansum(gy * gy)), 4)
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "mean": pa.array(rows["mean"], pa.float64()),
+                "std": pa.array(rows["std"], pa.float64()),
+                "p_low": pa.array(rows["p_low"], pa.float64()),
+                "p_high": pa.array(rows["p_high"], pa.float64()),
+                "edge_energy": pa.array(rows["edge_energy"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_image_gif.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_wav_witness(tag: str, out: str) -> None:
     """media_audio_features_wav witness (own marker → in-place upgrade).
 
@@ -1824,6 +1873,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_lcc_witness(tag, out)
     _ensure_s2_witness(tag, out)
     _ensure_jpeg_witness(tag, out)
+    _ensure_gif_witness(tag, out)
     _ensure_wav_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

@@ -736,6 +736,27 @@ def q_media_image_features_jpeg(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_image_features_gif(sf_dir: str):
+    """Per-image features over a REAL-gif corpus (variable-width LZW +
+    palette + interlace decode path, ``gif.py``); GIF is lossless so the
+    witness is simply the features on ``gif_decode`` of the deterministic
+    payloads."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_gifs(12, 40, 32))
+    out = multimodal.image_features_table(ds, concurrency=2)
+
+    def rnd(df):
+        for c in ("mean", "std", "p_low", "p_high"):
+            df[c] = df[c].round(6)
+        df["edge_energy"] = df["edge_energy"].round(4)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -1184,6 +1205,7 @@ TILE_QUERIES = {
     "augment_checks": q_augment_checks,
     "media_image_features": q_media_image_features,
     "media_image_features_jpeg": q_media_image_features_jpeg,
+    "media_image_features_gif": q_media_image_features_gif,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,

@@ -6,9 +6,10 @@ sample_rate / n_frames), and decode / feature-extract / resize /
 frame-sample run as actor-pool ``map_batches`` stages.
 
 The media codec libraries (Pillow, opencv, ffmpeg) are NOT in this
-container, so the codec boundary is isolated in ``MediaCodec``. PNG and
-baseline JPEG decode FOR REAL via the engine's own pure-stdlib codecs
-(``png.py``, ``jpeg.py``), as do the ``raw-*``/``qlossy``/``pcm16le``/
+container, so the codec boundary is isolated in ``MediaCodec``. PNG,
+baseline JPEG, GIF and WAV decode FOR REAL via the engine's own
+pure-stdlib codecs
+(``png.py``, ``jpeg.py``, ``gif.py``), as do the ``raw-*``/``qlossy``/``pcm16le``/
 ``rawv-u8`` formats and the deterministic ``fake-*`` formats; formats
 that genuinely require a native library (mp3, mp4/webm) raise
 ``NotImplementedError`` — the Ray-side plumbing (schema, batch size,
@@ -39,6 +40,7 @@ __all__ = [
     "make_fake_videos",
     "image_features_table",
     "make_fake_jpegs",
+    "make_fake_gifs",
     "augment_tiles",
     "audio_features",
     "make_fake_audio",
@@ -58,6 +60,8 @@ class MediaCodec:
     - ``jpeg``: REAL decode via the pure-stdlib baseline codec
       (``jpeg.py``) — Huffman + dequant + IDCT, gray/YCbCr, 4:4:4 /
       4:2:2 / 4:2:0, restart markers; progressive raises.
+    - ``gif``: REAL decode via the pure-stdlib codec (``gif.py``) —
+      variable-width LZW, global/local palettes, interlace; first frame.
     """
 
     def decode(self, buf, h: int, w: int, fmt: str) -> np.ndarray:
@@ -86,6 +90,15 @@ class MediaCodec:
             if img.shape[0] != h or img.shape[1] != w:
                 raise ValueError(
                     f"jpeg payload is {img.shape[:2]}, row metadata says {(h, w)}"
+                )
+            return img.astype(np.float64)
+        if fmt == "gif":
+            from ..gif import gif_decode
+
+            img, _info = gif_decode(buf)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"gif payload is {img.shape[:2]}, row metadata says {(h, w)}"
                 )
             return img.astype(np.float64)
         raise ValueError(f"unknown media fmt {fmt!r}")
@@ -293,6 +306,47 @@ def make_fake_jpegs(
             "h": pa.array(hs, pa.int32()),
             "w": pa.array(ws, pa.int32()),
             "fmt": pa.array(["jpeg"] * n_images, pa.string()),
+        }
+    )
+
+
+def make_fake_gifs(n_images: int, h: int, w: int) -> pa.Table:
+    """Deterministic REAL-gif image table (image_id, bytes, h, w, fmt):
+    image i is the index plane ``(3·row + 5·col + 11·i) mod P`` — gray
+    ramp palette (P=256) for even i, a 64-entry synthetic RGB palette for
+    odd i — encoded with the engine's LZW codec (``gif.gif_encode``).
+    Sizes vary (``h+i%4``, ``w+i%5``). GIF is lossless, so truth IS the
+    palette lookup of the index plane. Pure formula, no RNG."""
+    from ..gif import gif_encode
+
+    ids, bufs, hs, ws = [], [], [], []
+    pal64 = np.stack(
+        [
+            (np.arange(64) * 4) % 256,
+            (np.arange(64) * 7) % 256,
+            (255 - np.arange(64) * 4) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    for i in range(n_images):
+        hi, wi = h + i % 4, w + i % 5
+        yy, xx = np.mgrid[0:hi, 0:wi]
+        plane = (3 * yy + 5 * xx + 11 * i).astype(np.int64)
+        if i % 2 == 0:
+            buf = gif_encode((plane % 256).astype(np.uint8))
+        else:
+            buf = gif_encode((plane % 64).astype(np.uint8), palette=pal64)
+        ids.append(f"g{i:04d}")
+        bufs.append(buf)
+        hs.append(hi)
+        ws.append(wi)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "fmt": pa.array(["gif"] * n_images, pa.string()),
         }
     )
 
