@@ -350,6 +350,20 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(fill_depressions(ts))
 
+    # EP15: marching-squares contour stats (haloed map + tiny groupby)
+    def ep15_contour():
+        from hydro_raster_ray.stages.contour import contour_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        contour_stats(ts).to_pandas()
+
+    # EP16: global histogram equalization (stats + hist + remap passes)
+    def ep16_histeq():
+        from hydro_raster_ray.stages.stats import hist_equalize_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        hist_equalize_stats(ts).count()
+
     # EP11: basin delineation (terminal contraction) — the fused exact
     # basin-size aggregate. NOT in the default timed list: its per-tile
     # kernels match ep9's profile (two haloed passes + border solve), and
@@ -503,7 +517,7 @@ def run_bench() -> dict:
         ep3b_knn_partitioned, ep3c_s2_join, ep4_resample, ep4b_resample_lanczos,
         ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
-        ep9_flowacc, ep10_filldep,
+        ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]
