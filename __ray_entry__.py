@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["large_order_customers"] = relational.large_order_customers
     q["local_supplier_revenue"] = relational.local_supplier_revenue
     q["events_zscore_outliers"] = relational.events_zscore_outliers
+    q["events_rfm"] = relational.events_rfm
+    q["events_path_trigrams"] = relational.events_path_trigrams
     return q
 
 
@@ -729,6 +731,39 @@ WITH e AS (SELECT event_id, user_id,
 SELECT CAST(event_id AS BIGINT) event_id, CAST(user_id AS BIGINT) user_id,
        CAST(cents AS BIGINT) cents, CAST(round(z, 6) AS DOUBLE) z
 FROM z WHERE abs(z) > 2 ORDER BY event_id
+""",
+        # RFM quartiles by EXACT global rank under (metric, user_id) —
+        # tier = 0-based-rank * 4 // n, the tie-proof deterministic NTILE
+        "events_rfm": """
+WITH g AS (SELECT max(ts) tmax FROM events),
+ u AS (SELECT user_id,
+              (epoch_us(tmax) - epoch_us(max(ts))) // 86400000000 r_days,
+              count(*) freq,
+              sum(CAST(round(value * 100) AS BIGINT)) cents
+       FROM events, g GROUP BY user_id, tmax),
+ n AS (SELECT count(*) nu FROM u),
+ r AS (SELECT u.*,
+        (row_number() OVER (ORDER BY r_days, user_id) - 1) * 4 // nu r_tier,
+        (row_number() OVER (ORDER BY freq, user_id) - 1) * 4 // nu f_tier,
+        (row_number() OVER (ORDER BY cents, user_id) - 1) * 4 // nu m_tier
+       FROM u, n)
+SELECT CAST(user_id AS BIGINT) user_id, CAST(r_days AS BIGINT) r_days,
+       CAST(freq AS BIGINT) freq, CAST(cents AS BIGINT) cents,
+       CAST(r_tier AS BIGINT) r_tier, CAST(f_tier AS BIGINT) f_tier,
+       CAST(m_tier AS BIGINT) m_tier
+FROM r ORDER BY user_id
+""",
+        # top-k 3-step event-type paths under the (ts, event_id) total order
+        "events_path_trigrams": """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w e2,
+                  lead(event_type, 2) OVER w e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 """,
         # LSH-bucketed ANN: sign-bit bucket words over the first-8-vector
         # hyperplanes (sign margin >=4e-7 vs ~1e-14 cross-engine dot error),

@@ -32,6 +32,8 @@ __all__ = [
     "large_order_customers",
     "local_supplier_revenue",
     "events_zscore_outliers",
+    "events_rfm",
+    "events_path_trigrams",
 ]
 
 
@@ -1164,3 +1166,199 @@ def events_zscore_outliers(
         )
 
     return ev.map_batches(score, batch_format="pandas").sort("event_id")
+
+def _global_ranks(
+    ds: "ray.data.Dataset", col: str, tie_col: str = "user_id",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Exact distributed global ranking (SQL ``row_number() OVER (ORDER BY
+    col, tie_col)``, 0-based) — the primitive Ray Data lacks natively.
+
+    Range-bucket + ordered prefix offsets (the ``pack_chunks`` scan
+    recipe, generalized to an arbitrary value column):
+
+    1. bucket boundaries come from a small deterministic per-block sample
+       — boundary QUALITY only affects bucket balance, never rank
+       correctness, so the sample can be sloppy; equal values always land
+       in one bucket (``searchsorted(..., 'right')``), so cross-bucket
+       order is total;
+    2. per-bucket counts → driver exclusive prefix (≤ n_buckets rows —
+       the only driver state) → broadcast;
+    3. ``groupby(bucket).map_groups``: sort by (col, tie_col), local
+       arange + the bucket's offset.
+
+    Adds column ``rank_<col>`` to the (col, tie_col) rows. Results are
+    parallelism-independent: block structure moves bucket boundaries, not
+    ranks."""
+    sample = ds.map_batches(
+        lambda df: df.iloc[:: max(1, len(df) // 4) or 1][[col]],
+        batch_format="pandas",
+    ).to_pandas()  # a few rows per block — block-cardinality, not corpus
+    vals = np.sort(sample[col].to_numpy())
+    bounds = np.unique(
+        vals[:: max(1, vals.size // n_buckets) or 1][1:]
+    ).astype(np.float64)
+    bref = ray.put(bounds)
+
+    def assign(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        b = ray.get(bref)
+        return pa.Table.from_pandas(
+            df.assign(
+                _bkt=np.searchsorted(b, df[col].to_numpy(np.float64),
+                                     side="right").astype(np.int64)
+            ),
+            preserve_index=False,
+        )
+
+    with_b = ds.map_batches(assign, batch_format="pandas")
+    counts = (
+        with_b.map_batches(
+            lambda df: df.groupby("_bkt", as_index=False).agg(
+                n=("_bkt", "size")
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_bkt")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ n_buckets rows
+        .sort_values("_bkt")
+    )
+    bk = counts["_bkt"].to_numpy(np.int64)
+    offs = np.r_[
+        np.zeros(1, np.int64), np.cumsum(counts["n"].to_numpy(np.int64))[:-1]
+    ]
+    oref = ray.put((bk, offs))
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        b_arr, o_arr = ray.get(oref)
+        df = df.sort_values([col, tie_col]).reset_index(drop=True)
+        off0 = int(o_arr[np.searchsorted(b_arr, int(df["_bkt"].iloc[0]))])
+        df[f"rank_{col}"] = off0 + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["_bkt"])
+
+    return with_b.groupby("_bkt").map_groups(local_rank, batch_format="pandas")
+
+
+def events_rfm(sf_dir: str, n_tiers: int = 4) -> "ray.data.Dataset":
+    """RFM segmentation: per-user Recency (whole days before the corpus'
+    last event), Frequency (event count) and Monetary (exact cents), each
+    tiered into quartiles by EXACT global rank under the total order
+    (metric, user_id) — ``tier = rank · n_tiers // n`` (0-based rank), the
+    deterministic NTILE that cannot flip on ties.
+
+    Shape: one ``groupby(user_id)`` builds the user table (Max ts / Count
+    / Sum cents partials), then three ``_global_ranks`` passes (the
+    distributed row_number primitive) attach the tier ranks; everything
+    driver-side is bucket- or boundary-sized. Columns: user_id, r_days,
+    freq, cents, r_tier, f_tier, m_tier, ordered by user_id."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    tmax = pd.Timestamp(ds.max("ts")).value // 1000  # epoch µs
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "cents": np.round(df["value"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+                "n": np.int64(1),
+            }
+        ).groupby("user_id", as_index=False).agg(
+            ts_us=("ts_us", "max"), cents=("cents", "sum"), n=("n", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    users = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            _Max("ts_us", alias_name="ts_us"),
+            Sum("cents", alias_name="cents"),
+            Sum("n", alias_name="freq"),
+        )
+    )
+    n_users = users.count()
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "r_days": (tmax - df["ts_us"].to_numpy(np.int64))
+                // 86_400_000_000,
+                "freq": df["freq"].to_numpy(np.int64),
+                "cents": df["cents"].to_numpy(np.int64),
+            }
+        )
+
+    u = users.map_batches(metrics, batch_format="pandas")
+    for col in ("r_days", "freq", "cents"):
+        u = _global_ranks(u, col)
+
+    def tiers(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "r_days": df["r_days"].to_numpy(np.int64),
+                "freq": df["freq"].to_numpy(np.int64),
+                "cents": df["cents"].to_numpy(np.int64),
+            }
+        )
+        for col, name in (("r_days", "r_tier"), ("freq", "f_tier"),
+                          ("cents", "m_tier")):
+            out[name] = (
+                df[f"rank_{col}"].to_numpy(np.int64) * n_tiers // n_users
+            )
+        return out
+
+    return u.map_batches(tiers, batch_format="pandas").sort("user_id")
+
+
+def events_path_trigrams(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k 3-step event-type paths: per user, consecutive event-type
+    trigrams under the total order (ts, event_id), counted corpus-wide —
+    the session-path mining kernel. Exact int counts; top-k by
+    (n desc, path asc) is a total order. Shape: one ``groupby(user_id)``
+    co-locates each user's stream (the sessionization contract), the
+    trigram emit is a vectorized shift inside ``map_groups``, then a thin
+    ``groupby(path)`` and a result-sized sort+limit."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+                                             "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy(dtype=object)
+        if et.size < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        path = et[:-2] + ">" + et[1:-1] + ">" + et[2:]
+        out = pd.DataFrame({"path": path, "n": np.int64(1)})
+        return out.groupby("path", as_index=False).agg(n=("n", "sum"))
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return (
+        agg.map_batches(final, batch_format="pandas")
+        .sort(key=["n", "path"], descending=[True, False])
+        .limit(k)
+    )

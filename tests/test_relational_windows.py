@@ -329,3 +329,83 @@ def test_events_zscore_outliers_hand_case(tmp_path, ray_session):
     # n=6, s=1200, ss=540000: var=(540000-240000)/5=60000, std=244.948...
     # z=(700-200)/sqrt(60000)
     assert abs(got["z"].iloc[0] - round(500 / np.sqrt(60000.0), 6)) < 1e-12
+
+
+def test_global_ranks_matches_argsort(ray_session):
+    """_global_ranks == pandas rank under (col, tie) total order, with
+    heavy ties and enough rows to span several sample buckets."""
+    import ray.data
+
+    from hydro_raster_ray.pipelines.relational import _global_ranks
+
+    n = 1000
+    vals = (np.arange(n, dtype=np.int64) * 7919) % 13  # 13 distinct, big ties
+    df = pd.DataFrame({"user_id": np.arange(n, dtype=np.int64), "v": vals})
+    got = (
+        _global_ranks(ray.data.from_pandas(df).repartition(8), "v")
+        .to_pandas().sort_values("user_id")
+    )
+    want = df.sort_values(["v", "user_id"]).reset_index(drop=True)
+    want["rank_v"] = np.arange(n, dtype=np.int64)
+    want = want.sort_values("user_id")
+    assert got["rank_v"].tolist() == want["rank_v"].tolist()
+
+
+def test_events_rfm_hand_case(tmp_path, ray_session):
+    """Pencil RFM over 4 users: recency from the corpus max ts, quartile
+    = 0-based-rank*4//4 (one user per tier when all metrics distinct)."""
+    from hydro_raster_ray.pipelines.relational import events_rfm
+
+    t0 = pd.Timestamp("2024-01-10")
+    D = pd.Timedelta(days=1)
+    rows = []  # (user, ts, cents)
+    specs = {1: (0, 4), 2: (1, 3), 3: (2, 2), 4: (3, 1)}  # days_back, n_ev
+    for u, (back, nev) in specs.items():
+        for j in range(nev):
+            rows.append((u, t0 - back * D - j * D, 100.0 * u))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["purchase"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(tmp_path, "events.parquet"))
+    got = events_rfm(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "r_days"] == 0 and got.loc[4, "r_days"] == 3
+    # recency ranks: user1 best (tier 0) ... user4 worst (tier 3)
+    assert got["r_tier"].tolist() == [0, 1, 2, 3]
+    # frequency ascending: user4 (1 ev) tier 0 ... user1 (4 ev) tier 3
+    assert got["f_tier"].tolist() == [3, 2, 1, 0]
+    # monetary: user1 4*10000, u2 3*20000, u3 2*30000, u4 1*40000 cents
+    assert got["cents"].tolist() == [40000, 60000, 60000, 40000]
+    # ties (u1/u4 and u2/u3) break by user_id: lower id gets lower rank
+    assert got["m_tier"].tolist() == [0, 2, 3, 1]
+
+
+def test_events_path_trigrams_hand_case(tmp_path, ray_session):
+    """view>click>purchase twice for user 1 (same-ts pair ordered by
+    event_id), a 2-event user emits nothing."""
+    from hydro_raster_ray.pipelines.relational import events_path_trigrams
+
+    t0 = pd.Timestamp("2024-01-01")
+    S = pd.Timedelta(seconds=1)
+    rows = [
+        (1, t0, "view"), (1, t0 + S, "click"), (1, t0 + 2 * S, "purchase"),
+        (1, t0 + 3 * S, "view"), (1, t0 + 4 * S, "click"),
+        (1, t0 + 5 * S, "purchase"),
+        (2, t0, "view"), (2, t0 + S, "click"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(tmp_path, "events.parquet"))
+    got = events_path_trigrams(str(tmp_path)).to_pandas()
+    top = dict(zip(got["path"], got["n"]))
+    assert top["view>click>purchase"] == 2
+    assert top["click>purchase>view"] == 1
+    assert sum(top.values()) == 4  # 4 trigrams total from user 1 only
