@@ -1139,6 +1139,11 @@ FROM read_parquet('{F}/witness_media_image_jpeg.parquet')
 SELECT image_id, mean, std, p_low, p_high, edge_energy
 FROM read_parquet('{F}/witness_media_image_gif.parquet')
 """,
+        "media_audio_spectral": f"""
+SELECT audio_id, n_frames, centroid_mean, low_frac, mid_frac, high_frac,
+       rolloff85
+FROM read_parquet('{F}/witness_media_audio_spectral.parquet')
+""",
         "vectorize": f"""
 SELECT component_id, value, n_cells, min_gr, max_gr, min_gc, max_gc
 FROM read_parquet('{F}/witness_vectorize.parquet')

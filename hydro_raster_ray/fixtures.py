@@ -1400,6 +1400,71 @@ def _ensure_lcc_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_spectral_witness(tag: str, out: str) -> None:
+    """media_audio_spectral witness (own marker → in-place upgrade).
+
+    Same independence split as the WAV witness: samples rebuilt from the
+    generator formula (never the RIFF container), then the documented
+    STFT contract (256-sample Hann frames, hop 128, |rfft|² power,
+    per-frame centroid mean, 300/1500 Hz band fractions, 85 % rolloff)
+    applied with the same numpy expressions."""
+    done = os.path.join(out, "_SPECTRAL_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .stages.multimodal import _fake_wav_samples
+
+    sr, seconds, n_clips = 8000, 0.5, 32
+    N, HOP = 256, 128
+    win = np.hanning(N)
+    rows = {"audio_id": [], "n_frames": [], "centroid_mean": [],
+            "low_frac": [], "mid_frac": [], "high_frac": [], "rolloff85": []}
+    for c in range(n_clips):
+        kind, chans = _fake_wav_samples(c, sr, seconds)
+        if kind == 2:
+            scaled = [(ch.astype(np.float64) - 128.0) / 128.0 for ch in chans]
+        else:
+            scaled = [ch.astype(np.float64) / 32768.0 for ch in chans]
+        x = np.mean(scaled, axis=0)
+        n_frames = (x.size - N) // HOP + 1
+        idx = np.arange(N)[None, :] + (np.arange(n_frames) * HOP)[:, None]
+        frames = x[idx] * win[None, :]
+        p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        freqs = np.arange(p.shape[1]) * (sr / N)
+        tot_f = p.sum(axis=1)
+        centroid = float(((p @ freqs) / tot_f).mean())
+        spec = p.sum(axis=0)
+        tot = float(spec.sum())
+        rows["audio_id"].append(f"w{c:04d}")
+        rows["n_frames"].append(n_frames)
+        rows["centroid_mean"].append(round(centroid, 6))
+        rows["low_frac"].append(round(float(spec[freqs < 300.0].sum() / tot), 6))
+        rows["mid_frac"].append(
+            round(float(spec[(freqs >= 300.0) & (freqs < 1500.0)].sum() / tot), 6)
+        )
+        rows["high_frac"].append(
+            round(float(spec[freqs >= 1500.0].sum() / tot), 6)
+        )
+        rows["rolloff85"].append(
+            round(float(freqs[np.searchsorted(np.cumsum(spec), 0.85 * tot)]), 6)
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "audio_id": pa.array(rows["audio_id"], pa.string()),
+                "n_frames": pa.array(rows["n_frames"], pa.int64()),
+                "centroid_mean": pa.array(rows["centroid_mean"], pa.float64()),
+                "low_frac": pa.array(rows["low_frac"], pa.float64()),
+                "mid_frac": pa.array(rows["mid_frac"], pa.float64()),
+                "high_frac": pa.array(rows["high_frac"], pa.float64()),
+                "rolloff85": pa.array(rows["rolloff85"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_audio_spectral.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_epsg_witness(tag: str, out: str) -> None:
     """Registry-driven EPSG warp witness (own marker → in-place upgrade):
     BNG metres → Irish TM metres (EPSG:2157, a code the pre-registry
@@ -1875,6 +1940,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_jpeg_witness(tag, out)
     _ensure_gif_witness(tag, out)
     _ensure_wav_witness(tag, out)
+    _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out
 

@@ -757,6 +757,27 @@ def q_media_image_features_gif(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_audio_spectral(sf_dir: str):
+    """Framed-STFT spectral features (256-sample Hann frames, hop 128)
+    over the REAL-WAV corpus — the spectrogram-shaped actor-pool stage;
+    witness rebuilds samples from the generator formula and applies the
+    documented STFT contract (fixtures._ensure_spectral_witness)."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_wavs(32))
+    out = multimodal.audio_spectral_features(ds, concurrency=2, batch_size=8)
+
+    def rnd(df):
+        for c in ("centroid_mean", "low_frac", "mid_frac", "high_frac",
+                  "rolloff85"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_resample_methods(sf_dir: str):
     """All-methods resample summary (oracle: whole-array kernel witness)."""
     from .resample_shim import resample_methods_summary
@@ -1206,6 +1227,7 @@ TILE_QUERIES = {
     "media_image_features": q_media_image_features,
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_gif": q_media_image_features_gif,
+    "media_audio_spectral": q_media_audio_spectral,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,
     "vectorize": q_vectorize,

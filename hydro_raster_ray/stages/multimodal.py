@@ -43,6 +43,7 @@ __all__ = [
     "make_fake_gifs",
     "augment_tiles",
     "audio_features",
+    "audio_spectral_features",
     "make_fake_audio",
     "make_fake_wavs",
 ]
@@ -553,6 +554,86 @@ def audio_features(ds, concurrency: int = 4, batch_size: int = 16):
 
     return ds.map_batches(
         _AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=auto_pool(concurrency),
+    )
+
+
+class _SpectralFeatures:
+    """Actor: framed STFT features per clip — the spectrogram kernel.
+    Contract (shared verbatim with the fixture witness): 256-sample Hann
+    frames, hop 128, full frames only; per-frame power = |rfft|²;
+    centroid_mean averages the per-frame spectral centroid, band
+    fractions split the clip-total power at 300/1500 Hz, rolloff85 is the
+    lowest bin frequency reaching 85 % of clip-total power."""
+
+    N = 256
+    HOP = 128
+
+    def __init__(self):
+        self.codec = MediaCodec()
+        self.win = np.hanning(self.N)
+
+    def _features(self, x: np.ndarray, sr: int):
+        n_frames = (x.size - self.N) // self.HOP + 1 if x.size >= self.N else 0
+        if n_frames <= 0:
+            return None
+        idx = (
+            np.arange(self.N)[None, :]
+            + (np.arange(n_frames) * self.HOP)[:, None]
+        )
+        frames = x[idx] * self.win[None, :]
+        p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        freqs = np.arange(p.shape[1]) * (sr / self.N)
+        tot_f = p.sum(axis=1)
+        centroid = float(((p @ freqs) / tot_f).mean())
+        spec = p.sum(axis=0)
+        tot = float(spec.sum())
+        low = float(spec[freqs < 300.0].sum() / tot)
+        mid = float(spec[(freqs >= 300.0) & (freqs < 1500.0)].sum() / tot)
+        high = float(spec[freqs >= 1500.0].sum() / tot)
+        roll = float(freqs[np.searchsorted(np.cumsum(spec), 0.85 * tot)])
+        return n_frames, centroid, low, mid, high, roll
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"audio_id": [], "n_frames": [], "centroid_mean": [],
+               "low_frac": [], "mid_frac": [], "high_frac": [],
+               "rolloff85": []}
+        for i in range(batch.num_rows):
+            x = self.codec.decode_audio(
+                batch["bytes"][i].as_py(), batch["fmt"][i].as_py()
+            )
+            f = self._features(x, int(batch["sample_rate"][i].as_py()))
+            if f is None:
+                continue
+            out["audio_id"].append(batch["audio_id"][i].as_py())
+            for k, v in zip(
+                ("n_frames", "centroid_mean", "low_frac", "mid_frac",
+                 "high_frac", "rolloff85"), f
+            ):
+                out[k].append(v)
+        return pa.table(
+            {
+                "audio_id": pa.array(out["audio_id"], pa.string()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "centroid_mean": pa.array(out["centroid_mean"], pa.float64()),
+                "low_frac": pa.array(out["low_frac"], pa.float64()),
+                "mid_frac": pa.array(out["mid_frac"], pa.float64()),
+                "high_frac": pa.array(out["high_frac"], pa.float64()),
+                "rolloff85": pa.array(out["rolloff85"], pa.float64()),
+            }
+        )
+
+
+def audio_spectral_features(ds, concurrency: int = 4, batch_size: int = 16):
+    """Framed-STFT spectral features via an actor pool (window + codec
+    built once per actor) — the spectrogram-shaped stage ``audio_features``
+    (time-domain + one whole-clip FFT) does not cover."""
+    from ..runtime import auto_pool
+
+    return ds.map_batches(
+        _SpectralFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=auto_pool(concurrency),

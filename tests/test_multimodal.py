@@ -295,3 +295,41 @@ def test_fake_wavs_roundtrip_matches_generator_formula():
         want = np.mean(scaled, axis=0)
         got = codec.decode_audio(t["bytes"][i].as_py(), "wav")
         np.testing.assert_array_equal(got, want)
+
+
+def test_audio_spectral_pure_tone(ray_session):
+    """A bin-exact 1 kHz tone (k=32 · sr/N): all power in the mid band,
+    rolloff85 lands exactly on the tone's bin frequency, centroid within
+    a few Hz (Hann leakage is symmetric), n_frames = (n-256)//128 + 1."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data
+
+    from hydro_raster_ray.stages.multimodal import audio_spectral_features
+
+    sr, n = 8000, 4000
+    f = 32 * sr / 256.0  # 1000 Hz, exactly bin 32
+    x = 0.5 * np.sin(2 * np.pi * f * np.arange(n) / sr)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes((x * 32767.0).astype("<i2").tobytes())
+    t = pa.table({
+        "audio_id": pa.array(["tone"]),
+        "bytes": pa.array([bio.getvalue()], pa.binary()),
+        "sample_rate": pa.array([sr], pa.int32()),
+        "n_samples": pa.array([n], pa.int32()),
+        "fmt": pa.array(["wav"]),
+    })
+    got = audio_spectral_features(ray.data.from_arrow(t)).to_pandas()
+    r = got.iloc[0]
+    assert r["n_frames"] == (n - 256) // 128 + 1
+    assert r["mid_frac"] > 0.99 and r["low_frac"] < 0.01
+    # Hann main lobe spreads a bin-exact tone over bins k-1,k,k+1 with
+    # power ratio 0.25:1:0.25 — cumulative hits 85% one bin ABOVE the tone
+    assert abs(r["rolloff85"] - (1000.0 + 8000.0 / 256.0)) < 1e-9
+    assert abs(r["centroid_mean"] - 1000.0) < 5.0
