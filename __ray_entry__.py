@@ -149,6 +149,21 @@ _M = [f"read_parquet('{F}/mosaic{i}_pixels.parquet')" for i in range(3)]
 _STOP_SQL = "['" + "','".join(ops.STOPWORDS) + "']"
 
 
+def _dist_sweep_sql(prev: str, cur: str) -> str:
+    """One min-plus sweep CTE for the ``dist_transform_hist`` oracle:
+    d'(c) = min over the 3×3 window of d(n) + [n != c]. The shifted keys
+    are projected before the join (hash join, not nested loop)."""
+    return f"""
+ {cur} AS (
+  SELECT s.gr, s.gc,
+         min(CASE WHEN s.dr = 0 AND s.dc = 0 THEN b.d ELSE b.d + 1 END) d
+  FROM (SELECT a.gr, a.gc, o.dr, o.dc,
+               a.gr + o.dr AS ngr, a.gc + o.dc AS ngc
+        FROM {prev} a CROSS JOIN offs o) s
+  JOIN {prev} b ON b.gr = s.ngr AND b.gc = s.ngc
+  GROUP BY s.gr, s.gc)"""
+
+
 def _lang_sql() -> str:
     hits = []
     for code, words in ops.LANG_MARKERS.items():
@@ -1046,6 +1061,54 @@ FROM read_parquet('{F}/witness_focal_range.parquet')
         "focal_median_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_focal_median.parquet')
+""",
+        # morphological opening reproduced INDEPENDENTLY in SQL: two
+        # chained 3×3 neighbor self-joins (equi-join on an offsets table;
+        # min/max ignore NULLs = NaN-aware focal semantics, LEFT JOIN keeps
+        # hole cells so pass 2 sees pass 1's hole-filling). Morphology only
+        # SELECTS values, so min/max are exact; only the per-tile sum is
+        # rounded (summation order), like every per_tile_stats query.
+        "morph_open_stats": f"""
+WITH offs AS (
+  SELECT t1.dr, t2.dc
+  FROM (VALUES (-1), (0), (1)) t1(dr), (VALUES (-1), (0), (1)) t2(dc)),
+ e AS (
+  SELECT a.tile_id, a.gr, a.gc, min(b.z) ze
+  FROM {_PX} a
+  CROSS JOIN offs o
+  LEFT JOIN {_PX} b
+    ON b.gr = a.gr + o.dr AND b.gc = a.gc + o.dc AND b.z IS NOT NULL
+  GROUP BY a.tile_id, a.gr, a.gc),
+ d AS (
+  SELECT a.tile_id, a.gr, a.gc, max(b.ze) zo
+  FROM e a
+  CROSS JOIN offs o
+  LEFT JOIN e b
+    ON b.gr = a.gr + o.dr AND b.gc = a.gc + o.dc AND b.ze IS NOT NULL
+  GROUP BY a.tile_id, a.gr, a.gc)
+SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
+       CAST(count(zo) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(zo), 0), 2) AS DOUBLE) sum_z
+FROM d GROUP BY tile_id
+""",
+        # bounded Chebyshev distance transform reproduced INDEPENDENTLY in
+        # SQL: 4 chained min-plus sweeps (each one 3×3 neighbor self-join
+        # over the valid pixels; the (0,0) offset keeps the cell's own
+        # distance, min ignores NULL = +inf-like unreached). Distances are
+        # small integers — exact, no rounding anywhere. The shifted keys
+        # (gr+dr, gc+dc) are hoisted into a projection BEFORE the join so
+        # DuckDB plans a hash join on pure column equality — with the
+        # arithmetic inline in the ON clause it planned a CROSS_PRODUCT
+        # nested loop (227k × 9 × 227k comparisons, minutes per sweep).
+        "dist_transform_hist": f"""
+WITH offs AS (
+  SELECT t1.dr, t2.dc
+  FROM (VALUES (-1), (0), (1)) t1(dr), (VALUES (-1), (0), (1)) t2(dc)),
+ d0 AS (
+  SELECT gr, gc, CASE WHEN z > 50 THEN CAST(0 AS DOUBLE) END d
+  FROM {_PX} WHERE z IS NOT NULL),{",".join(_dist_sweep_sql(f"d{k}", f"d{k + 1}") for k in range(4))}
+SELECT CAST(coalesce(d, -1) AS BIGINT) dist, CAST(count(*) AS BIGINT) n_cells
+FROM d4 GROUP BY 1
 """,
         "slope_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z

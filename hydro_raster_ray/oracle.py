@@ -854,3 +854,52 @@ def focal(array: np.ndarray, stat: str = "mean") -> np.ndarray:
     else:  # pragma: no cover - guarded by the stage
         raise ValueError(f"unknown focal stat {stat!r}")
     return out
+
+
+def morph(array: np.ndarray, op: str = "open") -> np.ndarray:
+    """3×3 grayscale morphology witness for ``stages/morph.py``:
+    erode = focal min, dilate = focal max, open = erode→dilate,
+    close = dilate→erode. Pure order statistics (no arithmetic), so the
+    composition is bit-exact under any tiling and under the f32 plane
+    round-trip (each pass only SELECTS input values)."""
+    if op == "erode":
+        return focal(array, "min")
+    if op == "dilate":
+        return focal(array, "max")
+    if op == "open":
+        return focal(focal(array, "min"), "max")
+    if op == "close":
+        return focal(focal(array, "max"), "min")
+    raise ValueError(f"unknown morph op {op!r}")
+
+
+def distance_transform(
+    array: np.ndarray, threshold: float = 50.0, iters: int = 4
+) -> np.ndarray:
+    """Bounded Chebyshev distance transform witness for
+    ``stages/distance.py``: distance (in cells, 8-connected) from every
+    VALID cell to the nearest source cell (``z > threshold``), computed
+    by ``iters`` min-plus sweeps — so distances are EXACT up to
+    ``iters`` and cells further than that stay +inf ("unreached at this
+    budget"). NaN (nodata) cells are excluded entirely: they are not
+    sources, carry no distance, and paths may not cross them (matching
+    a SQL reproduction that joins only non-NULL pixels). All values are
+    small integers held in float64 — exact, no rounding concerns."""
+    a = np.asarray(array, dtype=np.float64)
+    invalid = np.isnan(a)
+    d = np.where(a > threshold, 0.0, np.inf)
+    d[invalid] = np.nan
+    h, w = d.shape
+    for _ in range(iters):
+        p = np.full((h + 2, w + 2), np.nan)
+        p[1:-1, 1:-1] = d
+        best = d.copy()
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                if dr == 1 and dc == 1:
+                    continue
+                # fmin ignores a NaN neighbor; +1 keeps inf as inf
+                best = np.fmin(best, p[dr : dr + h, dc : dc + w] + 1.0)
+        best[invalid] = np.nan
+        d = best
+    return d

@@ -1098,6 +1098,56 @@ def q_focal_median_stats(sf_dir: str):
     return per_tile_stats(focal_stats(ts, "median"))
 
 
+def q_morph_open_stats(sf_dir: str):
+    """Grayscale morphological OPENING (3×3 erode→dilate, the despeckle
+    operator; ``stages/morph.py``) — two chained halo passes, per-tile
+    stats. Morphology is pure order statistics (values are SELECTED, not
+    computed), so the oracle is a genuinely independent SQL reproduction:
+    two chained 3×3 neighbor self-joins over the pixel witness, exact
+    min/max with no rounding epsilon."""
+    from ..stages.morph import morph
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(morph(ts, "open"))
+
+
+def q_dist_transform_hist(sf_dir: str):
+    """Bounded Chebyshev distance transform (distance in cells to the
+    nearest ``z > 50`` source, exact up to 4 min-plus sweeps = 4 halo
+    exchanges; ``stages/distance.py``) — histogram of distances over the
+    valid cells, unreached mapped to -1. Distances are small integers:
+    bit-exact, independently reproduced in SQL as 4 chained 3×3
+    neighbor self-joins (equi-join on an offsets table)."""
+    from ..stages.decode import iter_tiles as _it
+    from ..stages.distance import distance_transform
+
+    ts, _ = tiles_for(sf_dir)
+    out = distance_transform(ts, threshold=50.0, iters=4)
+    grid = out.grid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        for _info, arr in _it(batch, grid):
+            v = arr[~np.isnan(arr)]
+            d = np.where(np.isinf(v), -1.0, v).astype(np.int64)
+            u, cnt = np.unique(d, return_counts=True)
+            for k, c in zip(u.tolist(), cnt.tolist()):
+                acc[k] = acc.get(k, 0) + c
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "dist": pa.array(ks, pa.int64()),
+                "n_cells": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        out.ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dist")
+        .aggregate(Sum("n_cells", alias_name="n_cells"))
+    )
+
+
 def q_contour_stats(sf_dir: str):
     """Marching-squares contour statistics at levels (-50, 0, 50) — the
     iso-line operator as a data product (``stages/contour.py``). The
@@ -1170,6 +1220,8 @@ TILE_QUERIES = {
     "focal_mean_stats": q_focal_mean_stats,
     "focal_range_stats": q_focal_range_stats,
     "focal_median_stats": q_focal_median_stats,
+    "morph_open_stats": q_morph_open_stats,
+    "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
     "tile_png16_stats": q_tile_png16_stats,
