@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_retention"] = relational.events_retention
     q["large_order_customers"] = relational.large_order_customers
     q["local_supplier_revenue"] = relational.local_supplier_revenue
+    q["top_unshipped_orders"] = relational.top_unshipped_orders
+    q["brand_supplier_counts"] = relational.brand_supplier_counts
     q["events_zscore_outliers"] = relational.events_zscore_outliers
     q["events_rfm"] = relational.events_rfm
     q["events_path_trigrams"] = relational.events_path_trigrams
@@ -728,6 +730,35 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC, n.n_name
+""",
+        # TPC-H Q3 analog: segment semi-join + date-split fact join;
+        # ORDER BY the ROUNDED revenue both sides so the k boundary holds
+        "top_unshipped_orders": """
+SELECT CAST(l.l_orderkey AS BIGINT) o_orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DOUBLE) revenue,
+       o.o_orderdate, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-05-15'
+  AND l.l_shipdate > TIMESTAMP '1998-05-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+         o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+        # TPC-H Q16-style exact COUNT(DISTINCT): all-integer, bit-exact
+        "brand_supplier_counts": """
+SELECT p.p_brand,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) n_suppliers,
+       CAST(count(*) AS BIGINT) n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size < 25
+GROUP BY p.p_brand
+ORDER BY p.p_brand
 """,
         # per-user z-score outliers: moments are exact int64 cents sums, the
         # z expression is the IDENTICAL double formula on both sides

@@ -364,6 +364,22 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         hist_equalize_stats(ts).count()
 
+    # EP17: morphological opening — two chained halo passes (erode→dilate)
+    # with the intermediate corpus checkpointed between them
+    def ep17_morph_open():
+        from hydro_raster_ray.stages.morph import morph
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(morph(ts, "open"))
+
+    # EP18: bounded Chebyshev distance transform — seed + 4 min-plus
+    # halo sweeps (the heaviest multi-sweep stencil in the suite)
+    def ep18_distance():
+        from hydro_raster_ray.stages.distance import distance_transform
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(distance_transform(ts, threshold=50.0, iters=4))
+
     # EP11: basin delineation (terminal contraction) — the fused exact
     # basin-size aggregate. NOT in the default timed list: its per-tile
     # kernels match ep9's profile (two haloed passes + border solve), and
@@ -518,6 +534,7 @@ def run_bench() -> dict:
         ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
+        ep17_morph_open, ep18_distance,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]

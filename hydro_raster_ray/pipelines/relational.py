@@ -34,6 +34,8 @@ __all__ = [
     "events_zscore_outliers",
     "events_rfm",
     "events_path_trigrams",
+    "top_unshipped_orders",
+    "brand_supplier_counts",
 ]
 
 
@@ -1362,3 +1364,227 @@ def events_path_trigrams(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         .sort(key=["n", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+def top_unshipped_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-05-15",
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q3 analog: the top-k highest-revenue orders placed before
+    ``cutoff`` in one market segment whose lineitems ship after it — the
+    shipping-priority query (reference scope: the general grouped-join
+    analytics layer of SURVEY.md §2.8).
+
+    Distributed shape:
+
+    1. the segment's customer keys broadcast once as a sorted int64
+       array (``ray.put`` — the ``local_supplier_revenue`` budgeted
+       small-side convention; past the budget this becomes the hash-join
+       path, same recipe);
+    2. orders scans with the date filter + a ``searchsorted`` membership
+       probe fused into ONE map_batches (the big side sheds ~all rows
+       before any exchange); the timestamp is carried as int64 epoch-us
+       so it can serve as a groupby key;
+    3. lineitem scans with the ship-date filter and per-batch partial
+       sums keyed on l_orderkey (revenue + line count), shrinking the
+       exchange to near order-cardinality;
+    4. ONE large×large ``Dataset.join`` on the order key, then the
+       order-key groupby (date/priority ride along as functionally
+       dependent keys);
+    5. global top-k on the ROUNDED revenue (both sides order by the
+       same rounded value, so the k boundary cannot flip), tie-broken
+       by (o_orderdate, o_orderkey).
+
+    Columns: o_orderkey, revenue (2-dec), o_orderdate, o_orderpriority,
+    n_items.
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    cut = pd.Timestamp(cutoff)
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"]
+        .to_numpy(np.int64)
+    )
+    ref = ray.put(seg_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_probe(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ck = ray.get(ref)
+        d = df[df["o_orderdate"] < cut]
+        keys = d["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ck, keys)
+        pos_c = np.minimum(pos, ck.size - 1) if ck.size else pos
+        hit = (ck.size > 0) & (ck[pos_c] == keys)
+        d = d[hit]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(d["o_orderkey"].to_numpy(np.int64)),
+                "o_date_us": pa.array(
+                    d["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+                ),
+                "o_orderpriority": pa.array(
+                    d["o_orderpriority"].astype(str).tolist(), pa.string()
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["l_shipdate"] > cut]
+        rev = (d["l_extendedprice"] * (1 - d["l_discount"])).to_numpy()
+        out = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": d["l_orderkey"].to_numpy(np.int64),
+                    "revenue": rev,
+                    "n_items": np.int64(1),
+                }
+            )
+            .groupby("l_orderkey", as_index=False)
+            .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    j = li.map_batches(li_partial, batch_format="pandas").join(
+        orders.map_batches(orders_probe, batch_format="pandas"),
+        "inner",
+        num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    agg = j.groupby(["l_orderkey", "o_date_us", "o_orderpriority"]).aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "revenue": df["revenue"].round(2),
+                "o_orderdate": df["o_date_us"].astype("datetime64[us]"),
+                "o_orderpriority": df["o_orderpriority"],
+                "n_items": df["n_items"].astype(np.int64),
+                "_dus": df["o_date_us"].astype(np.int64),
+            }
+        )
+
+    return (
+        agg.map_batches(final, batch_format="pandas")
+        .sort(key=["revenue", "_dus", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+        .drop_columns(["_dus"])
+    )
+
+
+def brand_supplier_counts(
+    sf_dir: str, max_size: int = 25, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """TPC-H Q16-style distinct-count: for every part brand (parts below
+    ``max_size``), how many DISTINCT suppliers shipped it and how many
+    lineitems that took — the exact distributed COUNT(DISTINCT) shape.
+
+    Distributed shape: part's (key → brand, size-filtered) broadcast once
+    as sorted arrays; lineitem attaches the brand per batch with a
+    ``searchsorted`` probe and PRE-COLLAPSES to per-batch (brand,
+    suppkey, n_lines) partials — the exchange carries at most
+    |brands|×|suppliers| rows per batch, not lineitems. One
+    ``groupby(brand, suppkey)`` makes pairs globally unique (exact, no
+    sketch); the second groupby is pair-cardinality and counts rows per
+    brand. All values integer — bit-exact vs SQL. For an approximate
+    one-exchange variant at unbounded pair cardinality see
+    ``events_hll`` (same partial/merge skeleton, HLL registers).
+
+    Columns: p_brand, n_suppliers, n_lines (ordered by p_brand).
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    part = part[part["p_size"] < max_size].sort_values("p_partkey")
+    ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].to_numpy(dtype=object),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        pk, pb = ray.get(ref)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        pos_c = np.minimum(pos, pk.size - 1) if pk.size else pos
+        hit = (pk.size > 0) & (pk[pos_c] == keys)
+        out = (
+            pd.DataFrame(
+                {
+                    "p_brand": pb[pos_c[hit]],
+                    "l_suppkey": df["l_suppkey"].to_numpy(np.int64)[hit],
+                    "n_lines": np.int64(1),
+                }
+            )
+            .groupby(["p_brand", "l_suppkey"], as_index=False)
+            .agg(n_lines=("n_lines", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["p_brand", "l_suppkey"])
+        .aggregate(Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def pair_partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = (
+            df.assign(n_suppliers=np.int64(1))
+            .groupby("p_brand", as_index=False)
+            .agg(n_suppliers=("n_suppliers", "sum"),
+                 n_lines=("n_lines", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        pairs.map_batches(pair_partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_suppliers"] = df["n_suppliers"].astype(np.int64)
+        df["n_lines"] = df["n_lines"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas").sort(key="p_brand")

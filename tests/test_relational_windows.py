@@ -409,3 +409,100 @@ def test_events_path_trigrams_hand_case(tmp_path, ray_session):
     assert top["view>click>purchase"] == 2
     assert top["click>purchase>view"] == 1
     assert sum(top.values()) == 4  # 4 trigrams total from user 1 only
+
+
+def test_top_unshipped_orders_hand_case(tmp_path, ray_session):
+    """Q3-analog semantics: segment filter, date split on BOTH facts,
+    revenue grouped per order, rounded ordering."""
+    from hydro_raster_ray.pipelines.relational import top_unshipped_orders
+
+    cut = pd.Timestamp("1998-05-15")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING", "MACHINERY"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                # 11 is placed AFTER the cutoff, 12 belongs to the wrong
+                # segment — both must vanish
+                "o_orderdate": pa.array(
+                    [cut - pd.Timedelta(days=30), cut + pd.Timedelta(days=1),
+                     cut - pd.Timedelta(days=5)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 10, 11, 12], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [10.0, 20.0, 40.0, 7.0, 8.0], pa.float64()
+                ),
+                "l_discount": pa.array(
+                    [0.1, 0.0, 0.5, 0.0, 0.0], pa.float64()
+                ),
+                # the 40.0 line ships BEFORE the cutoff — excluded
+                "l_shipdate": pa.array(
+                    [cut + pd.Timedelta(days=9), cut + pd.Timedelta(days=2),
+                     cut - pd.Timedelta(days=2), cut + pd.Timedelta(days=3),
+                     cut + pd.Timedelta(days=4)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = top_unshipped_orders(str(tmp_path)).to_pandas()
+    assert got["o_orderkey"].tolist() == [10]
+    assert got["revenue"].tolist() == [29.0]  # 10*0.9 + 20*1.0
+    assert got["n_items"].tolist() == [2]
+    assert got["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert got["o_orderdate"].tolist() == [cut - pd.Timedelta(days=30)]
+    assert list(got.columns) == [
+        "o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "n_items"
+    ]
+
+
+def test_brand_supplier_counts_hand_case(tmp_path, ray_session):
+    """Exact distinct-supplier counting: duplicate (brand, supplier)
+    pairs collapse across parts and batches; the size filter drops the
+    whole brand."""
+    from hydro_raster_ray.pipelines.relational import brand_supplier_counts
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_brand": pa.array(["A", "A", "B"]),
+                "p_size": pa.array([10, 10, 30], pa.int64()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # s1 ships brand A via TWO different parts → still ONE
+                # distinct supplier; part 3 (size 30) is filtered out
+                "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([7, 7, 7, 8, 9], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = brand_supplier_counts(str(tmp_path)).to_pandas()
+    assert got["p_brand"].tolist() == ["A"]
+    assert got["n_suppliers"].tolist() == [2]
+    assert got["n_lines"].tolist() == [4]
