@@ -166,6 +166,41 @@ def _dist_sweep_sql(prev: str, cur: str) -> str:
   GROUP BY s.gr, s.gc)"""
 
 
+def _blur_pass_sql(src: str, dst: str) -> str:
+    """One 3×3 binomial-blur pass CTE pair for the ``gauss_blur_stats``
+    oracle. Pivots the nine window values with per-offset max(CASE) (≤1
+    row per offset — order-free), then evaluates the IDENTICAL fixed
+    left-associative weighted expression the engine kernel uses
+    (``stages/blur.py`` exactness contract) and CASTs to FLOAT — the f32
+    tile storage between passes. Strict window: NULL unless all 9 window
+    cells are present. Shifted keys are projected before the join (hash
+    join, not nested loop — the dist_transform lesson)."""
+    piv = {
+        (dr, dc): (
+            f"max(CASE WHEN s.dr = {dr} AND s.dc = {dc} "
+            f"THEN CAST(b.z AS DOUBLE) END)"
+        )
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    w = {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2, (0, 0): 4,
+         (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
+    expr = f"1 * {piv[(-1, -1)]}"
+    for k in [(-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0),
+              (1, 1)]:
+        expr = f"({expr} + {w[k]} * {piv[k]})"
+    return f"""
+ {dst} AS (
+  SELECT s.tile_id, s.gr, s.gc,
+         CASE WHEN count(b.z) = 9
+              THEN CAST({expr} / 16 AS FLOAT) END z
+  FROM (SELECT a.tile_id, a.gr, a.gc, o.dr, o.dc,
+               a.gr + o.dr AS ngr, a.gc + o.dc AS ngc
+        FROM {src} a CROSS JOIN offs o) s
+  LEFT JOIN {src} b ON b.gr = s.ngr AND b.gc = s.ngc AND b.z IS NOT NULL
+  GROUP BY s.tile_id, s.gr, s.gc)"""
+
+
 def _lang_sql() -> str:
     hits = []
     for code, words in ops.LANG_MARKERS.items():
@@ -1121,6 +1156,22 @@ SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
        CAST(count(zo) AS BIGINT) n_valid,
        CAST(round(coalesce(sum(zo), 0), 2) AS DOUBLE) sum_z
 FROM d GROUP BY tile_id
+""",
+        # 5×5 binomial Gaussian blur reproduced INDEPENDENTLY in SQL: two
+        # chained pivoted 3×3 self-joins evaluating the engine kernel's
+        # exact fixed-order weighted expression (integer weights, /16
+        # power-of-two, CAST to FLOAT between passes = f32 tile storage)
+        # — bit-exact per cell; only the per-tile sum is rounded
+        # (summation order), like every per_tile_stats query.
+        "gauss_blur_stats": f"""
+WITH offs AS (
+  SELECT t1.dr, t2.dc
+  FROM (VALUES (-1), (0), (1)) t1(dr), (VALUES (-1), (0), (1)) t2(dc)),
+ px AS (SELECT tile_id, gr, gc, z FROM {_PX}),{_blur_pass_sql("px", "b1")},{_blur_pass_sql("b1", "b2")}
+SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
+       CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM b2 GROUP BY tile_id
 """,
         # bounded Chebyshev distance transform reproduced INDEPENDENTLY in
         # SQL: 4 chained min-plus sweeps (each one 3×3 neighbor self-join

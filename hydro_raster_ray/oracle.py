@@ -873,6 +873,40 @@ def morph(array: np.ndarray, op: str = "open") -> np.ndarray:
     raise ValueError(f"unknown morph op {op!r}")
 
 
+def binomial_blur(array: np.ndarray, passes: int = 2) -> np.ndarray:
+    """Binomial-blur witness for ``stages/blur.py``: per pass, each cell
+    is the fixed row-major left-to-right weighted sum of its 3×3 window
+    (weights 1-2-1/2-4-2/1-2-1) divided by 16, computed in float64;
+    STRICT window — NaN wherever any window cell is missing. Unlike the
+    morphology witness, blur does arithmetic, so the f32 tile-storage
+    round-trip BETWEEN passes is part of the semantics: each pass's
+    result is rounded to float32 here exactly as tile storage rounds it
+    in the engine (the final pass too — ``to_array`` reads the stored
+    f32 plane)."""
+    w = (1.0, 2.0, 1.0, 2.0, 4.0, 2.0, 1.0, 2.0, 1.0)
+    a = np.asarray(array, dtype=np.float64)
+    h, wd = a.shape
+    for _ in range(passes):
+        p = np.full((h + 2, wd + 2), np.nan)
+        p[1:-1, 1:-1] = a
+        acc = np.zeros((h, wd))
+        ok = np.ones((h, wd), dtype=bool)
+        k = 0
+        for dr in (0, 1, 2):  # fixed row-major order — the shared contract
+            for dc in (0, 1, 2):
+                v = p[dr : dr + h, dc : dc + wd]
+                fin = np.isfinite(v)
+                ok &= fin
+                acc = acc + w[k] * np.where(fin, v, 0.0)
+                k += 1
+        a = (
+            np.where(ok, acc / 16.0, np.nan)
+            .astype(np.float32)
+            .astype(np.float64)
+        )
+    return a
+
+
 def distance_transform(
     array: np.ndarray, threshold: float = 50.0, iters: int = 4
 ) -> np.ndarray:

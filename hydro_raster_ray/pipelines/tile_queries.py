@@ -1148,6 +1148,22 @@ def q_dist_transform_hist(sf_dir: str):
     )
 
 
+def q_gauss_blur_stats(sf_dir: str):
+    """5×5 binomial Gaussian blur (two chained 3×3 [1,2,1]⊗[1,2,1]/16
+    halo passes; ``stages/blur.py``) — per-tile stats. Weighted
+    convolution with a FIXED left-to-right accumulation order and
+    integer/power-of-two weights, so every cell is bit-reproducible by
+    the identically-parenthesized SQL expression (with the same CAST to
+    FLOAT between passes — the f32 tile storage). The oracle is a
+    genuinely independent SQL reproduction: two chained pivoted 3×3
+    neighbor self-joins over the pixel witness evaluating the same
+    weighted expression."""
+    from ..stages.blur import binomial_blur
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(binomial_blur(ts, passes=2))
+
+
 def q_contour_stats(sf_dir: str):
     """Marching-squares contour statistics at levels (-50, 0, 50) — the
     iso-line operator as a data product (``stages/contour.py``). The
@@ -1221,6 +1237,7 @@ TILE_QUERIES = {
     "focal_range_stats": q_focal_range_stats,
     "focal_median_stats": q_focal_median_stats,
     "morph_open_stats": q_morph_open_stats,
+    "gauss_blur_stats": q_gauss_blur_stats,
     "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
