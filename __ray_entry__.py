@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["local_supplier_revenue"] = relational.local_supplier_revenue
     q["top_unshipped_orders"] = relational.top_unshipped_orders
     q["brand_supplier_counts"] = relational.brand_supplier_counts
+    q["nation_trade_volume"] = relational.nation_trade_volume
+    q["promo_revenue"] = relational.promo_revenue
+    q["bracket_revenue"] = relational.bracket_revenue
+    q["dormant_customer_balance"] = relational.dormant_customer_balance
     q["events_zscore_outliers"] = relational.events_zscore_outliers
     q["events_rfm"] = relational.events_rfm
     q["events_path_trigrams"] = relational.events_path_trigrams
@@ -794,6 +798,79 @@ FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_size < 25
 GROUP BY p.p_brand
 ORDER BY p.p_brand
+""",
+        # TPC-H Q7 analog: two-nation shipping volume by year; revenue
+        # ordering plays no role (keys are the sort), sums rounded 2-dec
+        "nation_trade_volume": """
+SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) l_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DOUBLE) revenue,
+       CAST(count(*) AS BIGINT) n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        # TPC-H Q14 analog: promo revenue share; the pct is computed from
+        # the two ROUNDED sums on both sides (deterministic operands)
+        "promo_revenue": """
+WITH s AS (
+  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END), 2) pr,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) tr,
+         count(*) n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01')
+SELECT CAST(pr AS DOUBLE) promo_revenue, CAST(tr AS DOUBLE) total_revenue,
+       CAST(round(100.0 * pr / tr, 4) AS DOUBLE) promo_pct,
+       CAST(n AS BIGINT) n_items
+FROM s
+""",
+        # TPC-H Q19 analog: OR-of-ANDs (brand, size, quantity) brackets
+        "bracket_revenue": """
+WITH b AS (
+  SELECT CASE
+    WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         AND l.l_quantity BETWEEN 1 AND 11 THEN 'B1'
+    WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         AND l.l_quantity BETWEEN 10 AND 20 THEN 'B2'
+    WHEN p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 20 AND 30 THEN 'B3' END bracket,
+    l.l_extendedprice * (1 - l.l_discount) rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT bracket, CAST(round(sum(rev), 2) AS DOUBLE) revenue,
+       CAST(count(*) AS BIGINT) n
+FROM b WHERE bracket IS NOT NULL
+GROUP BY bracket ORDER BY bracket
+""",
+        # TPC-H Q22 analog: above-positive-average balance + NO order since
+        # the cutoff (anti-join); the average test is integer cents·n > Σ
+        "dormant_customer_balance": """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) cents
+  FROM customer),
+ a AS (SELECT sum(cents) s, count(*) n FROM pos WHERE cents > 0),
+ recent AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+ q AS (SELECT p.c_nationkey, p.cents
+       FROM pos p, a
+       WHERE p.cents * a.n > a.s
+         AND p.c_custkey NOT IN (SELECT o_custkey FROM recent))
+SELECT CAST(c_nationkey AS BIGINT) c_nationkey,
+       CAST(count(*) AS BIGINT) n_cust,
+       CAST(sum(cents) AS DOUBLE) / 100 total_acctbal
+FROM q GROUP BY 1 ORDER BY 1
 """,
         # per-user z-score outliers: moments are exact int64 cents sums, the
         # z expression is the IDENTICAL double formula on both sides

@@ -36,6 +36,10 @@ __all__ = [
     "events_path_trigrams",
     "top_unshipped_orders",
     "brand_supplier_counts",
+    "nation_trade_volume",
+    "promo_revenue",
+    "bracket_revenue",
+    "dormant_customer_balance",
 ]
 
 
@@ -1588,3 +1592,416 @@ def brand_supplier_counts(
         return df
 
     return agg.map_batches(final, batch_format="pandas").sort(key="p_brand")
+
+
+def nation_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q7 analog: shipping volume between two nations by year —
+    lineitems whose SUPPLIER sits in one nation and whose ordering
+    CUSTOMER sits in the other, shipped 1996-1997, grouped by
+    (supp_nation, cust_nation, year).
+
+    Distributed shape (the Q5 recipe): customer/supplier/nation key
+    arrays broadcast once; BOTH fact scans prune to the two target
+    nations inside their first map_batches (the pair filter keeps ~8 %
+    of rows per side at uniform nation assignment, (2/25)², of the
+    join), so the one large×large order-key ``Dataset.join`` exchanges
+    only survivors. The cross-pair (A→B / B→A) inequality filter and
+    revenue partials run post-join; output is 2×years rows. Columns:
+    supp_nation, cust_nation, l_year (BIGINT), revenue (2-dec),
+    n (BIGINT), ordered by (supp_nation, cust_nation, l_year).
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    by_name = dict(zip(nat["n_name"], nat["n_nationkey"].astype(np.int64)))
+    ka, kb = int(by_name[nation_a]), int(by_name[nation_b])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).sort_values("c_custkey")
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64),
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def li_side(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        _, _, sk, snk = ray.get(ref)
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        sn = snk[np.searchsorted(sk, df["l_suppkey"].to_numpy(np.int64))]
+        keep = (sn == ka) | (sn == kb)
+        d = df[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(d["l_orderkey"].to_numpy(np.int64)),
+                "supp_nat": pa.array(sn[keep]),
+                "l_year": pa.array(
+                    d["l_shipdate"].dt.year.to_numpy(np.int64)
+                ),
+                "rev": pa.array(
+                    (d["l_extendedprice"] * (1 - d["l_discount"])).to_numpy()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def o_side(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ck, cnk, _, _ = ray.get(ref)
+        cn = cnk[np.searchsorted(ck, df["o_custkey"].to_numpy(np.int64))]
+        keep = (cn == ka) | (cn == kb)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    df["o_orderkey"].to_numpy(np.int64)[keep]
+                ),
+                "cust_nat": pa.array(cn[keep]),
+            }
+        )
+
+    j = li.map_batches(li_side, batch_format="pandas").join(
+        orders.map_batches(o_side, batch_format="pandas"),
+        "inner",
+        num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["supp_nat"].to_numpy() != df["cust_nat"].to_numpy()]
+        out = (
+            d.assign(n=np.int64(1))
+            .groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)
+            .agg(revenue=("rev", "sum"), n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n", alias_name="n"))
+    )
+    names = {ka: nation_a, kb: nation_b}
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": df["supp_nat"].map(names),
+                "cust_nation": df["cust_nat"].map(names),
+                "l_year": df["l_year"].astype(np.int64),
+                "revenue": df["revenue"].round(2),
+                "n": df["n"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        key=["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def promo_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q14 analog: share of September-1997 revenue from PROMO-type
+    parts. part (small side) broadcast once as a sorted key array + an
+    is-promo bool array; the lineitem scan reduces to per-batch
+    (promo_rev, total_rev, counts) partials and ONE global row — no
+    shuffle at all beyond the scalar combine. The percentage is computed
+    from the two ROUNDED 2-dec sums on both sides (deterministic given
+    the rounded operands). Columns: promo_revenue, total_revenue,
+    promo_pct (4-dec), n_items (BIGINT).
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).sort_values("p_partkey")
+    ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == "PROMO").to_numpy(bool),
+        )
+    )
+    lo, hi = pd.Timestamp("1997-09-01"), pd.Timestamp("1997-10-01")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, promo = ray.get(ref)
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        isp = promo[np.searchsorted(pk, df["l_partkey"].to_numpy(np.int64))]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        return pd.DataFrame(
+            {
+                "k": [np.int64(1)],
+                "promo_rev": [float(rev[isp].sum())],
+                "total_rev": [float(rev.sum())],
+                "n_items": [np.int64(len(rev))],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("promo_rev", alias_name="promo_rev"),
+            Sum("total_rev", alias_name="total_rev"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df["promo_rev"].round(2)
+        tr = df["total_rev"].round(2)
+        return pd.DataFrame(
+            {
+                "promo_revenue": pr,
+                "total_revenue": tr,
+                "promo_pct": (100.0 * pr / tr).round(4),
+                "n_items": df["n_items"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+_BRACKETS = (
+    ("B1", "Brand#12", 1, 5, 1.0, 11.0),
+    ("B2", "Brand#23", 1, 10, 10.0, 20.0),
+    ("B3", "Brand#4", 1, 15, 20.0, 30.0),
+)
+
+
+def bracket_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19 analog: revenue from three OR'd (brand, size-range,
+    quantity-range) brackets — the canonical pushed-down OR-of-ANDs
+    predicate. part attributes broadcast once (sorted key + brand/size
+    arrays); each lineitem batch evaluates all three bracket masks
+    vectorized and pre-collapses to ≤3 partial rows, so the only
+    exchange is a 3-group combine. Columns: bracket, revenue (2-dec),
+    n (BIGINT), ordered by bracket.
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).sort_values("p_partkey")
+    ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].to_numpy(dtype=object),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, brand, size = ray.get(ref)
+        idx = np.searchsorted(pk, df["l_partkey"].to_numpy(np.int64))
+        b, s = brand[idx], size[idx]
+        qty = df["l_quantity"].to_numpy()
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        rows = []
+        for name, bb, s_lo, s_hi, q_lo, q_hi in _BRACKETS:
+            m = (b == bb) & (s >= s_lo) & (s <= s_hi)
+            m &= (qty >= q_lo) & (qty <= q_hi)
+            if m.any():
+                rows.append(
+                    (name, float(rev[m].sum()), np.int64(int(m.sum())))
+                )
+        # typed even when empty — a dtype-less empty frame flips the
+        # streamed block schema and trips the executor's schema check
+        return pd.DataFrame(
+            {
+                "bracket": pd.Series([r[0] for r in rows], dtype=object),
+                "revenue": pd.Series([r[1] for r in rows], dtype=np.float64),
+                "n": pd.Series([r[2] for r in rows], dtype=np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bracket")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="pandas").sort(key="bracket")
+
+
+def dormant_customer_balance(
+    sf_dir: str, since: str = "2001-01-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q22 analog: customers whose balance exceeds the positive-
+    balance average but who placed NO order since ``since`` — counted
+    and summed per nation. The anti-join pattern at scale.
+
+    Distributed shape: (1) the global positive-balance average is an
+    EXACT integer-cents (sum, count) streaming aggregate — the
+    above-average filter compares ``cents·n > total`` in int64, so the
+    boundary cannot float-flip; (2) the anti-join is the tag-union
+    pattern: above-average survivors (is_cust=1) union the date-pruned,
+    per-batch-deduplicated recent-buyer keys (is_ord=1), ONE custkey
+    groupby, keep groups with a customer row and zero order rows — no
+    broadcast of the (at-scale large) buyer set, and global buyer dedup
+    rides the same exchange. (Ray 2.49's ``left_outer`` Dataset.join
+    raises ArrowInvalid when a hash partition's left side is empty —
+    the tag-union shape is both safe there and one exchange cheaper.)
+    Columns: c_nationkey (BIGINT), n_cust (BIGINT), total_acctbal
+    (exact, from int cents), ordered by c_nationkey.
+    """
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cents_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+                "cents": np.round(df["c_acctbal"].to_numpy() * 100)
+                .astype(np.int64),
+            }
+        )
+
+    cust_c = cust.map_batches(cents_cols, batch_format="pandas")
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy()
+        p = c[c > 0]
+        return pd.DataFrame(
+            {"k": [np.int64(1)], "s": [np.int64(p.sum())],
+             "n": [np.int64(len(p))]}
+        )
+
+    tot = (
+        cust_c.map_batches(pos_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    s_total, n_total = int(tot["s"].iloc[0]), int(tot["n"].iloc[0])
+
+    def _tagged(key, nat, cents, is_cust, is_ord):
+        import pyarrow as pa
+
+        # typed Arrow even when empty: a zero-row pandas block degrades
+        # to a schema-less block downstream of the union
+        return pa.table(
+            {
+                "k": pa.array(key, pa.int64()),
+                "nat": pa.array(nat, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "is_cust": pa.array(is_cust, pa.int64()),
+                "is_ord": pa.array(is_ord, pa.int64()),
+            }
+        )
+
+    def rich_only(df: pd.DataFrame) -> "pa.Table":
+        # integer-exact above-average test: cents·n > Σcents (no float avg)
+        d = df[df["cents"].to_numpy() * n_total > s_total]
+        n = len(d)
+        return _tagged(
+            d["c_custkey"].to_numpy(np.int64),
+            d["c_nationkey"].to_numpy(np.int64),
+            d["cents"].to_numpy(np.int64),
+            np.ones(n, np.int64),
+            np.zeros(n, np.int64),
+        )
+
+    rich = cust_c.map_batches(rich_only, batch_format="pandas")
+
+    cutoff = pd.Timestamp(since)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def recent_partial(df: pd.DataFrame) -> "pa.Table":
+        d = df[df["o_orderdate"] >= cutoff]
+        keys = np.unique(d["o_custkey"].to_numpy(np.int64))
+        n = len(keys)
+        z = np.zeros(n, np.int64)
+        return _tagged(keys, z, z, z, np.ones(n, np.int64))
+
+    recent = orders.map_batches(recent_partial, batch_format="pandas")
+
+    merged = (
+        rich.union(recent)
+        .groupby("k")
+        .aggregate(
+            Sum("nat", alias_name="nat"),
+            Sum("cents", alias_name="cents"),
+            Sum("is_cust", alias_name="is_cust"),
+            Sum("is_ord", alias_name="is_ord"),
+        )
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # each custkey contributes ≤1 customer row, so nat/cents pass
+        # through the Sum unchanged; dormant = customer row, no order row
+        d = df[(df["is_cust"].to_numpy() == 1)
+               & (df["is_ord"].to_numpy() == 0)]
+        return (
+            d.assign(n_cust=np.int64(1))
+            .rename(columns={"nat": "c_nationkey"})
+            .groupby("c_nationkey", as_index=False)
+            .agg(n_cust=("n_cust", "sum"), cents=("cents", "sum"))
+        )
+
+    agg = (
+        merged.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("cents", alias_name="cents"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"].astype(np.int64),
+                "n_cust": df["n_cust"].astype(np.int64),
+                "total_acctbal": df["cents"].astype(np.float64) / 100.0,
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        key="c_nationkey"
+    )
