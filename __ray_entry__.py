@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_zscore_outliers"] = relational.events_zscore_outliers
     q["events_rfm"] = relational.events_rfm
     q["events_path_trigrams"] = relational.events_path_trigrams
+    q["customer_order_distribution"] = relational.customer_order_distribution
+    q["top_supplier_revenue"] = relational.top_supplier_revenue
+    q["small_quantity_revenue"] = relational.small_quantity_revenue
     return q
 
 
@@ -871,6 +874,49 @@ SELECT CAST(c_nationkey AS BIGINT) c_nationkey,
        CAST(count(*) AS BIGINT) n_cust,
        CAST(sum(cents) AS DOUBLE) / 100 total_acctbal
 FROM q GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q13 analog: customer order-count distribution incl.
+        # zero-order customers (left join + double groupby, exact int64)
+        "customer_order_distribution": """
+WITH pc AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT CAST(n_orders AS BIGINT) n_orders, CAST(count(*) AS BIGINT) n_cust
+FROM pc GROUP BY n_orders ORDER BY n_cust DESC, n_orders DESC
+""",
+        # TPC-H Q15 analog: max-revenue supplier(s) over a 3-month ship
+        # window; revenue is EXACT int64 1e-4-dollar units so the max
+        # boundary and ties are integer equality on both sides
+        "top_supplier_revenue": """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s.s_suppkey AS BIGINT) s_suppkey, s.s_name,
+       CAST(r.rev4 AS DOUBLE) / 10000.0 total_revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev4 = (SELECT max(rev4) FROM r)
+ORDER BY s_suppkey
+""",
+        # TPC-H Q17 analog: revenue from below-20%-of-part-average
+        # quantities; the threshold is the integer test 5·qty·n < Σqty and
+        # avg_yearly is cents/700.0 — identical expressions both sides
+        "small_quantity_revenue": """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+ th AS (SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) s,
+               count(*) n
+        FROM lineitem JOIN bp ON bp.p_partkey = l_partkey
+        GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+            AS DOUBLE) / 700.0 avg_yearly,
+       CAST(count(*) AS BIGINT) n_lines
+FROM lineitem l JOIN th ON th.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * th.n < th.s
 """,
         # per-user z-score outliers: moments are exact int64 cents sums, the
         # z expression is the IDENTICAL double formula on both sides

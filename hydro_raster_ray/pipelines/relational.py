@@ -40,6 +40,9 @@ __all__ = [
     "promo_revenue",
     "bracket_revenue",
     "dormant_customer_balance",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
 ]
 
 
@@ -2005,3 +2008,275 @@ def dormant_customer_balance(
     return agg.map_batches(final, batch_format="pandas").sort(
         key="c_nationkey"
     )
+
+
+def customer_order_distribution(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13 analog: the distribution of customers by order count,
+    INCLUDING zero-order customers — the canonical left-outer-join +
+    double-grouped histogram.
+
+    Distributed shape: the left join is the tag-union pattern (the
+    ``dormant_customer_balance`` recipe — Ray 2.49's ``left_outer``
+    join raises on empty hash partitions, and tag-union is one exchange
+    cheaper): customer rows emit (custkey, is_cust=1, cnt=0); the orders
+    scan pre-collapses each batch to per-custkey counts (custkey,
+    is_cust=0, cnt=n), so the single custkey exchange carries
+    near-customer-cardinality rows, not order rows. After the groupby,
+    customers present in the customer table keep ``sum(cnt)`` as their
+    order count (zero-order customers fall out naturally); a second,
+    histogram-cardinality groupby counts customers per order count.
+    Both aggregations are exact int64. Columns: n_orders (BIGINT),
+    n_cust (BIGINT), ordered by (n_cust DESC, n_orders DESC).
+    """
+    import pyarrow as pa
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def cust_tag(df: pd.DataFrame) -> "pa.Table":
+        k = df["c_custkey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "is_cust": pa.array(np.ones(len(k), np.int64)),
+                "cnt": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def order_partial(df: pd.DataFrame) -> "pa.Table":
+        keys, counts = np.unique(
+            df["o_custkey"].to_numpy(np.int64), return_counts=True
+        )
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "is_cust": pa.array(np.zeros(len(keys), np.int64)),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    merged = cust.map_batches(cust_tag, batch_format="pandas").union(
+        orders.map_batches(order_partial, batch_format="pandas")
+    )
+    per_cust = merged.groupby("k").aggregate(
+        Sum("is_cust", alias_name="is_cust"), Sum("cnt", alias_name="cnt")
+    )
+
+    def hist_partial(df: pd.DataFrame) -> "pa.Table":
+        d = df[df["is_cust"].to_numpy() >= 1]
+        keys, counts = np.unique(
+            d["cnt"].to_numpy(np.int64), return_counts=True
+        )
+        return pa.table(
+            {
+                "n_orders": pa.array(keys, pa.int64()),
+                "n_cust": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pandas")
+        .groupby("n_orders")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_orders": df["n_orders"].astype(np.int64),
+                "n_cust": df["n_cust"].astype(np.int64),
+            }
+        )
+
+    return hist.map_batches(final, batch_format="pandas").sort(
+        key=["n_cust", "n_orders"], descending=[True, True]
+    )
+
+
+def top_supplier_revenue(
+    sf_dir: str, start: str = "1996-01-01", months: int = 3
+) -> "ray.data.Dataset":
+    """TPC-H Q15 analog: the supplier(s) with the maximum revenue over a
+    3-month ship window — max-subquery selection with exact ties.
+
+    Distributed shape: revenue is carried as EXACT int64 in 1e-4-dollar
+    units (``round(price*100) * (100 - round(disc*100))`` — both factors
+    are 2-dec by data contract), so partial-sum order cannot perturb the
+    max boundary and ties are exact integer equality, not float luck.
+    The lineitem scan pre-collapses each batch to per-suppkey partials;
+    ONE supplier-cardinality groupby; the global max is a tree ``max()``
+    aggregate (never a driver materialization of the supplier table);
+    winners probe the broadcast (s_suppkey → s_name) sorted arrays.
+    int64 bound: rev4 per supplier < 2^63 up to ~1e9 lines/supplier ×
+    1e9 units/line; past that, re-scale to 1e-2 units (documented).
+    Columns: s_suppkey (BIGINT), s_name, total_revenue (DOUBLE, exact
+    rev4/1e4), ordered by s_suppkey.
+    """
+    lo = pd.Timestamp(start)
+    hi = lo + pd.DateOffset(months=months)
+
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).sort_values("s_suppkey")
+    ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_name"].to_numpy(dtype=object),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        cents = np.round(d["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        pct = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                "rev4": cents * (100 - pct),
+            }
+        )
+        return out.groupby("l_suppkey", as_index=False).agg(
+            rev4=("rev4", "sum")
+        )
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev4", alias_name="rev4"))
+    )
+    best = int(per_supp.max("rev4"))
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        keys, names = ray.get(ref)
+        d = df[df["rev4"].to_numpy(np.int64) == best]
+        idx = np.searchsorted(keys, d["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "s_suppkey": d["l_suppkey"].astype(np.int64),
+                "s_name": names[idx],
+                "total_revenue": d["rev4"].astype(np.float64) / 1e4,
+            }
+        )
+
+    return per_supp.map_batches(winners, batch_format="pandas").sort(
+        key="s_suppkey"
+    )
+
+
+def small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23"
+) -> "ray.data.Dataset":
+    """TPC-H Q17 analog: average yearly revenue lost if small-quantity
+    orders (below 20 % of the part's average order quantity) were not
+    taken — the correlated per-group-threshold pattern.
+
+    Distributed shape: pass 1 computes per-partkey (Σqty, n) over the
+    brand's lineitems (brand partkeys broadcast as a sorted array;
+    per-batch partials → a brand-parts-cardinality groupby). Quantities
+    are integral by data contract, so the threshold test is EXACT
+    integer arithmetic: ``qty < 0.2·(Σqty/n) ⇔ 5·qty·n < Σqty`` — no
+    float boundary. Pass 2 re-scans lineitem, probes the broadcast
+    (partkey → Σqty, n) arrays, and reduces qualifying rows to exact
+    int64 price-cents partials and ONE global row. Broadcast budget:
+    brand slices are ~1/25 of parts; past driver memory this becomes the
+    hash-join path (the ``rarity_scores`` convention). avg_yearly is
+    cents/700.0 — the identical double expression on both sides.
+    Columns: avg_yearly (DOUBLE), n_lines (BIGINT).
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    bkeys = np.sort(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64)
+    )
+    bref = ray.put(bkeys)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = ray.get(bref)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        pos_c = np.minimum(pos, pk.size - 1) if pk.size else pos
+        hit = (pk.size > 0) & (pk[pos_c] == keys)
+        d = df[hit]
+        out = pd.DataFrame(
+            {
+                "l_partkey": d["l_partkey"].to_numpy(np.int64),
+                "s": np.round(d["l_quantity"].to_numpy()).astype(np.int64),
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby("l_partkey", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+
+    th = (
+        li.map_batches(qty_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # brand-parts cardinality (~parts/25) — bounded
+        .sort_values("l_partkey")
+    )
+    tref = ray.put(
+        (
+            th["l_partkey"].to_numpy(np.int64),
+            th["s"].to_numpy(np.int64),
+            th["n"].to_numpy(np.int64),
+        )
+    )
+
+    li2 = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, s, n = ray.get(tref)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        pos_c = np.minimum(pos, pk.size - 1) if pk.size else pos
+        hit = (pk.size > 0) & (pk[pos_c] == keys)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        small = hit & (5 * qty * np.where(hit, n[pos_c], 0)
+                       < np.where(hit, s[pos_c], 0))
+        cents = np.round(
+            df.loc[small, "l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": [np.int64(1)],
+                "cents": [np.int64(cents.sum())],
+                "n_lines": [np.int64(small.sum())],
+            }
+        )
+
+    agg = (
+        li2.map_batches(rev_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "avg_yearly": df["cents"].astype(np.float64) / 700.0,
+                "n_lines": df["n_lines"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
