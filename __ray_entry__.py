@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_order_distribution"] = relational.customer_order_distribution
     q["top_supplier_revenue"] = relational.top_supplier_revenue
     q["small_quantity_revenue"] = relational.small_quantity_revenue
+    q["market_share_by_year"] = relational.market_share_by_year
+    q["shipping_lag_distribution"] = relational.shipping_lag_distribution
+    q["late_supplier_count"] = relational.late_supplier_count
     return q
 
 
@@ -917,6 +920,71 @@ SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
        CAST(count(*) AS BIGINT) n_lines
 FROM lineitem l JOIN th ON th.l_partkey = l.l_partkey
 WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * th.n < th.s
+""",
+        # TPC-H Q8 analog: one nation's share of a region's yearly revenue
+        # for a part type; revenue is EXACT int64 1e-4-dollar units so the
+        # mkt_share ratio is the identical double division both sides
+        "market_share_by_year": """
+WITH eu AS (SELECT n.n_nationkey FROM nation n
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'),
+ tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'),
+ rv AS (
+  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS "year",
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) rev4,
+         s.s_nationkey IN (SELECT n_nationkey FROM tgt) is_tgt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE p.p_type = 'ECONOMY'
+    AND s.s_nationkey IN (SELECT n_nationkey FROM eu)),
+ g AS (SELECT "year", sum(CASE WHEN is_tgt THEN rev4 ELSE 0 END) t,
+              sum(rev4) tot, count(*) n_lines
+       FROM rv GROUP BY "year")
+SELECT "year", CAST(t AS DOUBLE) / 10000.0 target_revenue,
+       CAST(tot AS DOUBLE) / 10000.0 total_revenue,
+       CAST(t AS DOUBLE) / CAST(tot AS DOUBLE) mkt_share,
+       CAST(n_lines AS BIGINT) n_lines
+FROM g ORDER BY "year"
+""",
+        # TPC-H Q12 analog: ship-year lag buckets (orderdate→shipdate, exact
+        # integer days — both timestamps midnight) split by order priority
+        "shipping_lag_distribution": """
+WITH j AS (
+  SELECT date_diff('day', o.o_orderdate, l.l_shipdate) lag,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END hi
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+SELECT CASE WHEN lag < 30 THEN 'FAST'
+            WHEN lag < 90 THEN 'MEDIUM' ELSE 'SLOW' END bucket,
+       CAST(sum(hi) AS BIGINT) high_lines,
+       CAST(sum(1 - hi) AS BIGINT) low_lines
+FROM j GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q21 analog: unique-latest-shipper blame counts on
+        # multi-supplier orders; "latest" and uniqueness are exact integer
+        # timestamp comparisons on both sides
+        "late_supplier_count": """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) mx
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+ per_order AS (
+  SELECT l_orderkey, max(mx) gmax, count(*) n_supp
+  FROM pairs GROUP BY l_orderkey),
+ blamed AS (
+  SELECT p.l_orderkey, count(*) n_at_max, min(p.l_suppkey) skey,
+         max(o.n_supp) n_supp
+  FROM pairs p JOIN per_order o USING (l_orderkey)
+  WHERE p.mx = o.gmax
+  GROUP BY p.l_orderkey)
+SELECT CAST(s.s_suppkey AS BIGINT) s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.skey
+WHERE b.n_at_max = 1 AND b.n_supp >= 2
+GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey
 """,
         # per-user z-score outliers: moments are exact int64 cents sums, the
         # z expression is the IDENTICAL double formula on both sides

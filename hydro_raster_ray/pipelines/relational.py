@@ -43,6 +43,9 @@ __all__ = [
     "customer_order_distribution",
     "top_supplier_revenue",
     "small_quantity_revenue",
+    "market_share_by_year",
+    "shipping_lag_distribution",
+    "late_supplier_count",
 ]
 
 
@@ -2280,3 +2283,328 @@ def small_quantity_revenue(
         )
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def market_share_by_year(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "EUROPE",
+    ptype: str = "ECONOMY",
+) -> "ray.data.Dataset":
+    """TPC-H Q8 analog: one nation's share of a region's yearly revenue
+    for a part type — the multi-dimension star probe with a ratio of
+    grouped sums.
+
+    Distributed shape: nation/region resolve on the driver (tiny);
+    part (partkey → is-type bool) and supplier (suppkey → nationkey)
+    broadcast once as sorted arrays; the lineitem scan fuses all three
+    probes and pre-collapses each batch to per-year (target_rev4,
+    total_rev4, n) partials — the only exchange is a years-cardinality
+    combine. Revenue is EXACT int64 1e-4-dollar units, so mkt_share is
+    the identical double division of two exact integers on both sides.
+    Columns: year (BIGINT), target_revenue, total_revenue, mkt_share
+    (DOUBLE), n_lines (BIGINT), ordered by year.
+    """
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = np.sort(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].to_numpy(np.int64)
+    )
+    target_nk = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).sort_values("p_partkey")
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == ptype).to_numpy(bool),
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+            region_nations,
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, istype, sk, snat, rn = ray.get(ref)
+        typ = istype[np.searchsorted(pk, df["l_partkey"].to_numpy(np.int64))]
+        nk = snat[np.searchsorted(sk, df["l_suppkey"].to_numpy(np.int64))]
+        pos = np.searchsorted(rn, nk)
+        inreg = rn[np.minimum(pos, rn.size - 1)] == nk
+        d = df[typ & inreg]
+        nk = nk[typ & inreg]
+        cents = np.round(d["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        pct = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev4 = cents * (100 - pct)
+        out = pd.DataFrame(
+            {
+                "year": d["l_shipdate"].dt.year.to_numpy(np.int64),
+                "t": np.where(nk == target_nk, rev4, 0),
+                "tot": rev4,
+                "n_lines": np.int64(1),
+            }
+        )
+        return out.groupby("year", as_index=False).agg(
+            t=("t", "sum"), tot=("tot", "sum"), n_lines=("n_lines", "sum")
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("year")
+        .aggregate(Sum("t", alias_name="t"), Sum("tot", alias_name="tot"),
+                   Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].astype(np.float64)
+        tot = df["tot"].astype(np.float64)
+        return pd.DataFrame(
+            {
+                "year": df["year"].astype(np.int64),
+                "target_revenue": t / 10000.0,
+                "total_revenue": tot / 10000.0,
+                "mkt_share": t / tot,
+                "n_lines": df["n_lines"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(key="year")
+
+
+def shipping_lag_distribution(
+    sf_dir: str, year: int = 1997, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """TPC-H Q12 analog: lineitems shipped in ``year`` bucketed by
+    order→ship lag, counting high- vs low-priority lines per bucket
+    (the commit/receipt columns don't exist in this schema, so lag =
+    shipdate − orderdate stands in for the late-shipment predicate).
+
+    Distributed shape: the lineitem scan sheds all rows outside the
+    ship-year before the ONE large×large ``Dataset.join`` on the order
+    key (the Q3 recipe); the joined batches collapse to ≤3 bucket
+    partials each, so the final exchange is a 3-row combine. Lag is
+    exact integer days (both timestamps are midnight by data contract).
+    Columns: bucket, high_lines (BIGINT), low_lines (BIGINT), ordered
+    by bucket.
+    """
+    from ..stages.cc import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_prune(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(d["l_orderkey"].to_numpy(np.int64)),
+                "ship_us": pa.array(
+                    d["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_cols(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        hi_prio = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                "o_date_us": pa.array(
+                    df["o_orderdate"].astype("datetime64[us]")
+                    .astype(np.int64)
+                ),
+                "hi": pa.array(hi_prio.to_numpy().astype(np.int64)),
+            }
+        )
+
+    j = li.map_batches(li_prune, batch_format="pandas").join(
+        orders.map_batches(ord_cols, batch_format="pandas"),
+        "inner",
+        num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    _DAY_US = 86_400_000_000
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lag = (
+            df["ship_us"].to_numpy(np.int64)
+            - df["o_date_us"].to_numpy(np.int64)
+        ) // _DAY_US
+        bucket = np.where(
+            lag < 30, "FAST", np.where(lag < 90, "MEDIUM", "SLOW")
+        )
+        hi_ = df["hi"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"bucket": bucket, "high_lines": hi_, "low_lines": 1 - hi_}
+        )
+        return out.groupby("bucket", as_index=False).agg(
+            high_lines=("high_lines", "sum"), low_lines=("low_lines", "sum")
+        )
+
+    agg = (
+        j.map_batches(bucket_partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("high_lines", alias_name="high_lines"),
+                   Sum("low_lines", alias_name="low_lines"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": df["bucket"],
+                "high_lines": df["high_lines"].astype(np.int64),
+                "low_lines": df["low_lines"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(key="bucket")
+
+
+def late_supplier_count(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q21 analog: per supplier, the number of multi-supplier
+    orders where that supplier was the UNIQUE latest shipper (no
+    receipt/commit columns in this schema, so "kept the order waiting"
+    = strictly latest ship date among ≥2 distinct suppliers).
+
+    Distributed shape — TWO exchanges total, no join, no per-group
+    Python (order groups number in the billions at scale). The whole
+    per-order decision collapses into four plain max/min aggregates via
+    a composite-key encoding: with ``S = 2**40 > max suppkey`` and
+    ``day`` the exact epoch-day of the ship timestamp (midnight by data
+    contract),
+
+        m1 = day * S + suppkey      →  max m1 = (gmax_day, HIGHEST
+                                       suppkey shipping on gmax_day)
+        m2 = day * S - suppkey      →  max m2 = (gmax_day, LOWEST
+                                       suppkey shipping on gmax_day)
+
+    (``suppkey < S`` makes the day term dominate, so both maxima land on
+    the latest day). The latest shipper is unique iff the two recovered
+    suppkeys agree; "≥2 distinct suppliers touched the order" is just
+    ``min(suppkey) != max(suppkey)``. So: per-batch vectorized partials
+    → ONE order-key groupby (Max/Max/Min/Max) → filter+decode →
+    supplier-cardinality groupby → broadcast name probe.
+
+    Columns: s_suppkey (BIGINT), s_name, numwait (BIGINT), only
+    suppliers with numwait ≥ 1, ordered by (numwait DESC, s_suppkey).
+    """
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).sort_values("s_suppkey")
+    sref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_name"].to_numpy(dtype=object),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    _S = np.int64(1) << 40  # > any suppkey; day * _S stays well inside int64
+    _DAY_US = np.int64(86_400_000_000)
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        if sk.size and int(sk.max()) >= int(_S):
+            raise ValueError("l_suppkey >= 2**40 breaks the composite key")
+        day = (
+            df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+            // _DAY_US
+        )
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "m1": day * _S + sk,
+                "m2": day * _S - sk,
+                "sk_lo": sk,
+                "sk_hi": sk,
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).agg(
+            m1=("m1", "max"), m2=("m2", "max"),
+            sk_lo=("sk_lo", "min"), sk_hi=("sk_hi", "max"),
+        )
+
+    from ..stages.cc import hash_grouped_combine
+
+    def order_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            m1=("m1", "max"), m2=("m2", "max"),
+            sk_lo=("sk_lo", "min"), sk_hi=("sk_hi", "max"),
+        )
+
+    # order keys are corpus-cardinality: hash-partition + vectorized local
+    # merge (see hash_grouped_combine — 9x the built-in sort aggregate here)
+    per_order = hash_grouped_combine(
+        li.map_batches(order_partial, batch_format="pandas"),
+        ["l_orderkey"],
+        order_merge,
+    )
+
+    def wait_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m1 = df["m1"].to_numpy(np.int64)
+        m2 = df["m2"].to_numpy(np.int64)
+        gday = m1 // _S
+        sk_at_hi = m1 - gday * _S
+        sk_at_lo = gday * _S - m2
+        blamed = (sk_at_hi == sk_at_lo) & (
+            df["sk_lo"].to_numpy(np.int64) != df["sk_hi"].to_numpy(np.int64)
+        )
+        out = pd.DataFrame(
+            {"s_suppkey": sk_at_lo[blamed], "numwait": np.int64(1)}
+        )
+        return out.groupby("s_suppkey", as_index=False).agg(
+            numwait=("numwait", "sum")
+        )
+
+    agg = (
+        per_order.map_batches(wait_partial, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        keys, names = ray.get(sref)
+        idx = np.searchsorted(keys, df["s_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].astype(np.int64),
+                "s_name": names[idx],
+                "numwait": df["numwait"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        key=["numwait", "s_suppkey"], descending=[True, False]
+    )

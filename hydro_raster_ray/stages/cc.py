@@ -111,6 +111,67 @@ def auto_shuffle_blocks(per_cpu: int = 2, floor: int = 16) -> int:
     return max(floor, per_cpu * cpus)
 
 
+def hash_grouped_combine(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    combine,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Grouped aggregation for HIGH-CARDINALITY keys: hash-partition by
+    ``keys`` (``repartition(keys=...)``, one exchange) and run the caller's
+    VECTORIZED pandas ``combine`` once per partition — every partition
+    holds complete key groups, so one ``df.groupby(keys).agg(...)`` per
+    block is exact.
+
+    Why not ``groupby().aggregate()``: Ray's sort-based aggregate pays
+    per-GROUP Python overhead in both AggregateMap and AggregateReduce —
+    measured 18–20 s for 56 k rows × 14 k groups × 4 aggs vs ~2 s for this
+    path (9×). At ≲ thousands of groups the built-in is fine (the repo's
+    supplier-/brand-cardinality groupbys keep it); at key cardinality
+    proportional to the corpus (order keys, window hashes) use this.
+
+    ``combine`` must be a MERGE step (max-of-maxes, sum-of-sums …):
+    upstream per-batch partials land in the same partition and are
+    combined once, so the fn sees partials, not raw rows.
+
+    Key-based repartition requires ``shuffle_strategy=HASH_SHUFFLE``, and
+    Ray reads the strategy at CONSUMPTION time (verified: building under
+    HASH and restoring before ``to_pandas`` raises) — so this executes the
+    exchange eagerly under a scoped flag flip and returns the combined,
+    group-cardinality ``MaterializedDataset``. The materialization is the
+    partition set the hash aggregators hold anyway (object store, spills),
+    never a driver copy.
+    """
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    # every Dataset executes under the DataContext COPY captured when its
+    # ROOT dataset was created (Dataset.context) — flipping only the global
+    # here does nothing for an input built before the call (verified by
+    # failing repro), so flip the dataset-captured copy too and restore both
+    gctx = DataContext.get_current()
+    dctx = ds.context
+    prev_g, prev_d = gctx.shuffle_strategy, dctx.shuffle_strategy
+    gctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        out = (
+            ds.repartition(num_partitions, keys=keys)
+            .map_batches(combine, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    finally:
+        gctx.shuffle_strategy = prev_g
+        dctx.shuffle_strategy = prev_d
+    # the materialized result captured ITS OWN context copy under the flip;
+    # restore it too or every downstream groupby of the caller silently runs
+    # as a 200-partition HashAggregate (measured 37 s on a 100-row reduce)
+    out.context.shuffle_strategy = prev_d
+    return out
+
+
 _LBL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
