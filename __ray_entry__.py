@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["market_share_by_year"] = relational.market_share_by_year
     q["shipping_lag_distribution"] = relational.shipping_lag_distribution
     q["late_supplier_count"] = relational.late_supplier_count
+    q["forecast_revenue"] = relational.forecast_revenue
+    q["priority_late_orders"] = relational.priority_late_orders
+    q["nation_profit"] = relational.nation_profit
     return q
 
 
@@ -963,6 +966,51 @@ SELECT CASE WHEN lag < 30 THEN 'FAST'
        CAST(sum(hi) AS BIGINT) high_lines,
        CAST(sum(1 - hi) AS BIGINT) low_lines
 FROM j GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q6 analog: discount-band revenue; all predicates on rounded
+        # integers, revenue an exact int64 sum divided once
+        "forecast_revenue": """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents,
+         CAST(round(l_discount * 100) AS BIGINT) pct,
+         CAST(round(l_quantity) AS BIGINT) qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT CAST(coalesce(sum(cents * pct), 0) AS DOUBLE) / 10000.0 revenue,
+       CAST(count(*) AS BIGINT) n_lines
+FROM f WHERE pct BETWEEN 5 AND 7 AND qty < 24
+""",
+        # TPC-H Q4 analog: quarter orders with >=1 line shipped more than
+        # 90 days after the order date (EXISTS -> max-lag aggregate), per
+        # priority; lag is exact integer days (midnight timestamps)
+        "priority_late_orders": """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-04-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND date_diff('day', o.o_orderdate, l.l_shipdate) > 90)
+GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q9 analog: per (supplier nation, ship year) profit on
+        # name-matched parts; profit = rev4 - 60*qty*retail_cents, all
+        # exact int64 1e-4-dollar units divided once at the end
+        "nation_profit": """
+SELECT n.n_name nation, CAST(year(l.l_shipdate) AS BIGINT) o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - 60 * CAST(round(l.l_quantity) AS BIGINT)
+                  * CAST(round(p.p_retailprice * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 profit,
+       CAST(count(*) AS BIGINT) n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # TPC-H Q21 analog: unique-latest-shipper blame counts on
         # multi-supplier orders; "latest" and uniqueness are exact integer

@@ -46,6 +46,9 @@ __all__ = [
     "market_share_by_year",
     "shipping_lag_distribution",
     "late_supplier_count",
+    "forecast_revenue",
+    "priority_late_orders",
+    "nation_profit",
 ]
 
 
@@ -2607,4 +2610,239 @@ def late_supplier_count(sf_dir: str) -> "ray.data.Dataset":
 
     return agg.map_batches(final, batch_format="pandas").sort(
         key=["numwait", "s_suppkey"], descending=[True, False]
+    )
+
+
+def forecast_revenue(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
+    """TPC-H Q6 analog: revenue increase from dropping small discounts —
+    ``sum(price * discount)`` over one ship-year, discount in [5%, 7%],
+    quantity < 24. The simplest shape in the family: column-pruned scan →
+    vectorized per-batch partial → one single-row combine (no shuffle).
+
+    Discount/quantity predicates run on ROUNDED integers (pct, whole
+    units) on both sides — no float comparisons. Revenue is the exact
+    int64 sum of cents·pct (1e-4-dollar units) divided once at the end.
+    Columns: revenue (DOUBLE), n_lines (BIGINT)."""
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        pct = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(d["l_quantity"].to_numpy()).astype(np.int64)
+        keep = (pct >= 5) & (pct <= 7) & (qty < 24)
+        cents = np.round(
+            d["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"k": [np.int64(1)],
+             "rev4": [int((cents * pct[keep]).sum())],
+             "n_lines": [int(keep.sum())]}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("rev4", alias_name="rev4"),
+                   Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue": df["rev4"].astype(np.float64) / 10000.0,
+                "n_lines": df["n_lines"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def priority_late_orders(
+    sf_dir: str, quarter_start: str = "1997-04-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q4 analog: orders placed in one quarter with AT LEAST ONE
+    line shipped more than 90 days after the order date, counted per
+    order priority (no commit/receipt columns in this schema, so the
+    late-line EXISTS predicate is ship-lag > 90 days).
+
+    Distributed shape — the EXISTS collapses into a max aggregate, so no
+    join: quarter-filtered orders and per-order max-ship-day lineitem
+    partials are TAGGED-UNIONED and merged in ONE order-key
+    ``hash_grouped_combine`` exchange (orders row carries od_day ≥ 0 and
+    the priority string; lineitem rows carry ship_day; max() of each
+    column recovers both sides — the sentinel -1 / '' never wins a max
+    against a real value). Lag is exact integer days (midnight
+    timestamps). Columns: o_orderpriority, n_orders (BIGINT), ordered by
+    o_orderpriority."""
+    from ..stages.cc import hash_grouped_combine
+
+    lo = pd.Timestamp(quarter_start)
+    hi = lo + pd.DateOffset(months=3)
+    _DAY_US = np.int64(86_400_000_000)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "okey": d["o_orderkey"].to_numpy(np.int64),
+                "od_day": d["o_orderdate"].astype("datetime64[us]")
+                .astype(np.int64) // _DAY_US,
+                "prio": d["o_orderpriority"].to_numpy(dtype=object),
+                "ship_day": np.int64(-1),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "od_day": np.int64(-1),
+                "prio": "",
+                "ship_day": df["l_shipdate"].astype("datetime64[us]")
+                .astype(np.int64) // _DAY_US,
+            }
+        )
+        return out.groupby("okey", as_index=False).agg(
+            od_day=("od_day", "max"), prio=("prio", "max"),
+            ship_day=("ship_day", "max"),
+        )
+
+    tagged = orders.map_batches(ord_rows, batch_format="pandas").union(
+        li.map_batches(li_rows, batch_format="pandas")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("okey", as_index=False).agg(
+            od_day=("od_day", "max"), prio=("prio", "max"),
+            ship_day=("ship_day", "max"),
+        )
+        late = g[(g["od_day"].to_numpy() >= 0)
+                 & (g["ship_day"].to_numpy()
+                    - g["od_day"].to_numpy() > 90)]
+        return (
+            pd.DataFrame({"o_orderpriority": late["prio"],
+                          "n_orders": np.int64(1)})
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("n_orders", "sum"))
+        )
+
+    per_prio = hash_grouped_combine(tagged, ["okey"], merge)
+    agg = per_prio.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "n_orders": df["n_orders"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        key="o_orderpriority"
+    )
+
+
+def nation_profit(sf_dir: str, name_like: str = "red") -> "ray.data.Dataset":
+    """TPC-H Q9 analog: per (supplier nation, ship year) profit on parts
+    whose name contains ``name_like`` — profit = revenue − 0.6·retail·qty
+    (the schema has no partsupp/supplycost, so cost is a fixed 60% of the
+    part's retail price; both terms are exact int64 1e-4-dollar units).
+
+    Distributed shape (the Q8 recipe): part (is-match bool + retail
+    cents) and supplier (→nationkey) broadcast once as sorted arrays; the
+    lineitem scan fuses both probes and pre-collapses each batch to
+    (nationkey, year) partials — the only exchange is a
+    nations×years-cardinality combine. Columns: nation, o_year (BIGINT),
+    profit (DOUBLE), n_lines (BIGINT), ordered by (nation, o_year)."""
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nat_sorted = nat.sort_values("n_nationkey")
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).sort_values("p_partkey")
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_name"].str.contains(name_like, regex=False)
+            .to_numpy(bool),
+            np.round(part["p_retailprice"].to_numpy() * 100)
+            .astype(np.int64),
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, match, retail, sk, snat = ray.get(ref)
+        sel = match[np.searchsorted(pk, df["l_partkey"].to_numpy(np.int64))]
+        d = df[sel]
+        rc = retail[np.searchsorted(pk, d["l_partkey"].to_numpy(np.int64))]
+        nk = snat[np.searchsorted(sk, d["l_suppkey"].to_numpy(np.int64))]
+        cents = np.round(d["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        pct = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(d["l_quantity"].to_numpy()).astype(np.int64)
+        profit4 = cents * (100 - pct) - 60 * qty * rc
+        out = pd.DataFrame(
+            {
+                "nationkey": nk,
+                "o_year": d["l_shipdate"].dt.year.to_numpy(np.int64),
+                "profit4": profit4,
+                "n_lines": np.int64(1),
+            }
+        )
+        return out.groupby(["nationkey", "o_year"], as_index=False).agg(
+            profit4=("profit4", "sum"), n_lines=("n_lines", "sum")
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["nationkey", "o_year"])
+        .aggregate(Sum("profit4", alias_name="profit4"),
+                   Sum("n_lines", alias_name="n_lines"))
+    )
+
+    nnames = nat_sorted["n_name"].to_numpy(dtype=object)
+    nkeys = nat_sorted["n_nationkey"].to_numpy(np.int64)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(nkeys, df["nationkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "nation": nnames[idx],
+                "o_year": df["o_year"].astype(np.int64),
+                "profit": df["profit4"].astype(np.float64) / 10000.0,
+                "n_lines": df["n_lines"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        key=["nation", "o_year"]
     )
