@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["forecast_revenue"] = relational.forecast_revenue
     q["priority_late_orders"] = relational.priority_late_orders
     q["nation_profit"] = relational.nation_profit
+    q["events_cumulative_distinct"] = relational.events_cumulative_distinct
+    q["doc_url_domains"] = ops.url_domains
     return q
 
 
@@ -966,6 +968,37 @@ SELECT CASE WHEN lag < 30 THEN 'FAST'
        CAST(sum(hi) AS BIGINT) high_lines,
        CAST(sum(1 - hi) AS BIGINT) low_lines
 FROM j GROUP BY 1 ORDER BY 1
+""",
+        # daily new/cumulative distinct users: distinct-over-history as
+        # count-by-first-seen-day; exact integer counts both sides
+        "events_cumulative_distinct": """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) d
+           FROM events GROUP BY user_id),
+ c AS (SELECT d, count(*) new_users FROM f GROUP BY d)
+SELECT CAST(d AS TIMESTAMP) "day", CAST(new_users AS BIGINT) new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) cum_users
+FROM c ORDER BY "day"
+""",
+        # top-k URL domains over deterministically injected URLs (the
+        # pii_scrub recipe): injection + regex reproduced in SQL
+        "doc_url_domains": """
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see http://host' || (doc_id % 13)
+                      || '.example.org/p' || (doc_id % 5) ELSE '' END
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' via https://cdn' || (doc_id % 4) || '.example.net'
+                 ELSE '' END AS txt
+  FROM documents),
+ u AS (SELECT doc_id,
+              unnest(regexp_extract_all(
+                  txt, 'https?://([A-Za-z0-9.-]+)(?:/[^\\s]*)?', 1)) AS "domain"
+       FROM t)
+SELECT "domain", CAST(count(*) AS BIGINT) n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) n_docs
+FROM u GROUP BY "domain" ORDER BY n_urls DESC, "domain" LIMIT 15
 """,
         # TPC-H Q6 analog: discount-band revenue; all predicates on rounded
         # integers, revenue an exact int64 sum divided once

@@ -49,6 +49,7 @@ __all__ = [
     "forecast_revenue",
     "priority_late_orders",
     "nation_profit",
+    "events_cumulative_distinct",
 ]
 
 
@@ -2846,3 +2847,65 @@ def nation_profit(sf_dir: str, name_like: str = "red") -> "ray.data.Dataset":
     return agg.map_batches(final, batch_format="pandas").sort(
         key=["nation", "o_year"]
     )
+
+
+def events_cumulative_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """Daily new-user and cumulative-distinct-user counts — the audience
+    growth curve (exact COUNT(DISTINCT) over an ever-growing window,
+    which naive windowing recomputes per day).
+
+    Distributed shape: distinct-over-all-history collapses to "count
+    users by FIRST-SEEN day" — per-batch min-day partials per user, ONE
+    user-key ``hash_grouped_combine`` exchange (user ids are
+    corpus-cardinality), then a per-partition collapse to day counts and
+    a days-cardinality groupby. The cumulative sum runs over the
+    result-sized day table in one task (``repartition(1)`` — bounded by
+    the calendar, not the corpus). Columns: day (TIMESTAMP), new_users
+    (BIGINT), cum_users (BIGINT), ordered by day."""
+    from ..stages.cc import hash_grouped_combine
+
+    _DAY_US = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("datetime64[us]").astype(np.int64)
+                // _DAY_US,
+            }
+        )
+        return out.groupby("user_id", as_index=False).agg(day=("day", "min"))
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(day=("day", "min"))
+        out = pd.DataFrame({"day": g["day"], "new_users": np.int64(1)})
+        return out.groupby("day", as_index=False).agg(
+            new_users=("new_users", "sum")
+        )
+
+    per_day = hash_grouped_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+        first_seen,
+    )
+    agg = per_day.groupby("day").aggregate(
+        Sum("new_users", alias_name="new_users")
+    )
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day")
+        new = df["new_users"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "day": (df["day"].to_numpy(np.int64) * 86_400_000_000)
+                .astype("datetime64[us]"),
+                "new_users": new,
+                "cum_users": np.cumsum(new),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        cum, batch_format="pandas", batch_size=None
+    ).sort("day")

@@ -46,6 +46,9 @@ __all__ = [
     "decontaminate",
     "cooccurrence_topk",
     "len_quantiles_by_lang",
+    "pii_scrub",
+    "stratified_sample",
+    "url_domains",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1821,3 +1824,76 @@ def len_quantiles_by_lang(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("lang").map_groups(q1, batch_format="pandas")
+
+
+URL_RE = r"https?://([A-Za-z0-9.-]+)(?:/[^\s]*)?"
+
+
+def url_domains(sf_dir: str, k: int = 15) -> "ray.data.Dataset":
+    """Top-k URL domains across the corpus — the crawl-curation stage that
+    decides per-domain keep/drop budgets.
+
+    The fixture corpus contains no URLs, so (the ``pii_scrub`` recipe)
+    deterministic URLs are INJECTED first from doc_id arithmetic the SQL
+    oracle reproduces expression-for-expression: docs with ``doc_id % 3
+    == 0`` gain ``http://host<doc_id%13>.example.org/p<doc_id%5>``, docs
+    with ``doc_id % 10 == 0`` additionally ``https://cdn<doc_id%4>
+    .example.net``. Domains are extracted with one compiled regex via
+    vectorized ``str.findall`` (group 1 = host), counted per domain in
+    the batch partial, then ONE domain-cardinality exchange and a
+    result-sized top-k sort. Ordering (n_urls DESC, domain ASC) is a
+    total order — the k boundary cannot tie. Columns: domain, n_urls
+    (BIGINT), n_docs (BIGINT)."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(np.int64)
+        t = df["text"]
+        inj1 = ids % 3 == 0
+        t = t.where(
+            ~inj1,
+            t + " see http://host" + (ids % 13).astype(str)
+            + ".example.org/p" + (ids % 5).astype(str),
+        )
+        inj2 = ids % 10 == 0
+        t = t.where(
+            ~inj2, t + " via https://cdn" + (ids % 4).astype(str)
+            + ".example.net"
+        )
+        hosts = t.str.findall(URL_RE)
+        lens = hosts.str.len().to_numpy(np.int64)
+        if int(lens.sum()) == 0:
+            return pd.DataFrame({
+                "domain": pd.Series([], dtype=object),
+                "n_urls": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            })
+        flat = np.concatenate(
+            [np.asarray(h, dtype=object) for h in hosts if len(h)]
+        )
+        did = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        out = pd.DataFrame({"domain": flat, "doc": did})
+        g = out.groupby("domain", as_index=False).agg(
+            n_urls=("doc", "size"), n_docs=("doc", "nunique")
+        )
+        g["n_urls"] = g["n_urls"].astype(np.int64)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas", batch_size=256)
+        .groupby("domain")
+        .aggregate(Sum("n_urls", alias_name="n_urls"),
+                   Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_urls"] = df["n_urls"].astype(np.int64)
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        return df
+
+    return (
+        agg.map_batches(final, batch_format="pandas")
+        .sort(key=["n_urls", "domain"], descending=[True, False])
+        .limit(k)
+    )

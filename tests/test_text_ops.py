@@ -1132,3 +1132,67 @@ def test_len_quantiles_hand_case(tmp_path):
     assert en.n_docs == 4
     fr = got[got["lang"] == "fr"].iloc[0]
     assert [fr.p25, fr.p50, fr.p75, fr.p90] == [7, 7, 7, 7]
+
+
+def test_url_domains_injection_and_topk(tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.text.ops import url_domains
+
+    # doc 0: %3 and %10 -> host0.example.org AND cdn0.example.net
+    # doc 3: %3 -> host3.example.org ; doc 1: nothing injected but carries
+    # a literal URL of its own; doc 2: nothing
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta",
+            "see https://manual.example.com/x page",
+            "gamma",
+            "delta",
+        ]),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    got = url_domains(str(tmp_path), k=10).to_pandas()
+    m = dict(zip(got["domain"], got["n_urls"]))
+    assert m == {
+        "host0.example.org": 1,
+        "cdn0.example.net": 1,
+        "host3.example.org": 1,
+        "manual.example.com": 1,
+    }
+    # total order: n_urls DESC then domain ASC
+    assert got["domain"].tolist() == sorted(got["domain"].tolist())
+    assert got["n_docs"].tolist() == [1, 1, 1, 1]
+
+
+def test_events_cumulative_distinct_first_seen(tmp_path):
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import (
+        events_cumulative_distinct,
+    )
+
+    rows = [
+        # user, ts          (user 1 spans 3 days -> counted on day 1 only)
+        (1, "2024-01-01 09:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-02 10:00:00"),
+        (2, "2024-01-02 11:00:00"),
+        (3, "2024-01-03 00:00:00"),
+        (4, "2024-01-03 23:59:59"),
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+    }), os.path.join(tmp_path, "events.parquet"))
+    got = events_cumulative_distinct(str(tmp_path)).to_pandas()
+    assert [d.strftime("%Y-%m-%d") for d in got["day"]] == [
+        "2024-01-01", "2024-01-02", "2024-01-03"]
+    assert got["new_users"].tolist() == [1, 1, 2]
+    assert got["cum_users"].tolist() == [1, 2, 4]
