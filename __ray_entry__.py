@@ -216,6 +216,46 @@ def _blur_pass_sql(src: str, dst: str) -> str:
   GROUP BY s.tile_id, s.gr, s.gc)"""
 
 
+def _sobel_sql() -> str:
+    """The ``sobel_stats`` oracle's 3×3 pass: pivot the nine window
+    values per cell (the ``_blur_pass_sql`` recipe), evaluate the
+    IDENTICAL fixed left-associative gx/gy expressions the engine kernel
+    uses (``stages/sobel.py`` exactness contract), magnitude =
+    ``sqrt(gx*gx + gy*gy)`` CAST to FLOAT (f32 tile storage). Strict
+    window: NULL unless all 9 cells are present."""
+    piv = {
+        (dr, dc): (
+            f"max(CASE WHEN s.dr = {dr} AND s.dc = {dc} "
+            f"THEN CAST(b.z AS DOUBLE) END)"
+        )
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    gx_terms = [(-1, -1, -1), (-1, 1, 1), (0, -1, -2), (0, 1, 2),
+                (1, -1, -1), (1, 1, 1)]
+    gy_terms = [(-1, -1, -1), (-1, 0, -2), (-1, 1, -1), (1, -1, 1),
+                (1, 0, 2), (1, 1, 1)]
+
+    def chain(terms):
+        dr, dc, w = terms[0]
+        expr = f"({w} * {piv[(dr, dc)]})"
+        for dr, dc, w in terms[1:]:
+            expr = f"({expr} + ({w} * {piv[(dr, dc)]}))"
+        return expr
+
+    gx, gy = chain(gx_terms), chain(gy_terms)
+    return f"""
+ sb AS (
+  SELECT s.tile_id, s.gr, s.gc,
+         CASE WHEN count(b.z) = 9
+              THEN CAST(sqrt({gx} * {gx} + {gy} * {gy}) AS FLOAT) END z
+  FROM (SELECT a.tile_id, a.gr, a.gc, o.dr, o.dc,
+               a.gr + o.dr AS ngr, a.gc + o.dc AS ngc
+        FROM px a CROSS JOIN offs o) s
+  LEFT JOIN px b ON b.gr = s.ngr AND b.gc = s.ngc AND b.z IS NOT NULL
+  GROUP BY s.tile_id, s.gr, s.gc)"""
+
+
 def _lang_sql() -> str:
     hits = []
     for code, words in ops.LANG_MARKERS.items():
@@ -1444,6 +1484,19 @@ SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
        CAST(count(z) AS BIGINT) n_valid,
        CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
 FROM b2 GROUP BY tile_id
+""",
+        # Sobel gradient magnitude reproduced INDEPENDENTLY in SQL: one
+        # pivoted 3x3 self-join evaluating the identical fixed-order
+        # gx/gy/sqrt expressions (stages/sobel.py exactness contract)
+        "sobel_stats": f"""
+WITH offs AS (
+  SELECT t1.dr, t2.dc
+  FROM (VALUES (-1), (0), (1)) t1(dr), (VALUES (-1), (0), (1)) t2(dc)),
+ px AS (SELECT tile_id, gr, gc, z FROM {_PX}),{_sobel_sql()}
+SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
+       CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM sb GROUP BY tile_id
 """,
         # bounded Chebyshev distance transform reproduced INDEPENDENTLY in
         # SQL: 4 chained min-plus sweeps (each one 3×3 neighbor self-join

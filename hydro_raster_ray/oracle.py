@@ -873,6 +873,40 @@ def morph(array: np.ndarray, op: str = "open") -> np.ndarray:
     raise ValueError(f"unknown morph op {op!r}")
 
 
+def sobel_magnitude(array: np.ndarray) -> np.ndarray:
+    """Sobel-magnitude witness for ``stages/sobel.py``: per cell,
+    gx/gy are the fixed left-associative integer-weight sums of the
+    module's exactness contract, magnitude = sqrt(gx*gx + gy*gy) in
+    float64; STRICT 3x3 window — NaN wherever any window cell (even a
+    zero-weight one) is missing; output rounded to f32 exactly as tile
+    storage rounds it."""
+    a = np.asarray(array, dtype=np.float64)
+    h, wd = a.shape
+    p = np.full((h + 2, wd + 2), np.nan)
+    p[1:-1, 1:-1] = a
+    ok = np.ones((h, wd), dtype=bool)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            ok &= np.isfinite(p[dr : dr + h, dc : dc + wd])
+
+    def z(dr, dc):
+        v = p[dr : dr + h, dc : dc + wd]
+        return np.where(np.isfinite(v), v, 0.0)
+
+    gx = -1.0 * z(0, 0)
+    for dr, dc, w in ((0, 2, 1.0), (1, 0, -2.0), (1, 2, 2.0),
+                      (2, 0, -1.0), (2, 2, 1.0)):
+        gx = gx + w * z(dr, dc)
+    gy = -1.0 * z(0, 0)
+    for dr, dc, w in ((0, 1, -2.0), (0, 2, -1.0), (2, 0, 1.0),
+                      (2, 1, 2.0), (2, 2, 1.0)):
+        gy = gy + w * z(dr, dc)
+    mag = np.sqrt(gx * gx + gy * gy)
+    return (
+        np.where(ok, mag, np.nan).astype(np.float32).astype(np.float64)
+    )
+
+
 def binomial_blur(array: np.ndarray, passes: int = 2) -> np.ndarray:
     """Binomial-blur witness for ``stages/blur.py``: per pass, each cell
     is the fixed row-major left-to-right weighted sum of its 3×3 window

@@ -1164,6 +1164,21 @@ def q_gauss_blur_stats(sf_dir: str):
     return per_tile_stats(binomial_blur(ts, passes=2))
 
 
+def q_sobel_stats(sf_dir: str):
+    """3×3 Sobel gradient magnitude (strict-window halo pass;
+    ``stages/sobel.py``) — per-tile stats. Fixed left-associative
+    integer-weight accumulation + correctly-rounded sqrt, so every cell
+    is bit-reproducible by the identically-parenthesized SQL expression
+    (with the same CAST to FLOAT — the f32 tile storage). The oracle is
+    a genuinely independent SQL reproduction: one pivoted 3×3 neighbor
+    self-join over the pixel witness evaluating the same gx/gy/magnitude
+    expressions."""
+    from ..stages.sobel import sobel_magnitude
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(sobel_magnitude(ts))
+
+
 def q_contour_stats(sf_dir: str):
     """Marching-squares contour statistics at levels (-50, 0, 50) — the
     iso-line operator as a data product (``stages/contour.py``). The
@@ -1238,6 +1253,7 @@ TILE_QUERIES = {
     "focal_median_stats": q_focal_median_stats,
     "morph_open_stats": q_morph_open_stats,
     "gauss_blur_stats": q_gauss_blur_stats,
+    "sobel_stats": q_sobel_stats,
     "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
