@@ -364,6 +364,13 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         hist_equalize_stats(ts).count()
 
+    # EP19: Sobel edge magnitude — single strict-window halo pass
+    def ep19_sobel():
+        from hydro_raster_ray.stages.sobel import sobel_magnitude
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(sobel_magnitude(ts))
+
     # EP17: morphological opening — two chained halo passes (erode→dilate)
     # with the intermediate corpus checkpointed between them
     def ep17_morph_open():
@@ -534,7 +541,7 @@ def run_bench() -> dict:
         ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
-        ep17_morph_open, ep18_distance,
+        ep17_morph_open, ep18_distance, ep19_sobel,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]
