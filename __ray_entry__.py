@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["nation_profit"] = relational.nation_profit
     q["events_cumulative_distinct"] = relational.events_cumulative_distinct
     q["doc_url_domains"] = ops.url_domains
+    q["min_cost_supplier"] = relational.min_cost_supplier
+    q["important_part_value"] = relational.important_part_value
+    q["dominant_part_suppliers"] = relational.dominant_part_suppliers
     return q
 
 
@@ -1648,5 +1651,73 @@ SELECT centroid, n FROM read_parquet('{F}/witness_ivf_train.parquet')
         "ann_ivf_topk_p2": f"""
 SELECT qid, vec_id, sim, CAST(rank AS BIGINT) rank
 FROM read_parquet('{F}/witness_ivf_topk_p2.parquet')
+""",
+        # TPC-H Q2 analog: min observed unit price per qualifying part
+        # among region-local suppliers; cost is exact int64 cents so the
+        # correlated min and its ties are integer equality both sides
+        "min_cost_supplier": """
+WITH sl AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+ pq AS (SELECT p_partkey FROM part
+        WHERE p_size = 15),
+ pairs AS (
+  SELECT l.l_partkey pk, l.l_suppkey sk,
+         min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) cents
+  FROM lineitem l
+  JOIN pq ON pq.p_partkey = l.l_partkey
+  JOIN sl ON sl.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+ mn AS (SELECT pk, min(cents) mc FROM pairs GROUP BY pk)
+SELECT CAST(p.pk AS BIGINT) p_partkey, CAST(p.sk AS BIGINT) s_suppkey,
+       sl.s_name, sl.n_name, sl.s_acctbal,
+       CAST(p.cents AS DOUBLE) / 100.0 min_cost
+FROM pairs p
+JOIN mn ON mn.pk = p.pk AND mn.mc = p.cents
+JOIN sl ON sl.s_suppkey = p.sk
+ORDER BY p_partkey, s_suppkey
+""",
+        # TPC-H Q11 analog: parts above a fixed per-mille of one nation's
+        # total supplied value; the HAVING is the exact integer test
+        # 1000*value > permille*total on both sides
+        "important_part_value": """
+WITH ns AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'),
+ pv AS (
+  SELECT l.l_partkey pk,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) cents
+  FROM lineitem l JOIN ns ON ns.s_suppkey = l.l_suppkey
+  GROUP BY 1)
+SELECT CAST(pk AS BIGINT) p_partkey, CAST(cents AS DOUBLE) / 100.0 AS "value"
+FROM pv
+WHERE 1000 * cents > 1 * (SELECT sum(cents) FROM pv)
+ORDER BY value DESC
+""",
+        # TPC-H Q20 analog: one nation's suppliers that shipped more than
+        # half of some prefix-named part's total ship-year quantity;
+        # dominance is the exact integer test 2*pair_qty > part_total
+        "dominant_part_suppliers": """
+WITH pq AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
+ pairs AS (
+  SELECT l.l_partkey pk, l.l_suppkey sk,
+         sum(CAST(round(l.l_quantity) AS BIGINT)) qty
+  FROM lineitem l JOIN pq ON pq.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2),
+ tot AS (SELECT pk, sum(qty) t FROM pairs GROUP BY pk),
+ dom AS (
+  SELECT DISTINCT p.sk FROM pairs p JOIN tot ON tot.pk = p.pk
+  WHERE 2 * p.qty > tot.t)
+SELECT CAST(s.s_suppkey AS BIGINT) s_suppkey, s.s_name
+FROM dom JOIN supplier s ON s.s_suppkey = dom.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_9'
+ORDER BY s_suppkey
 """,
     }

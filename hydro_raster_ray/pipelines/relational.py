@@ -50,6 +50,9 @@ __all__ = [
     "priority_late_orders",
     "nation_profit",
     "events_cumulative_distinct",
+    "min_cost_supplier",
+    "important_part_value",
+    "dominant_part_suppliers",
 ]
 
 
@@ -2909,3 +2912,310 @@ def events_cumulative_distinct(sf_dir: str) -> "ray.data.Dataset":
     return agg.repartition(1).map_batches(
         cum, batch_format="pandas", batch_size=None
     ).sort("day")
+
+
+def min_cost_supplier(
+    sf_dir: str, size: int = 15, region: str = "EUROPE"
+) -> "ray.data.Dataset":
+    """TPC-H Q2 analog: for each part of a given size class, the
+    region-local supplier(s) offering the minimum observed unit price —
+    the correlated-min-subquery pattern (reference has no relational
+    engine; this is general-engine infrastructure per SURVEY.md §2.8).
+
+    The test data has no ``partsupp`` table, so the (part, supplier)
+    supply cost is DERIVED from lineitem: ``min(round(l_extendedprice *
+    100))`` per observed pair — exact int64 cents, so the per-part min
+    boundary and its ties are integer equality on both sides.
+
+    Distributed shape: qualifying partkeys and region-local suppkeys are
+    result-sized dims broadcast once (``ray.put`` sorted arrays); the
+    lineitem scan prunes to 3 columns, pre-collapses each batch to pair
+    minima, and the ONLY exchange is a pair-cardinality
+    ``groupby([partkey, suppkey]).aggregate(Min)`` (pairs ≪ lineitems).
+    The correlated min is then one ``groupby(partkey).map_groups`` that
+    keeps rows equal to the group min — no join-back pass, no second
+    shuffle. Supplier name/acctbal/nation attach via broadcast
+    searchsorted. ALL tied suppliers are kept (no LIMIT — the oracle set
+    matches exactly). Columns: p_partkey, s_suppkey (BIGINT), s_name,
+    n_name, s_acctbal (DOUBLE), min_cost (DOUBLE, cents/100).
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    pkeys = np.sort(
+        part.loc[part["p_size"] == size, "p_partkey"].to_numpy(np.int64)
+    )
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy(np.int64)
+    nat_local = nat[nat["n_regionkey"].isin(rkeys)]
+    sup_local = sup[sup["s_nationkey"].isin(nat_local["n_nationkey"])]
+    sup_local = sup_local.sort_values("s_suppkey")
+    nname = nat.set_index("n_nationkey")["n_name"]
+    dims = ray.put(
+        (
+            pkeys,
+            sup_local["s_suppkey"].to_numpy(np.int64),
+            sup_local["s_name"].to_numpy(object),
+            sup_local["s_acctbal"].to_numpy(np.float64),
+            nname.reindex(sup_local["s_nationkey"]).to_numpy(object),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, sk, _, _, _ = ray.get(dims)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        skeys = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        hit_p = (pk.size > 0) & (pk[np.minimum(pos, max(pk.size - 1, 0))] == keys)
+        pos_s = np.searchsorted(sk, skeys)
+        hit_s = (sk.size > 0) & (sk[np.minimum(pos_s, max(sk.size - 1, 0))] == skeys)
+        d = df[hit_p & hit_s]
+        out = pd.DataFrame(
+            {
+                "p_partkey": d["l_partkey"].to_numpy(np.int64),
+                "s_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    d["l_extendedprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby(
+            ["p_partkey", "s_suppkey"], as_index=False
+        ).agg(cents=("cents", "min"))
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cents", alias_name="cents"))
+    )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        return df[c == c.min()]
+
+    win = pairs.groupby("p_partkey").map_groups(
+        keep_min, batch_format="pandas"
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        _, sk, snm, bal, nnm = ray.get(dims)
+        pos = np.searchsorted(sk, df["s_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+                "s_name": snm[pos],
+                "n_name": nnm[pos],
+                "s_acctbal": bal[pos],
+                "min_cost": df["cents"].to_numpy(np.int64) / 100.0,
+            }
+        )
+
+    return win.map_batches(attach, batch_format="pandas")
+
+
+def important_part_value(
+    sf_dir: str, nation: str = "NATION_7", permille: int = 1
+) -> "ray.data.Dataset":
+    """TPC-H Q11 analog: parts whose supplied value from one nation's
+    suppliers exceeds a fixed fraction of that nation's total supplied
+    value — the global-scalar HAVING pattern.
+
+    Value per part is the exact int64 cents sum of ``round(
+    l_extendedprice*100)`` over lineitems shipped by the nation's
+    suppliers (no partsupp table; lineitem is the supply ledger). The
+    HAVING threshold ``value > permille/1000 · total`` is evaluated as
+    the EXACT integer test ``1000·value > permille·total`` on both
+    sides — no float boundary.
+
+    Distributed shape: the nation's suppkeys broadcast as a sorted
+    array; the lineitem scan pre-collapses each batch to per-part cents
+    partials; ONE parts-cardinality ``groupby(partkey).aggregate(Sum)``;
+    the global total is a second aggregate over that result-sized table
+    (driver holds one scalar, never the rows); the filter runs
+    distributed against the broadcast scalar. Columns: p_partkey
+    (BIGINT), value (DOUBLE, cents/100), ordered by value DESC.
+    """
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nk = nat.loc[nat["n_name"] == nation, "n_nationkey"].to_numpy(np.int64)
+    skeys = np.sort(
+        sup.loc[sup["s_nationkey"].isin(nk), "s_suppkey"].to_numpy(np.int64)
+    )
+    sref = ray.put(skeys)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(sref)
+        keys = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, keys)
+        hit = (sk.size > 0) & (sk[np.minimum(pos, max(sk.size - 1, 0))] == keys)
+        d = df[hit]
+        out = pd.DataFrame(
+            {
+                "p_partkey": d["l_partkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    d["l_extendedprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("p_partkey", as_index=False).agg(
+            cents=("cents", "sum")
+        )
+
+    per_part = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("p_partkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()  # parts-cardinality (bounded), consumed twice
+    )
+    total = per_part.aggregate(Sum("cents", alias_name="t"))["t"]
+    total = np.int64(0 if total is None else total)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        d = df[1000 * c > permille * total]
+        return pd.DataFrame(
+            {
+                "p_partkey": d["p_partkey"].to_numpy(np.int64),
+                "value": d["cents"].to_numpy(np.int64) / 100.0,
+            }
+        )
+
+    return per_part.map_batches(having, batch_format="pandas").sort(
+        "value", descending=True
+    )
+
+
+def dominant_part_suppliers(
+    sf_dir: str,
+    prefix: str = "small ",
+    nation: str = "NATION_9",
+    year: int = 1996,
+) -> "ray.data.Dataset":
+    """TPC-H Q20 analog: suppliers from one nation that DOMINATE the
+    supply of some name-prefixed part within a ship year — shipped more
+    than half of that part's total quantity — the nested-semi-join
+    pattern (EXISTS over a per-part aggregate threshold).
+
+    Quantities are integral by data contract so dominance is the exact
+    integer test ``2·pair_qty > part_total``. Distributed shape:
+    prefix partkeys and the nation's suppkeys broadcast sorted; the
+    lineitem scan prunes to the ship-year window and pre-collapses each
+    batch to (part, supplier) quantity partials; ONE pair-cardinality
+    ``groupby([partkey, suppkey]).aggregate(Sum)``; dominance is a
+    ``groupby(partkey).map_groups`` (group total + filter in one pass,
+    no join-back); the surviving suppkey set collapses via
+    ``unique``-style groupby and attaches the supplier dim by broadcast
+    searchsorted. Columns: s_suppkey (BIGINT), s_name (set semantics,
+    row order unspecified).
+    """
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pkeys = np.sort(
+        part.loc[
+            part["p_name"].str.startswith(prefix), "p_partkey"
+        ].to_numpy(np.int64)
+    )
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nk = nat.loc[nat["n_name"] == nation, "n_nationkey"].to_numpy(np.int64)
+    sup_local = sup[sup["s_nationkey"].isin(nk)].sort_values("s_suppkey")
+    dims = ray.put(
+        (
+            pkeys,
+            sup_local["s_suppkey"].to_numpy(np.int64),
+            sup_local["s_name"].to_numpy(object),
+        )
+    )
+    t0 = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    t1 = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, _, _ = ray.get(dims)
+        ts = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        hit = (pk.size > 0) & (pk[np.minimum(pos, max(pk.size - 1, 0))] == keys)
+        d = df[hit & (ts >= t0).to_numpy() & (ts < t1).to_numpy()]
+        out = pd.DataFrame(
+            {
+                "p_partkey": d["l_partkey"].to_numpy(np.int64),
+                "s_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                "qty": np.round(d["l_quantity"].to_numpy()).astype(np.int64),
+            }
+        )
+        return out.groupby(
+            ["p_partkey", "s_suppkey"], as_index=False
+        ).agg(qty=("qty", "sum"))
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Sum("qty", alias_name="qty"))
+    )
+
+    import pyarrow as pa
+
+    # Possibly-empty stages return typed Arrow tables: Ray drops the
+    # schema of 0-row pandas blocks (the round-5 zero-row lesson).
+    def dominant(df: pd.DataFrame) -> "pa.Table":
+        q = df["qty"].to_numpy(np.int64)
+        d = df[2 * q > q.sum()]
+        return pa.table(
+            {"s_suppkey": pa.array(d["s_suppkey"].to_numpy(np.int64),
+                                   pa.int64())}
+        )
+
+    def first_only(df: pd.DataFrame) -> "pa.Table":
+        d = df.drop_duplicates("s_suppkey")
+        return pa.table(
+            {"s_suppkey": pa.array(d["s_suppkey"].to_numpy(np.int64),
+                                   pa.int64())}
+        )
+
+    sks = (
+        pairs.groupby("p_partkey").map_groups(dominant, batch_format="pandas")
+        .groupby("s_suppkey")
+        .map_groups(first_only, batch_format="pandas")
+    )
+
+    def attach(df: pd.DataFrame) -> "pa.Table":
+        _, sk, snm = ray.get(dims)
+        keys = df["s_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, keys)
+        hit = (sk.size > 0) & (sk[np.minimum(pos, max(sk.size - 1, 0))] == keys)
+        d = keys[hit]
+        names = snm[np.searchsorted(sk, d)] if d.size else np.empty(0, object)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(d, pa.int64()),
+                "s_name": pa.array(names, pa.string()),
+            }
+        )
+
+    # No final sort: Ray's sort erases the schema of an EMPTY dataset
+    # (possible for a nation with no dominant supplier) and the result
+    # is a set — the driver compare is order-insensitive.
+    return sks.map_batches(attach, batch_format="pandas")
