@@ -1488,6 +1488,63 @@ SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
        CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
 FROM b2 GROUP BY tile_id
 """,
+        # 2x overview pyramid reproduced INDEPENDENTLY in SQL: three
+        # chained group-and-pivot reductions evaluating the engine's exact
+        # fixed-order NaN-aware mean contract (stages/pyramid.py), with the
+        # f32 storage round-trip (CAST AS FLOAT) between levels
+        "pyramid_stats": f"""
+WITH p0 AS (SELECT gr, gc, CAST(z AS DOUBLE) z FROM {_PX}),
+ l1 AS (
+  SELECT pr gr, pc gc, CAST(CAST(CASE WHEN n > 0 THEN s / n END AS FLOAT)
+                            AS DOUBLE) z
+  FROM (
+    SELECT gr // 2 pr, gc // 2 pc,
+      ((coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 0 THEN z END), 0)
+        + coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 1 THEN z END), 0))
+       + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 0 THEN z END), 0))
+      + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 1 THEN z END), 0) s,
+      count(z) n
+    FROM p0 GROUP BY 1, 2)),
+ l2 AS (
+  SELECT pr gr, pc gc, CAST(CAST(CASE WHEN n > 0 THEN s / n END AS FLOAT)
+                            AS DOUBLE) z
+  FROM (
+    SELECT gr // 2 pr, gc // 2 pc,
+      ((coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 0 THEN z END), 0)
+        + coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 1 THEN z END), 0))
+       + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 0 THEN z END), 0))
+      + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 1 THEN z END), 0) s,
+      count(z) n
+    FROM l1 GROUP BY 1, 2)),
+ l3 AS (
+  SELECT pr gr, pc gc, CAST(CAST(CASE WHEN n > 0 THEN s / n END AS FLOAT)
+                            AS DOUBLE) z
+  FROM (
+    SELECT gr // 2 pr, gc // 2 pc,
+      ((coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 0 THEN z END), 0)
+        + coalesce(max(CASE WHEN gr % 2 = 0 AND gc % 2 = 1 THEN z END), 0))
+       + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 0 THEN z END), 0))
+      + coalesce(max(CASE WHEN gr % 2 = 1 AND gc % 2 = 1 THEN z END), 0) s,
+      count(z) n
+    FROM l2 GROUP BY 1, 2))
+SELECT CAST(1 AS BIGINT) AS "level",
+       printf('t%04d_%04d', gr // 64, gc // 64) image_id,
+       CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM l1 GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS "level",
+       printf('t%04d_%04d', gr // 64, gc // 64) image_id,
+       CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM l2 GROUP BY 1, 2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS "level",
+       printf('t%04d_%04d', gr // 64, gc // 64) image_id,
+       CAST(count(*) AS BIGINT) n_px, CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM l3 GROUP BY 1, 2
+""",
         # Sobel gradient magnitude reproduced INDEPENDENTLY in SQL: one
         # pivoted 3x3 self-join evaluating the identical fixed-order
         # gx/gy/sqrt expressions (stages/sobel.py exactness contract)

@@ -971,3 +971,33 @@ def distance_transform(
         best[invalid] = np.nan
         d = best
     return d
+
+
+def pyramid_reduce(array: np.ndarray) -> np.ndarray:
+    """One 2× overview level witness for ``stages/pyramid.py``: parent
+    (R, C) averages the finite cells among children (2R..2R+1,
+    2C..2C+1) under the module's fixed left-associative sum contract,
+    with the f32 storage round-trip applied to the OUTPUT (the input is
+    assumed already f32-valued, as decoded tiles are)."""
+    a = np.asarray(array, dtype=np.float64)
+    h, w = a.shape
+    ph, pw = (h + 1) // 2, (w + 1) // 2
+    pad = np.full((2 * ph, 2 * pw), np.nan)
+    pad[:h, :w] = a
+    t00 = pad[0::2, 0::2]
+    t01 = pad[0::2, 1::2]
+    t10 = pad[1::2, 0::2]
+    t11 = pad[1::2, 1::2]
+    f00, f01 = np.isfinite(t00), np.isfinite(t01)
+    f10, f11 = np.isfinite(t10), np.isfinite(t11)
+    s = (
+        (np.where(f00, t00, 0.0) + np.where(f01, t01, 0.0))
+        + np.where(f10, t10, 0.0)
+    ) + np.where(f11, t11, 0.0)
+    n = (
+        f00.astype(np.int64) + f01.astype(np.int64)
+        + f10.astype(np.int64) + f11.astype(np.int64)
+    )
+    with np.errstate(invalid="ignore"):
+        out = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+    return out.astype(np.float32).astype(np.float64)

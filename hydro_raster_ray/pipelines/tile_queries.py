@@ -1244,6 +1244,34 @@ def q_s2_gauge_join(sf_dir: str):
     return s2_gauge_join(ts, gauges)
 
 
+def q_pyramid_stats(sf_dir: str, levels: int = 3):
+    """COG-style 2× overview pyramid (``stages/pyramid.py``) — per
+    (level, tile) stats across ``levels`` chained reductions. Each
+    level's exact fixed-order mean contract is bit-reproducible in SQL
+    (module docstring), so the oracle is a genuinely INDEPENDENT chained
+    group-and-pivot reproduction over the pixel witness — not a witness
+    SELECT. Each level materializes (corpus/4^k — geometric, < corpus/3
+    total) to feed both its stats pass and the next level without
+    re-running the exchange."""
+    from ..stages.pyramid import pyramid_level
+
+    cur, _ = tiles_for(sf_dir)
+    out = None
+    for lv in range(1, levels + 1):
+        nxt = pyramid_level(cur)
+        nxt = TileSet(ds=nxt.ds.materialize(), grid=nxt.grid)
+
+        def tag(batch: pa.Table, _lv=lv) -> pa.Table:
+            return batch.append_column(
+                "level", pa.array([_lv] * batch.num_rows, pa.int64())
+            )
+
+        st = per_tile_stats(nxt).map_batches(tag, batch_format="pyarrow")
+        out = st if out is None else out.union(st)
+        cur = nxt
+    return out
+
+
 TILE_QUERIES = {
     "tile_fmt_summary": q_tile_fmt_summary,
     "s2_gauge_join": q_s2_gauge_join,
@@ -1254,6 +1282,7 @@ TILE_QUERIES = {
     "morph_open_stats": q_morph_open_stats,
     "gauss_blur_stats": q_gauss_blur_stats,
     "sobel_stats": q_sobel_stats,
+    "pyramid_stats": q_pyramid_stats,
     "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
