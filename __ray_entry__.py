@@ -1488,6 +1488,27 @@ SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
        CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
 FROM b2 GROUP BY tile_id
 """,
+        # LBP texture codes reproduced INDEPENDENTLY in SQL: one weighted
+        # 3x3 neighbor self-join evaluating the identical eight >=
+        # comparisons in the fixed clockwise bit order (stages/lbp.py);
+        # strict window = exactly 8 finite neighbors + a finite centre
+        "lbp_hist": f"""
+WITH offs AS (
+  SELECT * FROM (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 4), (0, 1, 8),
+                        (1, 1, 16), (1, 0, 32), (1, -1, 64), (0, -1, 128))
+       o(dr, dc, w)),
+ nb AS (
+  SELECT a.gr, a.gc, count(b.z) nf,
+         sum(CASE WHEN b.z >= a.z THEN o.w ELSE 0 END) code
+  FROM {_PX} a
+  CROSS JOIN offs o
+  LEFT JOIN {_PX} b
+    ON b.gr = a.gr + o.dr AND b.gc = a.gc + o.dc AND b.z IS NOT NULL
+  WHERE a.z IS NOT NULL
+  GROUP BY a.gr, a.gc)
+SELECT CAST(code AS BIGINT) code, CAST(count(*) AS BIGINT) n_cells
+FROM nb WHERE nf = 8 GROUP BY 1
+""",
         # 2x overview pyramid reproduced INDEPENDENTLY in SQL: three
         # chained group-and-pivot reductions evaluating the engine's exact
         # fixed-order NaN-aware mean contract (stages/pyramid.py), with the

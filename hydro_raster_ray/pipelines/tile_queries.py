@@ -1244,6 +1244,42 @@ def q_s2_gauge_join(sf_dir: str):
     return s2_gauge_join(ts, gauges)
 
 
+def q_lbp_hist(sf_dir: str):
+    """3×3 Local Binary Pattern texture codes (strict-window halo pass;
+    ``stages/lbp.py``) — corpus-wide code histogram. Codes are pure
+    comparisons on the stored values (no arithmetic), so every cell is
+    bit-reproducible; the oracle is a genuinely INDEPENDENT SQL
+    reproduction: one weighted 3×3 neighbor self-join over the pixel
+    witness evaluating the same eight >= comparisons."""
+    from ..stages.decode import iter_tiles as _it
+    from ..stages.lbp import lbp_codes
+
+    ts, _ = tiles_for(sf_dir)
+    out = lbp_codes(ts)
+    grid = out.grid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        for _info, arr in _it(batch, grid):
+            v = arr[~np.isnan(arr)].astype(np.int64)
+            u, cnt = np.unique(v, return_counts=True)
+            for k, c in zip(u.tolist(), cnt.tolist()):
+                acc[k] = acc.get(k, 0) + c
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "code": pa.array(ks, pa.int64()),
+                "n_cells": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        out.ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("n_cells", alias_name="n_cells"))
+    )
+
+
 def q_pyramid_stats(sf_dir: str, levels: int = 3):
     """COG-style 2× overview pyramid (``stages/pyramid.py``) — per
     (level, tile) stats across ``levels`` chained reductions. Each
@@ -1283,6 +1319,7 @@ TILE_QUERIES = {
     "gauss_blur_stats": q_gauss_blur_stats,
     "sobel_stats": q_sobel_stats,
     "pyramid_stats": q_pyramid_stats,
+    "lbp_hist": q_lbp_hist,
     "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
