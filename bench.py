@@ -371,6 +371,25 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         stats.global_stats(sobel_magnitude(ts))
 
+    # EP20: 2x overview pyramid — three chained fragment-exchange
+    # reductions, each level materialized (corpus/4^k)
+    def ep20_pyramid():
+        from hydro_raster_ray.sources.tiles import TileSet
+        from hydro_raster_ray.stages.pyramid import pyramid_level
+
+        cur = read_tiles(BENCH_DIR, scheme)
+        for _ in range(3):
+            nxt = pyramid_level(cur)
+            cur = TileSet(ds=nxt.ds.materialize(), grid=nxt.grid)
+        stats.global_stats(cur)
+
+    # EP21: LBP texture codes — strict-window halo pass + code histogram
+    def ep21_lbp():
+        from hydro_raster_ray.stages.lbp import lbp_codes
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        stats.global_stats(lbp_codes(ts))
+
     # EP17: morphological opening — two chained halo passes (erode→dilate)
     # with the intermediate corpus checkpointed between them
     def ep17_morph_open():
@@ -541,7 +560,7 @@ def run_bench() -> dict:
         ep5_vectorize,
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
-        ep17_morph_open, ep18_distance, ep19_sobel,
+        ep17_morph_open, ep18_distance, ep19_sobel, ep20_pyramid, ep21_lbp,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]
