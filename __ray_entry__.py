@@ -259,6 +259,60 @@ def _sobel_sql() -> str:
   GROUP BY s.tile_id, s.gr, s.gc)"""
 
 
+def _ncc_sql() -> str:
+    """The ``ncc_stats`` oracle's 3×3 pass: pivot the nine window values
+    per cell, then evaluate the IDENTICAL fixed left-associative
+    mean/num/den/sqrt chain the engine kernel uses (``stages/ncc.py``
+    exactness contract) in plain-column CTE layers. Strict window: NULL
+    unless all 9 cells are present and the window is not exactly flat."""
+    cols = {}
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            cols[(dr, dc)] = f"w{dr + 1}{dc + 1}"
+    piv = ",\n         ".join(
+        f"max(CASE WHEN s.dr = {dr} AND s.dc = {dc} "
+        f"THEN CAST(b.z AS DOUBLE) END) {cols[(dr, dc)]}"
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    )
+    order = [cols[(dr, dc)] for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    sw = order[0]
+    for c in order[1:]:
+        sw = f"({sw} + {c})"
+    tmpl = [2, -1, -1, -1, 2, -1, -1, -1, 2]
+    num = f"({tmpl[0]} * d{order[0]})"
+    den = f"(d{order[0]} * d{order[0]})"
+    for c, w in zip(order[1:], tmpl[1:]):
+        num = f"({num} + ({w} * d{c}))"
+        den = f"({den} + (d{c} * d{c}))"
+    dcols = ",\n         ".join(f"({c} - mw) d{c}" for c in order)
+    return f"""
+ n0 AS (
+  SELECT s.tile_id, s.gr, s.gc, count(b.z) nf,
+         {piv}
+  FROM (SELECT a.tile_id, a.gr, a.gc, o.dr, o.dc,
+               a.gr + o.dr AS ngr, a.gc + o.dc AS ngc
+        FROM px a CROSS JOIN offs o) s
+  LEFT JOIN px b ON b.gr = s.ngr AND b.gc = s.ngc AND b.z IS NOT NULL
+  GROUP BY s.tile_id, s.gr, s.gc),
+ n1 AS (
+  SELECT tile_id, gr, gc, nf, {sw} / 9.0 mw,
+         {", ".join(order)}
+  FROM n0),
+ n2 AS (
+  SELECT tile_id, gr, gc, nf,
+         {dcols}
+  FROM n1),
+ n3 AS (
+  SELECT tile_id, gr, gc, nf, {num} num, {den} den
+  FROM n2),
+ nc AS (
+  SELECT tile_id, gr, gc,
+         CASE WHEN nf = 9 AND den > 0
+              THEN CAST(num / sqrt(den * 18.0) AS FLOAT) END z
+  FROM n3)"""
+
+
 def _lang_sql() -> str:
     hits = []
     for code, words in ops.LANG_MARKERS.items():
@@ -1578,6 +1632,19 @@ SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
        CAST(count(z) AS BIGINT) n_valid,
        CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
 FROM sb GROUP BY tile_id
+""",
+        # NCC template matching reproduced INDEPENDENTLY in SQL: pivoted
+        # 3x3 self-join + plain-column CTE layers evaluating the identical
+        # fixed-order mean/num/den/sqrt chain (stages/ncc.py contract)
+        "ncc_stats": f"""
+WITH offs AS (
+  SELECT t1.dr, t2.dc
+  FROM (VALUES (-1), (0), (1)) t1(dr), (VALUES (-1), (0), (1)) t2(dc)),
+ px AS (SELECT tile_id, gr, gc, z FROM {_PX}),{_ncc_sql()}
+SELECT tile_id AS image_id, CAST(count(*) AS BIGINT) n_px,
+       CAST(count(z) AS BIGINT) n_valid,
+       CAST(round(coalesce(sum(z), 0), 2) AS DOUBLE) sum_z
+FROM nc GROUP BY tile_id
 """,
         # bounded Chebyshev distance transform reproduced INDEPENDENTLY in
         # SQL: 4 chained min-plus sweeps (each one 3×3 neighbor self-join

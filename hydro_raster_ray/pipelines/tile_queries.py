@@ -1280,6 +1280,20 @@ def q_lbp_hist(sf_dir: str):
     )
 
 
+def q_ncc_stats(sf_dir: str):
+    """3×3 NCC template matching (strict-window halo pass;
+    ``stages/ncc.py``) — per-tile stats of the correlation plane. Fixed
+    left-associative double arithmetic with integer template weights, so
+    every cell is bit-reproducible by the identically-parenthesized SQL
+    expression; the oracle is a genuinely INDEPENDENT SQL reproduction:
+    one pivoted 3×3 neighbor self-join evaluating the same
+    mean/num/den/sqrt chain."""
+    from ..stages.ncc import ncc_match
+
+    ts, _ = tiles_for(sf_dir)
+    return per_tile_stats(ncc_match(ts))
+
+
 def q_pyramid_stats(sf_dir: str, levels: int = 3):
     """COG-style 2× overview pyramid (``stages/pyramid.py``) — per
     (level, tile) stats across ``levels`` chained reductions. Each
@@ -1320,6 +1334,7 @@ TILE_QUERIES = {
     "sobel_stats": q_sobel_stats,
     "pyramid_stats": q_pyramid_stats,
     "lbp_hist": q_lbp_hist,
+    "ncc_stats": q_ncc_stats,
     "dist_transform_hist": q_dist_transform_hist,
     "s2_cell_counts": q_s2_cells,
     "s2_footprint_cover": q_s2_footprint_cover,
