@@ -1733,6 +1733,10 @@ FROM read_parquet('{F}/witness_media_audio.parquet')
 SELECT audio_id, rms, peak, zcr, dom_freq
 FROM read_parquet('{F}/witness_media_audio_wav.parquet')
 """,
+        "media_audio_features_mulaw": f"""
+SELECT audio_id, rms, peak, zcr, dom_freq
+FROM read_parquet('{F}/witness_media_audio_mulaw.parquet')
+""",
         "media_frame_sample": f"""
 SELECT video_id, frame_idx, mean, std
 FROM read_parquet('{F}/witness_media_frames.parquet')

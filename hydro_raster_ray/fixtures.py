@@ -1785,6 +1785,83 @@ def _ensure_wav_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ref_mulaw_encode_scalar(x: int) -> int:
+    """Scalar REFERENCE G.711 mu-law encoder, derived differently from
+    the engine's vectorized bit-test loop: segment index from Python
+    ``int.bit_length`` on the biased magnitude (ITU-T G.711 Table 2a's
+    segment boundaries are exactly the powers of two of the biased
+    value), mantissa by shift, one's-complement output byte."""
+    sign = 0x80 if x < 0 else 0x00
+    biased = min(abs(int(x)), 32635) + 132
+    seg = max(biased.bit_length() - 8, 0)
+    mant = (biased >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)) & 0xFF
+
+
+def _ref_mulaw_decode_table() -> np.ndarray:
+    """256-entry REFERENCE decode table from the published 14-bit-domain
+    formula ``((2·mant + 33) << seg − 33) × 4`` (G.711 Table 2a read
+    back), a different algebraic form from the engine's
+    ``((mant·8)+0x84)<<exp − 0x84`` expansion."""
+    tab = np.empty(256, dtype=np.int64)
+    for b in range(256):
+        u = (~b) & 0xFF
+        seg = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag14 = ((2 * mant + 33) << seg) - 33
+        tab[b] = -4 * mag14 if (u & 0x80) else 4 * mag14
+    return tab
+
+
+def _ensure_mulaw_witness(tag: str, out: str) -> None:
+    """media_audio_features_mulaw witness (own marker → in-place upgrade).
+
+    Independence split: rebuilds each clip's QUANTIZED int16-domain
+    samples straight from the generator formula, compands them through a
+    scalar reference G.711 encoder (bit_length segment derivation) and a
+    table decoder built from the published 14-bit formula — never touching
+    the engine's vectorized ``mulaw_encode``/``mulaw_decode`` — then
+    applies the feature formulas. Codec-math agreement between the two
+    derivations is additionally pinned byte-exactly in
+    ``tests/test_multimodal.py``."""
+    done = os.path.join(out, "_MULAW_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    sr, seconds, n_clips = 8000, 0.5, 32
+    dec_tab = _ref_mulaw_decode_table()
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    rows = {"audio_id": [], "rms": [], "peak": [], "zcr": [], "dom_freq": []}
+    for c in range(n_clips):
+        f0 = 170.0 + 37.0 * c
+        f1 = 610.0 + 53.0 * c
+        xf = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * f1 * t)
+        q = np.round(xf * 32767.0).astype(np.int64)
+        codes = np.array([_ref_mulaw_encode_scalar(v) for v in q], dtype=np.int64)
+        x = dec_tab[codes].astype(np.float64) / 32768.0
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0
+        rows["audio_id"].append(f"m{c:04d}")
+        rows["rms"].append(round(float(np.sqrt((x * x).mean())), 6))
+        rows["peak"].append(round(float(np.abs(x).max()), 6))
+        rows["zcr"].append(round(float((np.diff(np.signbit(x)) != 0).mean()), 6))
+        rows["dom_freq"].append(round(float(np.argmax(spec) * sr / x.size), 6))
+    _write_atomic(
+        pa.table(
+            {
+                "audio_id": pa.array(rows["audio_id"], pa.string()),
+                "rms": pa.array(rows["rms"], pa.float64()),
+                "peak": pa.array(rows["peak"], pa.float64()),
+                "zcr": pa.array(rows["zcr"], pa.float64()),
+                "dom_freq": pa.array(rows["dom_freq"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_audio_mulaw.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -1940,6 +2017,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_jpeg_witness(tag, out)
     _ensure_gif_witness(tag, out)
     _ensure_wav_witness(tag, out)
+    _ensure_mulaw_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

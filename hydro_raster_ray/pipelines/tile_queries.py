@@ -622,6 +622,27 @@ def q_media_audio_wav(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_audio_mulaw(sf_dir: str):
+    """Audio features over a REAL G.711 mu-law corpus (vectorized
+    companded decode in MediaCodec); witness rebuilds the quantized
+    samples from the generator formula and compands them through an
+    independently-derived scalar reference codec
+    (fixtures._ensure_mulaw_witness)."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_mulaw(32))
+    out = multimodal.audio_features(ds, concurrency=2, batch_size=8)
+
+    def rnd(df):
+        for c in ("rms", "peak", "zcr", "dom_freq"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_media_frames(sf_dir: str):
     """Every-10th-frame sampling of the deterministic rawv-u8 videos
     (actor-pool byte-range seek decode); witness computes each sampled
@@ -1387,6 +1408,7 @@ TILE_QUERIES = {
     "strahler_stats": q_strahler_stats,
     "media_audio_features": q_media_audio,
     "media_audio_features_wav": q_media_audio_wav,
+    "media_audio_features_mulaw": q_media_audio_mulaw,
     "media_frame_sample": q_media_frames,
     "media_frame_motion": q_media_frame_motion,
     "augment_checks": q_augment_checks,

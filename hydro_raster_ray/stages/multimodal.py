@@ -46,6 +46,9 @@ __all__ = [
     "audio_spectral_features",
     "make_fake_audio",
     "make_fake_wavs",
+    "make_fake_mulaw",
+    "mulaw_encode",
+    "mulaw_decode",
 ]
 
 
@@ -112,6 +115,7 @@ class MediaCodec:
         - ``wav``: REAL RIFF/WAVE container decode via the stdlib ``wave``
           parser (chunk walk, fmt validation) — 8-bit unsigned and 16-bit
           signed PCM, any channel count (downmixed by channel mean).
+        - ``mulaw``: REAL G.711 mu-law expansion (``mulaw_decode``).
         - real compressed codecs (mp3/ogg/flac): require an audio lib → stub.
         """
         if fmt == "pcm16le":
@@ -138,6 +142,8 @@ class MediaCodec:
             if nch > 1:
                 x = x.reshape(-1, nch).mean(axis=1)  # downmix to mono
             return x
+        if fmt == "mulaw":
+            return mulaw_decode(np.frombuffer(buf, dtype=np.uint8)) / 32768.0
         raise NotImplementedError(
             f"{fmt} audio decode requires an audio codec lib, not available "
             "here; plug one into MediaCodec.decode_audio"
@@ -510,6 +516,61 @@ def make_fake_wavs(
             "sample_rate": pa.array([sample_rate] * n_clips, pa.int32()),
             "n_samples": pa.array([n] * n_clips, pa.int32()),
             "fmt": pa.array(["wav"] * n_clips, pa.string()),
+        }
+    )
+
+
+def mulaw_decode(code: np.ndarray) -> np.ndarray:
+    """REAL G.711 mu-law decode (ITU-T G.711, public standard): byte →
+    16-bit-domain linear sample, vectorized. The canonical expansion:
+    complement, split sign/exponent/mantissa, t = ((mant·8)+0x84)<<exp,
+    linear = ±(t − 0x84). Range ±32124."""
+    u = (~code.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = ((mant << 3) + 0x84) << exp
+    lin = t - 0x84
+    return np.where(sign, -lin, lin).astype(np.float64)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """REAL G.711 mu-law encode: int16-domain linear → byte, vectorized
+    (bias 0x84, clip 32635, segment by highest set bit, complement)."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent: index of the highest set bit of mag >> 7 (0..7)
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1, np.maximum(exp, e), exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def make_fake_mulaw(
+    n_clips: int, sample_rate: int = 8000, seconds: float = 0.5
+) -> pa.Table:
+    """Deterministic REAL mu-law audio table (fmt='mulaw'): the wav
+    corpus generator's mono two-tone mix, quantized to int16 and G.711
+    mu-law companded."""
+    ids, bufs = [], []
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    for c in range(n_clips):
+        f0 = 170.0 + 37.0 * c
+        f1 = 610.0 + 53.0 * c
+        x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * f1 * t)
+        q = np.round(x * 32767.0).astype(np.int64)
+        ids.append(f"m{c:04d}")
+        bufs.append(mulaw_encode(q).tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "sample_rate": pa.array([sample_rate] * n_clips, pa.int32()),
+            "n_samples": pa.array([n] * n_clips, pa.int32()),
+            "fmt": pa.array(["mulaw"] * n_clips, pa.string()),
         }
     )
 

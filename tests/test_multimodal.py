@@ -333,3 +333,73 @@ def test_audio_spectral_pure_tone(ray_session):
     # power ratio 0.25:1:0.25 — cumulative hits 85% one bin ABOVE the tone
     assert abs(r["rolloff85"] - (1000.0 + 8000.0 / 256.0)) < 1e-9
     assert abs(r["centroid_mean"] - 1000.0) < 5.0
+
+
+def test_mulaw_pencil_anchors():
+    """Pencil-derived G.711 anchors (ITU-T T-REC-G.711 Table 2a):
+    byte 0x00 is the most-negative code (−32124), 0xFF is positive zero,
+    0x80 is the most-positive code (+32124); encode(0) = 0xFF."""
+    from hydro_raster_ray.stages.multimodal import mulaw_decode, mulaw_encode
+
+    dec = mulaw_decode(np.arange(256, dtype=np.uint8))
+    assert dec[0x00] == -32124.0
+    assert dec[0xFF] == 0.0
+    assert dec[0x80] == 32124.0
+    assert dec[0x7F] == 0.0  # negative zero code
+    np.testing.assert_array_equal(
+        mulaw_encode(np.array([0, 32124, -32124, 40000, -40000])),
+        np.array([0xFF, 0x80, 0x00, 0x80, 0x00], dtype=np.uint8),
+    )
+
+
+def test_mulaw_matches_independent_reference_all_codes():
+    """The vectorized engine codec agrees byte/value-exactly with the
+    fixtures' independently-derived scalar reference (bit_length segment
+    encode; published 14-bit ((2m+33)<<s −33)·4 decode) over every code
+    point and a dense int16 ramp."""
+    from hydro_raster_ray.fixtures import (
+        _ref_mulaw_decode_table,
+        _ref_mulaw_encode_scalar,
+    )
+    from hydro_raster_ray.stages.multimodal import mulaw_decode, mulaw_encode
+
+    np.testing.assert_array_equal(
+        mulaw_decode(np.arange(256, dtype=np.uint8)),
+        _ref_mulaw_decode_table().astype(np.float64),
+    )
+    ramp = np.arange(-32768, 32768, 7, dtype=np.int64)
+    np.testing.assert_array_equal(
+        mulaw_encode(ramp),
+        np.array([_ref_mulaw_encode_scalar(v) for v in ramp], dtype=np.uint8),
+    )
+
+
+def test_mulaw_codec_properties():
+    """Companding-law invariants: decode is monotone over the positive
+    codes, encode∘decode is the identity on decoded values (code-point
+    stability), and the round-trip error over a dense ramp is bounded by
+    one top-segment quantization step (≤1024, incl. the 32635 clip)."""
+    from hydro_raster_ray.stages.multimodal import mulaw_decode, mulaw_encode
+
+    dec = mulaw_decode(np.arange(256, dtype=np.uint8))
+    pos = dec[0x80:][::-1]  # codes 0xFF..0x80 decode to 0..32124
+    assert np.all(np.diff(pos) > 0)
+    # decode(encode(decode(b))) == decode(b) for every byte
+    np.testing.assert_array_equal(
+        mulaw_decode(mulaw_encode(dec.astype(np.int64))), dec)
+    ramp = np.arange(-32768, 32768, dtype=np.int64)
+    err = np.abs(mulaw_decode(mulaw_encode(ramp)) - ramp)
+    assert err.max() <= 1024
+
+
+def test_mulaw_decode_audio_path():
+    """MediaCodec fmt='mulaw' scales the expansion into [-1, 1) by the
+    same 1/32768 the PCM paths use."""
+    from hydro_raster_ray.stages.multimodal import mulaw_encode
+
+    codec = MediaCodec()
+    buf = mulaw_encode(np.array([0, 16384, -32124])).tobytes()
+    x = codec.decode_audio(buf, "mulaw")
+    assert x[0] == 0.0
+    assert abs(x[1] - 16384 / 32768.0) < 1024 / 32768.0
+    assert x[2] == -32124 / 32768.0
