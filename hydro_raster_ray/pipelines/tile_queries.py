@@ -778,6 +778,28 @@ def q_media_image_features_gif(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_image_features_tiff(sf_dir: str):
+    """Per-image features over a REAL-tiff corpus (baseline container:
+    strips, LZW + PackBits + predictor, both byte orders, 8/16-bit gray
+    and RGB — ``tiff.py``); TIFF is lossless so the witness computes the
+    features straight from the generator-formula planes, never touching
+    the codec (fixtures._ensure_tiff_witness)."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_tiffs(12, 40, 32))
+    out = multimodal.image_features_table(ds, concurrency=2)
+
+    def rnd(df):
+        for c in ("mean", "std", "p_low", "p_high"):
+            df[c] = df[c].round(6)
+        df["edge_energy"] = df["edge_energy"].round(4)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_media_audio_spectral(sf_dir: str):
     """Framed-STFT spectral features (256-sample Hann frames, hop 128)
     over the REAL-WAV corpus — the spectrogram-shaped actor-pool stage;
@@ -1415,6 +1437,7 @@ TILE_QUERIES = {
     "media_image_features": q_media_image_features,
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_gif": q_media_image_features_gif,
+    "media_image_features_tiff": q_media_image_features_tiff,
     "media_audio_spectral": q_media_audio_spectral,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,

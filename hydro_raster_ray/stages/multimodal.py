@@ -41,6 +41,8 @@ __all__ = [
     "image_features_table",
     "make_fake_jpegs",
     "make_fake_gifs",
+    "make_fake_tiffs",
+    "tiff_fake_plane",
     "augment_tiles",
     "audio_features",
     "audio_spectral_features",
@@ -103,6 +105,15 @@ class MediaCodec:
             if img.shape[0] != h or img.shape[1] != w:
                 raise ValueError(
                     f"gif payload is {img.shape[:2]}, row metadata says {(h, w)}"
+                )
+            return img.astype(np.float64)
+        if fmt == "tiff":
+            from ..tiff import tiff_decode
+
+            img, _info = tiff_decode(buf)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"tiff payload is {img.shape[:2]}, row metadata says {(h, w)}"
                 )
             return img.astype(np.float64)
         raise ValueError(f"unknown media fmt {fmt!r}")
@@ -354,6 +365,64 @@ def make_fake_gifs(n_images: int, h: int, w: int) -> pa.Table:
             "h": pa.array(hs, pa.int32()),
             "w": pa.array(ws, pa.int32()),
             "fmt": pa.array(["gif"] * n_images, pa.string()),
+        }
+    )
+
+
+def tiff_fake_plane(i: int, h: int, w: int) -> np.ndarray:
+    """The deterministic truth plane for ``make_fake_tiffs`` image ``i``
+    (pure formula, shared by corpus generator and witness): gray-8 ramp,
+    gray-16 ramp, or a 3-plane RGB stack, per the i%6 variant schedule."""
+    hi, wi = h + i % 4, w + i % 5
+    yy, xx = np.mgrid[0:hi, 0:wi]
+    v = i % 6
+    if v in (2, 4):  # 16-bit gray
+        return ((137 * yy + 241 * xx + 4099 * i) % 65536).astype(np.uint16)
+    base = (3 * yy + 5 * xx + 11 * i) % 256
+    if v in (3, 5):  # RGB
+        return np.stack(
+            [base, (2 * base + 17) % 256, (5 * base + 31) % 256], axis=-1
+        ).astype(np.uint8)
+    return base.astype(np.uint8)
+
+
+def make_fake_tiffs(n_images: int, h: int, w: int) -> pa.Table:
+    """Deterministic REAL-tiff image table (image_id, bytes, h, w, fmt):
+    image i is ``tiff_fake_plane(i)`` encoded with the engine's baseline
+    TIFF writer (``tiff.tiff_encode``) under a rotating variant schedule
+    that covers every decode path — compression none/LZW/PackBits, both
+    byte orders, 8/16-bit gray and RGB, horizontal predictor, multi-strip
+    (rows_per_strip=5 with ragged tails). TIFF is lossless, so truth IS
+    the formula plane. Pure formula, no RNG."""
+    from ..tiff import tiff_encode
+
+    # (compression, predictor, byteorder) per i%6; dtype comes from the plane
+    variants = [
+        ("none", False, "II"),
+        ("lzw", False, "MM"),
+        ("lzw", True, "II"),
+        ("packbits", False, "MM"),
+        ("none", False, "MM"),
+        ("lzw", False, "II"),
+    ]
+    ids, bufs, hs, ws = [], [], [], []
+    for i in range(n_images):
+        plane = tiff_fake_plane(i, h, w)
+        comp, pred, bo = variants[i % 6]
+        bufs.append(
+            tiff_encode(plane, compression=comp, predictor=pred,
+                        byteorder=bo, rows_per_strip=5)
+        )
+        ids.append(f"t{i:04d}")
+        hs.append(plane.shape[0])
+        ws.append(plane.shape[1])
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "fmt": pa.array(["tiff"] * n_images, pa.string()),
         }
     )
 

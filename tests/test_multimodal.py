@@ -403,3 +403,31 @@ def test_mulaw_decode_audio_path():
     assert x[0] == 0.0
     assert abs(x[1] - 16384 / 32768.0) < 1024 / 32768.0
     assert x[2] == -32124 / 32768.0
+
+
+def test_fake_tiffs_decode_matches_formula_plane():
+    """MediaCodec fmt='tiff' on the full variant schedule (none/LZW/
+    PackBits × II/MM × gray8/gray16/RGB × predictor) must reproduce the
+    generator formula plane exactly — TIFF is lossless."""
+    from hydro_raster_ray.stages.multimodal import (
+        make_fake_tiffs,
+        tiff_fake_plane,
+    )
+
+    t = make_fake_tiffs(12, 40, 32)
+    codec = MediaCodec()
+    for i in range(t.num_rows):
+        want = tiff_fake_plane(i, 40, 32).astype(np.float64)
+        got = codec.decode(
+            t["bytes"][i].as_py(), int(t["h"][i].as_py()),
+            int(t["w"][i].as_py()), "tiff")
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tiff_metadata_mismatch_raises():
+    from hydro_raster_ray.tiff import tiff_encode
+
+    codec = MediaCodec()
+    buf = tiff_encode(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        codec.decode(buf, 5, 4, "tiff")
