@@ -363,6 +363,35 @@ SELECT b.tile_id image_id, CAST(count(*) AS BIGINT) n_valid,
        CAST(min(m.eq) AS BIGINT) min_eq, CAST(max(m.eq) AS BIGINT) max_eq
 FROM b JOIN m USING (bin) GROUP BY b.tile_id ORDER BY image_id
 """,
+        # Otsu 1979, reproduced INDEPENDENTLY in SQL: identical binning
+        # expression, HUGEINT cumulative windows, the same one-rounding
+        # double score, argmax tie-break ORDER BY score DESC, bin ASC
+        "otsu_threshold_stats": f"""
+WITH p AS (SELECT tile_id, z FROM {_PX} WHERE z IS NOT NULL),
+ mm AS (SELECT min(z) zmin, max(z) zmax FROM p),
+ b AS (SELECT tile_id,
+              LEAST(CAST(floor((z - zmin) / (zmax - zmin) * 256) AS BIGINT),
+                    255) bin
+       FROM p, mm),
+ h AS (SELECT bin, count(*) cnt FROM b GROUP BY bin),
+ tot AS (SELECT count(*) n, sum(bin) t1 FROM b),
+ c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) c0,
+              sum(bin * cnt) OVER (ORDER BY bin) c1
+       FROM h),
+ sc AS (SELECT bin,
+               CAST((c1 * n - t1 * c0) * (c1 * n - t1 * c0) AS DOUBLE)
+                   / CAST(c0 * (n - c0) AS DOUBLE) score
+        FROM c, tot WHERE c0 > 0 AND c0 < n),
+ th AS (SELECT bin thresh FROM sc ORDER BY score DESC, bin LIMIT 1)
+SELECT b.tile_id image_id, th.thresh,
+       CAST(sum(CASE WHEN bin > thresh THEN 1 ELSE 0 END) AS BIGINT) n_fg,
+       CAST(sum(CASE WHEN bin > thresh THEN 0 ELSE 1 END) AS BIGINT) n_bg,
+       CAST(sum(CASE WHEN bin > thresh THEN bin ELSE 0 END)
+            AS BIGINT) sum_bin_fg,
+       CAST(sum(CASE WHEN bin > thresh THEN 0 ELSE bin END)
+            AS BIGINT) sum_bin_bg
+FROM b, th GROUP BY b.tile_id, th.thresh ORDER BY image_id
+""",
         # marching squares, reproduced INDEPENDENTLY in SQL: 2×2 corner
         # windows via self-join, crossing flags, the identical double
         # crossing-parameter expression, the fixed saddle pairing

@@ -1234,6 +1234,17 @@ def q_contour_stats(sf_dir: str):
     return contour_stats(ts)
 
 
+def q_otsu_threshold(sf_dir: str):
+    """Global Otsu binarization threshold + per-tile class stats, integer
+    exact end to end; the oracle reproduces the whole bin→histogram→
+    between-class-argmax→classify chain in SQL
+    (``stages/stats.otsu_threshold_stats`` documents the parity contract)."""
+    from ..stages.stats import otsu_threshold_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return otsu_threshold_stats(ts)
+
+
 def q_hist_equalize(sf_dir: str):
     """Global histogram equalization (256-bin, integer-exact remap) —
     per-tile stats of the equalized raster; the oracle reproduces the
@@ -1415,6 +1426,7 @@ TILE_QUERIES = {
     "hillshade_stats": q_hillshade_stats,
     "contour_stats": q_contour_stats,
     "hist_equalize_stats": q_hist_equalize,
+    "otsu_threshold_stats": q_otsu_threshold,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,

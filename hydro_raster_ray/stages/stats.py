@@ -631,3 +631,104 @@ def hist_equalize_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
         )
 
     return ts.ds.map_batches(remap, batch_format="pyarrow").sort("image_id")
+
+
+def otsu_threshold_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
+    """Global Otsu threshold (Otsu 1979, public algorithm) as per-tile
+    integer class stats.
+
+    Parity contract (the ``hist_equalize_stats`` recipe):
+
+    - bin = min(floor((z - zmin)/(zmax - zmin) · nbins), nbins-1) — the
+      IDENTICAL double expression as the SQL oracle;
+    - the between-class objective is evaluated in the equivalent
+      integer-cross-multiplied form  score(t) = a(t)² / (c0(t)·(N−c0(t)))
+      with a(t) = c1(t)·N − T1·c0(t)  (c0/c1 = cumulative count / bin-sum,
+      T1 = total bin-sum) — a and d are computed in EXACT Python ints on
+      the 256-row driver histogram (no int64 overflow at any corpus
+      size), then ONE rounding to double each before the divide, matching
+      SQL's CAST(a·a AS DOUBLE)/CAST(d AS DOUBLE) on HUGEINT windows;
+    - argmax tie-break: smallest bin (np first-max == ORDER BY score
+      DESC, bin ASC LIMIT 1);
+    - classes: fg = bin > t; per-tile sums are of BIN INDICES → pure
+      int64 end to end.
+
+    Shape: pass 1 global min/max (existing reduction), pass 2 per-batch
+    histogram partials → 256-row groupby (driver sees only the
+    result-sized histogram), pass 3 vectorized per-tile classification.
+    Three corpus passes — inherent to any global-threshold operator.
+    Columns: image_id, thresh, n_fg, n_bg, sum_bin_fg, sum_bin_bg."""
+    gs = global_stats(ts)
+    zmin, zmax = float(gs["min"]), float(gs["max"])
+    grid = ts.grid
+    span = zmax - zmin
+    if span <= 0:
+        span = 1.0
+
+    def _bins(arr: np.ndarray) -> np.ndarray:
+        z = arr[np.isfinite(arr)].astype(np.float64)
+        b = np.floor((z - zmin) / span * nbins)
+        return np.minimum(b, nbins - 1).astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(nbins, np.int64)
+        for _info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            counts += np.bincount(_bins(arr), minlength=nbins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()),
+             "cnt": pa.array(counts[nz], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    hist = (
+        ts.ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ nbins rows — result-sized by construction
+        .sort_values("bin")
+    )
+    counts = [0] * nbins
+    for b, c in zip(hist["bin"], hist["cnt"]):
+        counts[int(b)] = int(c)
+    n_total = sum(counts)
+    t1 = sum(b * c for b, c in enumerate(counts))
+    best_t, best_score = 0, -1.0
+    c0 = c1 = 0
+    for t in range(nbins):
+        c0 += counts[t]
+        c1 += t * counts[t]
+        if c0 == 0 or c0 == n_total:
+            continue
+        a = c1 * n_total - t1 * c0  # exact int
+        d = c0 * (n_total - c0)  # exact int
+        score = float(a * a) / float(d)  # one rounding each, like the SQL
+        if score > best_score:  # strict > == first-max tie-break
+            best_score, best_t = score, t
+    thresh = best_t
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ids, nf, nb, sf, sb = [], [], [], [], []
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            b = _bins(arr)
+            if b.size == 0:
+                continue
+            fg = b > thresh
+            ids.append(info.image_id)
+            nf.append(int(fg.sum()))
+            nb.append(int(b.size - fg.sum()))
+            sf.append(int(b[fg].sum()))
+            sb.append(int(b[~fg].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "thresh": pa.array([thresh] * len(ids), pa.int64()),
+                "n_fg": pa.array(nf, pa.int64()),
+                "n_bg": pa.array(nb, pa.int64()),
+                "sum_bin_fg": pa.array(sf, pa.int64()),
+                "sum_bin_bg": pa.array(sb, pa.int64()),
+            }
+        )
+
+    return ts.ds.map_batches(classify, batch_format="pyarrow").sort("image_id")

@@ -132,3 +132,34 @@ def test_hist_equalize_flat_raster(ray_session):
     assert got["sum_eq"].tolist() == [0]
     assert got["min_eq"].tolist() == [0]
     assert got["max_eq"].tolist() == [0]
+
+
+def test_otsu_pencil_case(ray_session):
+    """Hand-computed, nbins=4: values [0,0,0,3,3,3,1,0] bin to
+    counts={0:4, 1:1, 3:3}, N=8, T1=10. Scores: t=0 → (-40)²/16 = 100,
+    t=1 → (-42)²/15 = 117.6 (t=2 duplicates t=1 through the empty bin,
+    t=3 has an empty foreground) → thresh=1; fg = the three 3s."""
+    z = np.array([[0.0, 0.0, 0.0, 3.0], [3.0, 3.0, 1.0, 0.0]])
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import otsu_threshold_stats
+
+    got = otsu_threshold_stats(ts, nbins=4).to_pandas()
+    assert got["thresh"].tolist() == [1]
+    assert got["n_fg"].tolist() == [3]
+    assert got["n_bg"].tolist() == [5]
+    assert got["sum_bin_fg"].tolist() == [9]
+    assert got["sum_bin_bg"].tolist() == [1]
+
+
+def test_otsu_tie_breaks_to_smallest_bin(ray_session):
+    """Perfectly symmetric two-cluster data scores identically for every
+    cut between the clusters (t=0,1,2 all 36.0); first-max must pick the
+    smallest bin — the documented ORDER BY score DESC, bin ASC contract."""
+    z = np.array([[0.0, 0.0], [3.0, 3.0]])
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import otsu_threshold_stats
+
+    got = otsu_threshold_stats(ts, nbins=4).to_pandas()
+    assert got["thresh"].tolist() == [0]
+    assert got["n_fg"].tolist() == [2]
+    assert got["sum_bin_fg"].tolist() == [6]
