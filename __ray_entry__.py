@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_token_cms"] = ops.token_cms
     q["doc_cooccurrence"] = ops.cooccurrence_topk
     q["doc_len_quantiles"] = ops.len_quantiles_by_lang
+    q["doc_heavy_hitters"] = ops.heavy_hitters
+    q["doc_tfidf_top_terms"] = ops.tfidf_top_terms
+    q["doc_bm25_topk"] = ops.bm25_topk
     q["ann_topk"] = ann.brute_force_topk
     q["ann_ivf_assign"] = ann.ivf_assign
     q["ann_ivf_topk"] = ann.ivf_topk
@@ -726,6 +729,54 @@ SELECT lang, CAST(max(n) AS BIGINT) n_docs,
        CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
             AS BIGINT) p90
 FROM r GROUP BY lang
+""",
+        "doc_heavy_hitters": """
+WITH flat AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) tok
+              FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) n
+FROM flat GROUP BY tok ORDER BY n DESC, tok LIMIT 10
+""",
+        # integer fixed-point idf (1e6 // source-df) — the rarity_scores
+        # convention; tie-break (score DESC, tok ASC) both sides
+        "doc_tfidf_top_terms": """
+WITH t AS (SELECT source,
+                  unnest(regexp_extract_all(lower(text), '\\S+')) tok
+           FROM documents),
+ st AS (SELECT source, tok, CAST(count(*) AS BIGINT) tf
+        FROM t GROUP BY source, tok),
+ d AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM st GROUP BY tok),
+ sc AS (SELECT source, tok, tf,
+               CAST(tf * (1000000 // df) AS BIGINT) score
+        FROM st JOIN d USING (tok)),
+ r AS (SELECT *, row_number() OVER
+           (PARTITION BY source ORDER BY score DESC, tok) rk FROM sc)
+SELECT source, CAST(rk AS BIGINT) rk, tok, tf, score
+FROM r WHERE rk <= 3
+""",
+        # log-free fixed-point BM25 (k1=1, b=1/2 folded into an exact
+        # rational; Robertson idf argument in fixed point) — see
+        # text/ops.bm25_topk for the derivation
+        "doc_bm25_topk": """
+WITH q AS (SELECT unnest(['customer', 'merge', 'window']) qt),
+ tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') toks
+        FROM documents),
+ n AS (SELECT CAST(count(*) AS BIGINT) d,
+              CAST(sum(len(toks)) AS BIGINT) t FROM tk),
+ f AS (SELECT doc_id, unnest(toks) tok FROM tk),
+ tf AS (SELECT f.doc_id, f.tok, CAST(count(*) AS BIGINT) tf
+        FROM f JOIN q ON f.tok = q.qt GROUP BY f.doc_id, f.tok),
+ dfq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY tok),
+ dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) dl FROM tk),
+ sc AS (SELECT tf.doc_id,
+               ((1000000 * (2 * (n.d - dfq.df) + 1)) // (2 * dfq.df + 1))
+                   * 4 * tf.tf * n.t
+                   // (2 * n.t * tf.tf + n.t + dl.dl * n.d) s
+        FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), n)
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       CAST(count(*) AS BIGINT) n_hit,
+       CAST(sum(s) AS BIGINT) score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -49,6 +49,9 @@ __all__ = [
     "pii_scrub",
     "stratified_sample",
     "url_domains",
+    "heavy_hitters",
+    "tfidf_top_terms",
+    "bm25_topk",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -1895,5 +1898,306 @@ def url_domains(sf_dir: str, k: int = 15) -> "ray.data.Dataset":
     return (
         agg.map_batches(final, batch_format="pandas")
         .sort(key=["n_urls", "domain"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def heavy_hitters(
+    sf_dir: str, k: int = 10, sketch_k: int = 200,
+) -> "ray.data.Dataset":
+    """Exact top-k frequent tokens via a Misra-Gries sketch + exact
+    verification — the SpaceSaving/MG heavy-hitter pattern (Misra & Gries
+    1982; mergeability per Agarwal et al. 2012, "Mergeable Summaries").
+
+    Distributed shape (and why it scales):
+
+    1. per-batch WEIGHTED MG summary: count the batch's tokens, then
+       prune to ≤ ``sketch_k`` counters by subtracting the (sketch_k+1)-th
+       largest count from every counter and dropping non-positives — each
+       batch ships ≤ sketch_k rows plus its decrement total, NEVER a
+       vocabulary-sized table;
+    2. driver merge (rows ≤ n_batches·sketch_k — for a 10^6-batch corpus
+       route this through one intermediate ``groupby(tok)`` tree level
+       first): sum counters, prune to sketch_k again, tracking the total
+       decrement ``D_total`` across all prunes. MG guarantee: any token's
+       true count ≤ its merged estimate + D_total, so every token with
+       true count > D_total SURVIVES as a candidate;
+    3. exact verify: broadcast the ≤ sketch_k candidates (``ray.put`` +
+       ``searchsorted``), one result-sized ``groupby(tok)`` over exact
+       per-batch candidate counts;
+    4. guard: the answer is provably the exact top-k iff the k-th exact
+       candidate count > D_total (no dropped token can reach the
+       boundary). When the guard fails (near-uniform data with a tiny
+       sketch) fall back to the exact vocabulary-sized groupby — the
+       always-correct path the sketch exists to avoid at scale.
+
+    Ordering is k-boundary-safe both sides: (n DESC, tok ASC).
+    Columns: tok, n."""
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def _batch_counts(df: pd.DataFrame):
+        toks = df["text"].str.lower().str.split()
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if not flat.size:
+            return None
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return uniq, cnt.astype(np.int64)
+
+    def _mg_prune(uniq, cnt, cap):
+        """Subtract the (cap+1)-th largest count; returns survivors and
+        the decrement value (0 when already within cap)."""
+        if uniq.size <= cap:
+            return uniq, cnt, 0
+        m = int(np.partition(cnt, uniq.size - cap - 1)[uniq.size - cap - 1])
+        keep = cnt > m
+        return uniq[keep], cnt[keep] - m, m
+
+    def sketch(df: pd.DataFrame) -> pa.Table:
+        got = _batch_counts(df)
+        if got is None:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, cnt, dec = _mg_prune(*got, sketch_k)
+        # the decrement side-channel: one NULL-token row per batch
+        return pa.table(
+            {"tok": pa.array(list(uniq) + [None], pa.string()),
+             "cnt": pa.array(list(cnt) + [dec], pa.int64())}
+        )
+
+    sk = (
+        ds.map_batches(sketch, batch_format="pandas", batch_size=512)
+        .to_pandas()  # ≤ n_batches·(sketch_k+1) rows — sketch-sized
+    )
+    dec_rows = sk["tok"].isna()
+    d_total = int(sk.loc[dec_rows, "cnt"].sum())
+    merged = (
+        sk.loc[~dec_rows].groupby("tok", as_index=False)["cnt"].sum()
+    )
+    u2, c2, dec2 = _mg_prune(
+        merged["tok"].to_numpy(dtype=object),
+        merged["cnt"].to_numpy(np.int64), sketch_k)
+    # each prune subtracts its decrement from EVERY counter, so the
+    # per-token bound  true_count ≤ estimate + Σ decrements  holds with
+    # the plain sum (Agarwal et al. 2012, Thm. on MG merging):
+    d_total += int(dec2)
+    cand = np.sort(u2)
+    cref = ray.put(cand)
+
+    def exact_counts(df: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        got = _batch_counts(df)
+        if got is None:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = got
+        c = _ray.get(cref)
+        pos = np.searchsorted(c, uniq)
+        pos = np.minimum(pos, c.size - 1)
+        hit = c[pos] == uniq if c.size else np.zeros(uniq.size, bool)
+        return pa.table({"tok": pa.array(uniq[hit], pa.string()),
+                         "n": pa.array(cnt[hit], pa.int64())})
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pandas", batch_size=512)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ sketch_k rows
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    kth = int(exact["n"].iloc[-1]) if len(exact) >= k else -1
+    if len(exact) < k or kth <= d_total:
+        # guard failed → always-correct exact path (vocabulary-sized)
+        def full_counts(df: pd.DataFrame) -> pa.Table:
+            got = _batch_counts(df)
+            if got is None:
+                return pa.table({"tok": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            uniq, cnt = got
+            return pa.table({"tok": pa.array(uniq, pa.string()),
+                             "n": pa.array(cnt, pa.int64())})
+
+        return (
+            ds.map_batches(full_counts, batch_format="pandas", batch_size=512)
+            .groupby("tok")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(key=["n", "tok"], descending=[True, False])
+            .limit(k)
+        )
+    return ray.data.from_pandas(exact)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-source top-k TF-IDF terms — the "what characterizes this
+    subcorpus" report every corpus-curation pipeline runs. Integer
+    fixed-point idf surrogate ``1_000_000 // df`` (df = number of SOURCES
+    containing the term), the ``rarity_scores`` convention: no ``ln``, no
+    float hazards, the DuckDB oracle matches bit-exactly.
+
+    Shape: per-batch (source, tok, tf) partials → one (source, tok)
+    groupby (vocabulary×sources-sized, NOT corpus-sized) → df per token
+    from that same aggregate (vocabulary-sized groupby) → integer score →
+    per-source top-k via ``groupby(source).map_groups`` (each group is
+    that source's vocabulary — result-sized). Tie-break (score DESC,
+    tok ASC) both sides. Columns: source, rk, tok, tf, score."""
+    ds = read_documents(sf_dir, columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.lower().str.split()
+        n = len(df)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if not flat.size:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        src = np.repeat(df["source"].to_numpy(dtype=object), lens)
+        g = (
+            pd.DataFrame({"source": src, "tok": flat})
+            .groupby(["source", "tok"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "tok": pa.array(g["tok"], pa.string()),
+                         "tf": pa.array(g["size"].to_numpy(np.int64),
+                                        pa.int64())})
+
+    st = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=512)
+        .groupby(["source", "tok"])
+        .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()
+    )
+    dfreq = (
+        st.groupby("tok").aggregate(Count(alias_name="df"))
+        .to_pandas().sort_values("tok")
+    )  # vocabulary-sized; above a broadcast budget this becomes a join
+    vref = ray.put((dfreq["tok"].to_numpy(dtype=object),
+                    dfreq["df"].to_numpy(np.int64)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        vtoks, vdf = _ray.get(vref)
+        dfv = vdf[np.searchsorted(vtoks, df["tok"].to_numpy(dtype=object))]
+        out = df.copy()
+        out["score"] = df["tf"].to_numpy(np.int64) * (1_000_000 // dfv)
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "tok"],
+                          ascending=[False, True]).head(k).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "rk", "tok", "tf", "score"]]
+
+    return (
+        st.map_batches(score, batch_format="pandas")
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def bm25_topk(
+    sf_dir: str, query: str = "customer merge window", k: int = 20,
+) -> "ray.data.Dataset":
+    """BM25 document ranking against a fixed query — log-free integer
+    fixed-point form so the DuckDB oracle matches bit-exactly (the
+    ``doc_lm_surprisal`` precedent for why not log-space).
+
+    With k1=1, b=1/2 the classic per-term BM25 weight
+    ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` is EXACTLY the rational
+    ``4·tf·T / (2·T·tf + T + dl·D)`` (T = corpus token count, D = doc
+    count, dl = doc length), and the Robertson idf argument
+    ``(N−df+0.5)/(df+0.5)`` becomes the fixed-point
+    ``1_000_000·(2·(D−df)+1) // (2·df+1)``. One floor-division per
+    (doc, term):
+
+        score += (idf_fp(t) · 4·tf·T) // (2·T·tf + T + dl·D)
+
+    — all int64 (exact while idf_fp·4·tf·T < 2^63; beyond that the
+    driver-side combine switches to Python ints). Documents matching no
+    query term are omitted; ordering is k-boundary-safe (score DESC,
+    doc_id ASC). Columns: doc_id, n_hit, score.
+
+    Shape: one corpus pass emits per-doc (dl, per-query-term tf) thin
+    rows (the query is tiny — a broadcast-side lookup, no exchange);
+    T/D/df come from driver-scalar aggregates of those rows; scoring is
+    a second thin-row pass over the SAME materialized per-doc rows —
+    the corpus text is read exactly once."""
+    qterms = sorted(set(query.lower().split()))
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    qarr = np.array(qterms, dtype=object)
+
+    def perdoc(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.lower().str.split()
+        n = len(df)
+        dl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        tf = np.zeros((n, len(qterms)), np.int64)
+        for i, ws in enumerate(toks):
+            if not ws:
+                continue
+            uniq, cnt = np.unique(np.array(ws, dtype=object),
+                                  return_counts=True)
+            pos = np.searchsorted(uniq, qarr)
+            pos = np.minimum(pos, uniq.size - 1)
+            hit = uniq[pos] == qarr
+            tf[i, hit] = cnt[pos[hit]]
+        cols = {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
+                                   pa.int64()),
+                "dl": pa.array(dl, pa.int64())}
+        for j, t in enumerate(qterms):
+            cols[f"tf{j}"] = pa.array(tf[:, j], pa.int64())
+        return pa.table(cols)
+
+    rows = ds.map_batches(
+        perdoc, batch_format="pandas", batch_size=512).materialize()
+    from ray.data.aggregate import Count as _Count
+
+    agg = rows.aggregate(
+        _Count(alias_name="d"), Sum("dl", alias_name="t"),
+        *[Sum(f"tf{j}", alias_name=f"s{j}") for j in range(len(qterms))],
+    )
+    # df(t) = docs with tf>0: one more result-sized aggregate
+    def hitflags(t: pa.Table) -> pa.Table:
+        cols = {f"h{j}": pa.array(
+            (t[f"tf{j}"].to_numpy(zero_copy_only=False) > 0)
+            .astype(np.int64), pa.int64()) for j in range(len(qterms))}
+        return pa.table(cols)
+
+    dfa = rows.map_batches(hitflags, batch_format="pyarrow").aggregate(
+        *[Sum(f"h{j}", alias_name=f"df{j}") for j in range(len(qterms))])
+    big_d = int(agg["d"])
+    big_t = int(agg["t"])
+    idf_fp = np.array(
+        [(1_000_000 * (2 * (big_d - int(dfa[f"df{j}"] or 0)) + 1))
+         // (2 * int(dfa[f"df{j}"] or 0) + 1)
+         for j in range(len(qterms))], dtype=np.int64)
+    iref = ray.put((idf_fp, big_d, big_t))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        idf, dd, tt = _ray.get(iref)
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        total = np.zeros(len(dl), np.int64)
+        nhit = np.zeros(len(dl), np.int64)
+        denom_base = tt + dl * dd
+        for j in range(idf.size):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            hit = tf > 0
+            total[hit] += (idf[j] * 4 * tf[hit] * tt) // (
+                2 * tt * tf[hit] + denom_base[hit])
+            nhit += hit
+        keep = nhit > 0
+        return pa.table({"doc_id": pa.array(did[keep], pa.int64()),
+                         "n_hit": pa.array(nhit[keep], pa.int64()),
+                         "score": pa.array(total[keep], pa.int64())})
+
+    return (
+        rows.map_batches(score, batch_format="pyarrow")
+        .sort(key=["score", "doc_id"], descending=[True, False])
         .limit(k)
     )

@@ -1196,3 +1196,90 @@ def test_events_cumulative_distinct_first_seen(tmp_path):
         "2024-01-01", "2024-01-02", "2024-01-03"]
     assert got["new_users"].tolist() == [1, 1, 2]
     assert got["cum_users"].tolist() == [1, 2, 4]
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    n = len(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_heavy_hitters_pencil_and_guard(tmp_path):
+    """Pencil: counts a=7, b=5, c=3, d=1 → top-3 exact. With sketch_k=1
+    the MG guard (k-th count vs total decrements) must still deliver the
+    EXACT answer via the fallback path — correctness is unconditional."""
+    from hydro_raster_ray.text import ops
+
+    d = _write_docs(
+        tmp_path, ["a a a b b c", "a a b b c a", "a b c d"])
+    for sk in (1, 2, 200):  # degenerate sketch → fallback; big → sketch path
+        got = ops.heavy_hitters(d, k=3, sketch_k=sk).to_pandas()
+        assert got["tok"].tolist() == ["a", "b", "c"], (sk, got)
+        assert got["n"].tolist() == [7, 5, 3]
+
+
+def test_heavy_hitters_tie_break(tmp_path):
+    """Equal counts order lexicographically at the k boundary."""
+    from hydro_raster_ray.text import ops
+
+    d = _write_docs(tmp_path, ["x y z", "x y z", "w w w"])
+    got = ops.heavy_hitters(d, k=2).to_pandas()
+    assert got["tok"].tolist() == ["w", "x"]
+    assert got["n"].tolist() == [3, 2]
+
+
+def test_tfidf_top_terms_pencil(tmp_path):
+    """Two sources: 'common' appears in both (df=2 → idf 500000),
+    'rare' only in s0 (df=1 → idf 1000000). s0: tf(rare)=2 → 2000000
+    beats tf(common)=3 → 1500000."""
+    from hydro_raster_ray.text import ops
+
+    d = _write_docs(
+        tmp_path,
+        ["common rare rare common common", "common common"],
+        sources=["s0", "s1"],
+    )
+    got = ops.tfidf_top_terms(d, k=2).to_pandas().sort_values(
+        ["source", "rk"]).reset_index(drop=True)
+    s0 = got[got["source"] == "s0"]
+    assert s0["tok"].tolist() == ["rare", "common"]
+    assert s0["score"].tolist() == [2_000_000, 1_500_000]
+    s1 = got[got["source"] == "s1"]
+    assert s1["tok"].tolist() == ["common"]
+    assert s1["score"].tolist() == [1_000_000]
+
+
+def test_bm25_pencil(tmp_path):
+    """Hand-computed: docs ['q q x', 'x y', 'q x y z'], query 'q'.
+    D=3, T=9, df(q)=2 → idf_fp = 1e6·(2·1+1)//(2·2+1) = 600000.
+    doc0: tf=2, dl=3 → (600000·4·2·9)//(2·9·2 + 9 + 3·3) = 43200000//54
+        = 800000.
+    doc2: tf=1, dl=4 → (600000·4·1·9)//(18 + 9 + 12) = 21600000//39
+        = 553846. Ranking: doc0 > doc2; doc1 omitted (no hit)."""
+    from hydro_raster_ray.text import ops
+
+    d = _write_docs(tmp_path, ["q q x", "x y", "q x y z"])
+    got = ops.bm25_topk(d, query="q", k=10).to_pandas()
+    assert got["doc_id"].tolist() == [0, 2]
+    assert got["score"].tolist() == [800000, 553846]
+    assert got["n_hit"].tolist() == [1, 1]
+
+
+def test_bm25_multi_term_and_boundary_order(tmp_path):
+    """Two query terms sum per doc; equal scores tie-break by doc_id."""
+    from hydro_raster_ray.text import ops
+
+    d = _write_docs(tmp_path, ["m n", "m n", "zz"])
+    got = ops.bm25_topk(d, query="m n", k=2).to_pandas()
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["n_hit"].tolist() == [2, 2]
+    assert got["score"].iloc[0] == got["score"].iloc[1]
