@@ -366,6 +366,43 @@ SELECT b.tile_id image_id, CAST(count(*) AS BIGINT) n_valid,
        CAST(min(m.eq) AS BIGINT) min_eq, CAST(max(m.eq) AS BIGINT) max_eq
 FROM b JOIN m USING (bin) GROUP BY b.tile_id ORDER BY image_id
 """,
+        # gaps-and-islands: a run breaks at a NaN gap or flag flip because
+        # gc advances strictly more than the within-flag rank (see
+        # stages/stats.rle_stats for the equivalence argument)
+        "rle_stats": f"""
+WITH p AS (SELECT tile_id, gr, gc, z FROM {_PX} WHERE z IS NOT NULL),
+ mm AS (SELECT (min(z) + max(z)) / 2 thr FROM p),
+ f AS (SELECT tile_id, gr, gc, (z >= thr) fl FROM p, mm),
+ i AS (SELECT tile_id, gr, fl,
+              gc - row_number() OVER
+                  (PARTITION BY tile_id, gr, fl ORDER BY gc) isl
+       FROM f),
+ runs AS (SELECT tile_id, CAST(count(*) AS BIGINT) run_len
+          FROM i GROUP BY tile_id, gr, fl, isl)
+SELECT tile_id image_id,
+       CAST(sum(run_len) AS BIGINT) n_valid,
+       CAST(count(*) AS BIGINT) n_runs,
+       CAST(max(run_len) AS BIGINT) max_run
+FROM runs GROUP BY tile_id ORDER BY image_id
+""",
+        # identical-double haversine both sides; first-min tie-break ==
+        # ORDER BY d, nn_id (see pipelines/tile_queries.q_haversine_nn)
+        "haversine_nn": f"""
+WITH g AS (SELECT gauge_id,
+                  (y - 556000.0) / 5000.0 lat,
+                  (x - 340000.0) / 3000.0 lon
+           FROM {_GA}),
+ d AS (SELECT a.gauge_id, b.gauge_id nn_id,
+              2 * 6371.0 * asin(sqrt(
+                  pow(sin((b.lat - a.lat) * pi() / 180 / 2), 2)
+                  + cos(a.lat * pi() / 180) * cos(b.lat * pi() / 180)
+                  * pow(sin((b.lon - a.lon) * pi() / 180 / 2), 2))) d
+       FROM g a JOIN g b ON a.gauge_id <> b.gauge_id),
+ r AS (SELECT *, row_number() OVER
+           (PARTITION BY gauge_id ORDER BY d, nn_id) rk FROM d)
+SELECT gauge_id, nn_id, round(d, 6) dist_km
+FROM r WHERE rk = 1 ORDER BY gauge_id
+""",
         # Otsu 1979, reproduced INDEPENDENTLY in SQL: identical binning
         # expression, HUGEINT cumulative windows, the same one-rounding
         # double score, argmax tie-break ORDER BY score DESC, bin ASC

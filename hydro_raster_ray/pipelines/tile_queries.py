@@ -1234,6 +1234,67 @@ def q_contour_stats(sf_dir: str):
     return contour_stats(ts)
 
 
+def q_rle_stats(sf_dir: str):
+    """Per-tile run-length stats of the global-midpoint binarization;
+    the oracle is an independent SQL gaps-and-islands reproduction
+    (``stages/stats.rle_stats`` documents the island-key equivalence)."""
+    from ..stages.stats import rle_stats
+
+    ts, _ = tiles_for(sf_dir)
+    return rle_stats(ts)
+
+
+def q_haversine_nn(sf_dir: str):
+    """Geodesic nearest-neighbor join: each gauge's closest other gauge
+    by great-circle (haversine) distance on a deterministic lat/lon
+    derived affinely from the projected coordinates. The small side is
+    broadcast once (``ray.put``) and each batch computes a vectorized
+    full-matrix haversine — the brute-force pattern that IS the scale
+    baseline for a result-sized k=1 join (the S2-bucketed join is the
+    partitioned path). Identical double formula both sides, distances in
+    km (ulp ≪ the 6-decimal round); tie-break (dist, neighbor id).
+    Columns: gauge_id, nn_id, dist_km."""
+    import ray as _ray
+    import ray.data
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fdir = fixtures.ensure_fixture_dir(tag)
+    ga = ray.data.read_parquet(os.path.join(fdir, "gauges.parquet"))
+    all_g = ga.to_pandas().sort_values("gauge_id")  # gauge table: small side
+    lat_all = ((all_g["y"].to_numpy(np.float64) - 556000.0) / 5000.0)
+    lon_all = ((all_g["x"].to_numpy(np.float64) - 340000.0) / 3000.0)
+    ref = _ray.put(
+        (all_g["gauge_id"].to_numpy(dtype=object), lat_all, lon_all))
+    pi = np.pi
+
+    def nn(df):
+        gids, blat, blon = _ray.get(ref)
+        lat1 = ((df["y"].to_numpy(np.float64) - 556000.0) / 5000.0)
+        lon1 = ((df["x"].to_numpy(np.float64) - 340000.0) / 3000.0)
+        p1 = lat1 * pi / 180
+        p2 = blat * pi / 180
+        dphi = (blat[None, :] - lat1[:, None]) * pi / 180
+        dlmb = (blon[None, :] - lon1[:, None]) * pi / 180
+        h = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(p1)[:, None] * np.cos(p2)[None, :]
+            * np.sin(dlmb / 2) ** 2
+        )
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(h))
+        me = df["gauge_id"].to_numpy(dtype=object)[:, None] == gids[None, :]
+        d[me] = np.inf
+        j = np.argmin(d, axis=1)  # first-min == smallest id (gids sorted)
+        return pd.DataFrame(
+            {
+                "gauge_id": df["gauge_id"].to_numpy(dtype=object),
+                "nn_id": gids[j],
+                "dist_km": np.round(d[np.arange(len(j)), j], 6),
+            }
+        )
+
+    return ga.map_batches(nn, batch_format="pandas").sort("gauge_id")
+
+
 def q_otsu_threshold(sf_dir: str):
     """Global Otsu binarization threshold + per-tile class stats, integer
     exact end to end; the oracle reproduces the whole bin→histogram→
@@ -1427,6 +1488,8 @@ TILE_QUERIES = {
     "contour_stats": q_contour_stats,
     "hist_equalize_stats": q_hist_equalize,
     "otsu_threshold_stats": q_otsu_threshold,
+    "rle_stats": q_rle_stats,
+    "haversine_nn": q_haversine_nn,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,

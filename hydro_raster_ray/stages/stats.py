@@ -633,6 +633,58 @@ def hist_equalize_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
     return ts.ds.map_batches(remap, batch_format="pyarrow").sort("image_id")
 
 
+def rle_stats(ts: "TileSet") -> "ray.data.Dataset":
+    """Per-tile run-length statistics of the binarization ``z ≥ thr``
+    with ``thr = (zmin + zmax) / 2`` (global midpoint — an exact,
+    order-independent double both sides, unlike a mean).
+
+    A run is a maximal horizontal stretch of same-flag VALID cells: it
+    breaks at a row change, at a NaN gap, and at a flag flip — exactly
+    the islands the SQL oracle's ``gc − row_number() OVER (PARTITION BY
+    tile, row, flag ORDER BY gc)`` gaps-and-islands construction yields
+    (between two same-flag runs the column index advances strictly more
+    than the within-flag rank, so the island key strictly increases).
+
+    Shape: pass 1 is the existing global min/max reduction; pass 2 is one
+    embarrassingly parallel vectorized pass (no exchange). Columns:
+    image_id, n_valid, n_runs, max_run."""
+    gs = global_stats(ts)
+    thr = (float(gs["min"]) + float(gs["max"])) / 2
+    grid = ts.grid
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        ids, nv, nr, mr = [], [], [], []
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            a = arr.astype(np.float64)
+            mask = np.isfinite(a)
+            n_valid = int(mask.sum())
+            if n_valid == 0:
+                continue
+            rr, cc = np.nonzero(mask)
+            fl = a[mask] >= thr
+            brk = (
+                (rr[1:] != rr[:-1])
+                | (cc[1:] != cc[:-1] + 1)
+                | (fl[1:] != fl[:-1])
+            )
+            starts = np.concatenate(([0], np.nonzero(brk)[0] + 1))
+            ends = np.concatenate((starts[1:], [fl.size]))
+            ids.append(info.image_id)
+            nv.append(n_valid)
+            nr.append(int(starts.size))
+            mr.append(int((ends - starts).max()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_valid": pa.array(nv, pa.int64()),
+                "n_runs": pa.array(nr, pa.int64()),
+                "max_run": pa.array(mr, pa.int64()),
+            }
+        )
+
+    return ts.ds.map_batches(per_tile, batch_format="pyarrow").sort("image_id")
+
+
 def otsu_threshold_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
     """Global Otsu threshold (Otsu 1979, public algorithm) as per-tile
     integer class stats.

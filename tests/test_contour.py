@@ -163,3 +163,28 @@ def test_otsu_tie_breaks_to_smallest_bin(ray_session):
     assert got["thresh"].tolist() == [0]
     assert got["n_fg"].tolist() == [2]
     assert got["sum_bin_fg"].tolist() == [6]
+
+
+def test_rle_pencil_case(ray_session):
+    """Hand case, thr=(−1+1)/2=0: row0 [1,1,NaN,1] → runs 2+1 (NaN
+    splits), row1 [−1,−1,1,1] → runs 2+2 → 4 runs, max 2, 7 valid."""
+    z = np.array([[1.0, 1.0, np.nan, 1.0], [-1.0, -1.0, 1.0, 1.0]])
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import rle_stats
+
+    got = rle_stats(ts).to_pandas()
+    assert got["n_valid"].tolist() == [7]
+    assert got["n_runs"].tolist() == [4]
+    assert got["max_run"].tolist() == [2]
+
+
+def test_rle_flag_boundary_is_half_open(ray_session):
+    """z == thr belongs to the upper class (>= thr): [0,0,1,-1] with
+    thr=0 → runs [0,0,1] (all >= 0) then [-1] → 2 runs, max 3."""
+    z = np.array([[0.0, 0.0, 1.0, -1.0]])
+    ts, _ = _one_tile_set(ray_session, z)
+    from hydro_raster_ray.stages.stats import rle_stats
+
+    got = rle_stats(ts).to_pandas()
+    assert got["n_runs"].tolist() == [2]
+    assert got["max_run"].tolist() == [3]

@@ -205,3 +205,39 @@ def test_s2_gauge_join_paths_identical(ray_session):
     )
     assert a["n_gauges"].sum() == 5000
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_haversine_nn_matches_scalar_reference(ray_session):
+    """q_haversine_nn vs an independent scalar ``math``-module brute
+    force over the same gauge fixture (equator anchor: 1 degree of
+    longitude at lat 0 is 6371*pi/180 = 111.195 km — the derived lat/lon
+    here are small, so distances land in that regime)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.pipelines.tile_queries import q_haversine_nn
+
+    got = q_haversine_nn("sf0.001").to_pandas()
+    fdir = fixtures.ensure_fixture_dir("sf0.001")
+    g = pq.read_table(fdir + "/gauges.parquet").to_pandas()
+    lat = ((g["y"] - 556000.0) / 5000.0).tolist()
+    lon = ((g["x"] - 340000.0) / 3000.0).tolist()
+    ids = g["gauge_id"].tolist()
+
+    def hav(i, j):
+        p1, p2 = lat[i] * math.pi / 180, lat[j] * math.pi / 180
+        dp = (lat[j] - lat[i]) * math.pi / 180
+        dl = (lon[j] - lon[i]) * math.pi / 180
+        h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * \
+            math.sin(dl / 2) ** 2
+        return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+    assert len(got) == len(ids)
+    for _, row in got.iterrows():
+        i = ids.index(row["gauge_id"])
+        best = min(
+            (hav(i, j), ids[j]) for j in range(len(ids)) if j != i)
+        assert row["nn_id"] == best[1]
+        assert abs(row["dist_km"] - round(best[0], 6)) < 1e-9
