@@ -1858,6 +1858,10 @@ FROM read_parquet('{F}/witness_media_audio_mulaw.parquet')
 SELECT video_id, frame_idx, mean, std
 FROM read_parquet('{F}/witness_media_frames.parquet')
 """,
+        "media_frame_sample_avi": f"""
+SELECT video_id, frame_idx, mean, std
+FROM read_parquet('{F}/witness_media_frames_avi.parquet')
+""",
         "augment_checks": f"""
 SELECT op, image_id, n_valid, chk
 FROM read_parquet('{F}/witness_augment.parquet')

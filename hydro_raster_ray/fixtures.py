@@ -1785,6 +1785,44 @@ def _ensure_tiff_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_avi_witness(tag: str, out: str) -> None:
+    """media_frame_sample_avi witness (own marker → in-place upgrade).
+
+    The AVI container is LOSSLESS, so the witness computes each sampled
+    frame's features straight from the GENERATOR FORMULA
+    (``avi_fake_frames``) — RIFF walking, bottom-up DIB rows, stride
+    padding and palette are never touched here; their correctness is
+    evidenced independently in ``tests/test_avi.py`` (hand-built streams
+    with pencil-derived row order/stride/palette)."""
+    done = os.path.join(out, "_AVI_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .stages.multimodal import avi_fake_frames
+
+    rows = {"video_id": [], "frame_idx": [], "mean": [], "std": []}
+    for v in range(8):
+        frames = avi_fake_frames(v, 24, 18 + v % 3, 25).astype(np.float64)
+        for k in range(0, 25, 10):
+            a = frames[k]
+            rows["video_id"].append(f"a{v:04d}")
+            rows["frame_idx"].append(k)
+            rows["mean"].append(round(float(a.mean()), 6))
+            rows["std"].append(round(float(a.std()), 6))
+    _write_atomic(
+        pa.table(
+            {
+                "video_id": pa.array(rows["video_id"], pa.string()),
+                "frame_idx": pa.array(rows["frame_idx"], pa.int64()),
+                "mean": pa.array(rows["mean"], pa.float64()),
+                "std": pa.array(rows["std"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_frames_avi.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_wav_witness(tag: str, out: str) -> None:
     """media_audio_features_wav witness (own marker → in-place upgrade).
 
@@ -2066,6 +2104,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_wav_witness(tag, out)
     _ensure_mulaw_witness(tag, out)
     _ensure_tiff_witness(tag, out)
+    _ensure_avi_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

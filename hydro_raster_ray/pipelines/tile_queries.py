@@ -663,6 +663,26 @@ def q_media_frames(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_frames_avi(sf_dir: str):
+    """Every-10th-frame sampling of a REAL-AVI corpus (RIFF chunk walk,
+    bottom-up DIB rows, stride padding, palette — ``avi.py``'s seek
+    path); AVI is lossless so the witness computes each sampled frame
+    straight from the generator formula (fixtures._ensure_avi_witness)."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_avis(8, 24, 18, 25))
+    out = multimodal.sample_frames(ds, every_n=10, concurrency=2, batch_size=4)
+
+    def rnd(df):
+        for c in ("mean", "std"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_augment_checks(sf_dir: str):
     """Per-image flip/rot90 augmentation verified by an ORIENTATION-
     SENSITIVE positional checksum (plain stats are flip-invariant); all
@@ -1506,6 +1526,7 @@ TILE_QUERIES = {
     "media_audio_features": q_media_audio,
     "media_audio_features_wav": q_media_audio_wav,
     "media_audio_features_mulaw": q_media_audio_mulaw,
+    "media_frame_sample_avi": q_media_frames_avi,
     "media_frame_sample": q_media_frames,
     "media_frame_motion": q_media_frame_motion,
     "augment_checks": q_augment_checks,

@@ -43,6 +43,8 @@ __all__ = [
     "make_fake_gifs",
     "make_fake_tiffs",
     "tiff_fake_plane",
+    "make_fake_avis",
+    "avi_fake_frames",
     "augment_tiles",
     "audio_features",
     "audio_spectral_features",
@@ -174,6 +176,15 @@ class MediaCodec:
             if len(view) != sz:
                 raise ValueError(f"frame {frame_idx} out of range for payload")
             return np.frombuffer(view, dtype=np.uint8).astype(np.float64).reshape(h, w)
+        if fmt == "avi":
+            from ..avi import avi_decode_frame
+
+            a = avi_decode_frame(buf, frame_idx)
+            if a.shape[0] != h or a.shape[1] != w:
+                raise ValueError(
+                    f"avi frame is {a.shape[:2]}, row metadata says {(h, w)}"
+                )
+            return a.astype(np.float64)
         raise NotImplementedError(
             f"{fmt} frame decode requires ffmpeg/av, not available here; "
             "plug a real codec into MediaCodec.decode_frame"
@@ -192,6 +203,15 @@ class MediaCodec:
             if len(buf) % sz:
                 raise ValueError("payload length is not a whole frame count")
             return np.frombuffer(buf, dtype=np.uint8).reshape(-1, h, w)
+        if fmt == "avi":
+            from ..avi import avi_decode
+
+            cube, _info = avi_decode(buf)
+            if cube.shape[1] != h or cube.shape[2] != w:
+                raise ValueError(
+                    f"avi frames are {cube.shape[1:3]}, metadata says {(h, w)}"
+                )
+            return cube
         raise NotImplementedError(
             f"{fmt} video decode requires ffmpeg/av, not available here; "
             "plug a real codec into MediaCodec.decode_video"
@@ -448,6 +468,44 @@ def make_fake_videos(n_videos: int, h: int, w: int, n_frames: int) -> pa.Table:
             "w": pa.array([w] * n_videos, pa.int32()),
             "n_frames": pa.array([n_frames] * n_videos, pa.int32()),
             "fmt": pa.array(["rawv-u8"] * n_videos, pa.string()),
+        }
+    )
+
+
+def avi_fake_frames(v: int, h: int, w: int, n_frames: int) -> np.ndarray:
+    """Truth frames for ``make_fake_avis`` video ``v`` (pure formula,
+    shared by generator and witness): frame k is the uint8 plane
+    ``(5·col + 3·row + 17·k + 29·v) mod 256``."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        ((5 * xx + 3 * yy + 17 * k + 29 * v) % 256).astype(np.uint8)
+        for k in range(n_frames)
+    ])
+
+
+def make_fake_avis(n_videos: int, h: int, w: int, n_frames: int) -> pa.Table:
+    """Deterministic REAL-avi video table: ``avi_fake_frames`` muxed with
+    the engine's RIFF writer (``avi.avi_encode`` — bottom-up DIB rows,
+    4-byte stride, 8-bit gray palette, idx1). Widths vary (``w + v%3``)
+    so the stride-padding path is exercised. Lossless container, so truth
+    IS the formula frame. Pure formula, no RNG."""
+    from ..avi import avi_encode
+
+    ids, bufs, hs, ws = [], [], [], []
+    for v in range(n_videos):
+        wv = w + v % 3
+        bufs.append(avi_encode(avi_fake_frames(v, h, wv, n_frames)))
+        ids.append(f"a{v:04d}")
+        hs.append(h)
+        ws.append(wv)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "n_frames": pa.array([n_frames] * n_videos, pa.int32()),
+            "fmt": pa.array(["avi"] * n_videos, pa.string()),
         }
     )
 

@@ -431,3 +431,26 @@ def test_tiff_metadata_mismatch_raises():
     buf = tiff_encode(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError):
         codec.decode(buf, 5, 4, "tiff")
+
+
+def test_fake_avis_decode_matches_formula(ray_session):
+    """MediaCodec fmt='avi' seek path on the variant-width corpus must
+    reproduce the generator formula frames exactly (lossless container),
+    and decode_video must agree with per-frame seeks."""
+    from hydro_raster_ray.stages.multimodal import (
+        avi_fake_frames,
+        make_fake_avis,
+    )
+
+    t = make_fake_avis(4, 24, 18, 7)
+    codec = MediaCodec()
+    for i in range(t.num_rows):
+        wv = int(t["w"][i].as_py())
+        want = avi_fake_frames(i, 24, wv, 7)
+        buf = t["bytes"][i].as_py()
+        cube = codec.decode_video(buf, 24, wv, "avi")
+        np.testing.assert_array_equal(cube, want)
+        for k in (0, 3, 6):
+            np.testing.assert_array_equal(
+                codec.decode_frame(buf, 24, wv, "avi", k),
+                want[k].astype(np.float64))
