@@ -364,6 +364,22 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         hist_equalize_stats(ts).count()
 
+    # EP22: global Otsu threshold (stats + hist + classify passes — the
+    # same 3-pass profile as ep16 with an argmax driver step)
+    def ep22_otsu():
+        from hydro_raster_ray.stages.stats import otsu_threshold_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        otsu_threshold_stats(ts).count()
+
+    # EP23: per-tile RLE of the midpoint binarization (stats pass + one
+    # exchange-free vectorized pass)
+    def ep23_rle():
+        from hydro_raster_ray.stages.stats import rle_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        rle_stats(ts).count()
+
     # EP19: Sobel edge magnitude — single strict-window halo pass
     def ep19_sobel():
         from hydro_raster_ray.stages.sobel import sobel_magnitude
@@ -561,6 +577,7 @@ def run_bench() -> dict:
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
         ep17_morph_open, ep18_distance, ep19_sobel, ep20_pyramid, ep21_lbp,
+        ep22_otsu, ep23_rle,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]

@@ -7,9 +7,9 @@ frame-sample run as actor-pool ``map_batches`` stages.
 
 The media codec libraries (Pillow, opencv, ffmpeg) are NOT in this
 container, so the codec boundary is isolated in ``MediaCodec``. PNG,
-baseline JPEG, GIF and WAV decode FOR REAL via the engine's own
-pure-stdlib codecs
-(``png.py``, ``jpeg.py``, ``gif.py``), as do the ``raw-*``/``qlossy``/``pcm16le``/
+baseline JPEG, GIF, TIFF, WAV, G.711 mu-law and AVI decode FOR REAL via
+the engine's own pure-stdlib codecs (``png.py``, ``jpeg.py``, ``gif.py``,
+``tiff.py``, ``avi.py``), as do the ``raw-*``/``qlossy``/``pcm16le``/
 ``rawv-u8`` formats and the deterministic ``fake-*`` formats; formats
 that genuinely require a native library (mp3, mp4/webm) raise
 ``NotImplementedError`` — the Ray-side plumbing (schema, batch size,
@@ -70,6 +70,11 @@ class MediaCodec:
       4:2:2 / 4:2:0, restart markers; progressive raises.
     - ``gif``: REAL decode via the pure-stdlib codec (``gif.py``) —
       variable-width LZW, global/local palettes, interlace; first frame.
+    - ``tiff``: REAL decode via the pure-stdlib codec (``tiff.py``) —
+      strips, LZW (EarlyChange) / PackBits / none, predictor, II and MM
+      byte orders, 8/16-bit gray and RGB.
+    - video ``avi`` (see ``decode_frame``/``decode_video``): REAL RIFF
+      demux via ``avi.py`` — bottom-up DIB rows, stride padding, palette.
     """
 
     def decode(self, buf, h: int, w: int, fmt: str) -> np.ndarray:
