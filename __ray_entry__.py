@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_zscore_outliers"] = relational.events_zscore_outliers
     q["events_rfm"] = relational.events_rfm
     q["events_path_trigrams"] = relational.events_path_trigrams
+    q["events_gap_quantiles"] = relational.events_gap_quantiles
     q["customer_order_distribution"] = relational.customer_order_distribution
     q["top_supplier_revenue"] = relational.top_supplier_revenue
     q["small_quantity_revenue"] = relational.small_quantity_revenue
@@ -814,6 +815,28 @@ SELECT CAST(doc_id AS BIGINT) doc_id,
        CAST(sum(s) AS BIGINT) score
 FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20
+""",
+        # consecutive-event deltas under the (ts, event_id) total order;
+        # exact type-1 quantiles in INTEGER rank arithmetic (the
+        # doc_len_quantiles convention)
+        "events_gap_quantiles": """
+WITH e AS (SELECT event_type, epoch_us(ts) us, event_id FROM events),
+ g AS (SELECT event_type,
+              us - lag(us) OVER
+                  (PARTITION BY event_type ORDER BY us, event_id) gap
+       FROM e),
+ v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+ r AS (SELECT event_type, gap,
+              row_number() OVER (PARTITION BY event_type ORDER BY gap) rn,
+              count(*) OVER (PARTITION BY event_type) m
+       FROM v)
+SELECT event_type, CAST(max(m) AS BIGINT) n_gaps,
+       CAST(max(CASE WHEN rn = (1 * m + 1) // 2 THEN gap END)
+            AS BIGINT) p50_us,
+       CAST(max(CASE WHEN rn = (9 * m + 9) // 10 THEN gap END)
+            AS BIGINT) p90_us,
+       CAST(max(gap) AS BIGINT) max_us
+FROM r GROUP BY event_type
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -53,6 +53,7 @@ __all__ = [
     "min_cost_supplier",
     "important_part_value",
     "dominant_part_suppliers",
+    "events_gap_quantiles",
 ]
 
 
@@ -3219,3 +3220,49 @@ def dominant_part_suppliers(
     # (possible for a nation with no dominant supplier) and the result
     # is a set — the driver compare is order-insensitive.
     return sks.map_batches(attach, batch_format="pandas")
+
+
+def events_gap_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Inter-event gap distribution per event type: consecutive-event
+    deltas in integer MICROSECONDS under the (ts, event_id) total order
+    (the ``events_path_trigrams`` ordering contract), summarized as exact
+    type-1 quantiles with the ``doc_len_quantiles`` INTEGER rank
+    arithmetic — rank = (num·m + num)//den — so DECIMAL-vs-IEEE ceil
+    divergence can't occur.
+
+    Distribution: ``groupby(event_type).map_groups`` co-locates each
+    type's history (partitioning assumption: one type's event stream fits
+    a task; beyond that, bucket by (type, day) and merge per-bucket gap
+    multisets — gaps crossing bucket edges are day-boundary rows, a
+    border-scale fixup). Per-group kernel is one lexsort + diff.
+    Columns: event_type, n_gaps, p50_us, p90_us, max_us."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
+    )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us))
+        g = np.diff(us[order])
+        if g.size == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "p50_us": pd.Series([], dtype=np.int64),
+                 "p90_us": pd.Series([], dtype=np.int64),
+                 "max_us": pd.Series([], dtype=np.int64)}
+            )
+        g = np.sort(g)
+        m = g.size
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_gaps": [np.int64(m)],
+                "p50_us": [np.int64(g[(1 * m + 1) // 2 - 1])],
+                "p90_us": [np.int64(g[(9 * m + 9) // 10 - 1])],
+                "max_us": [np.int64(g[-1])],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(gaps, batch_format="pandas")

@@ -506,3 +506,35 @@ def test_brand_supplier_counts_hand_case(tmp_path, ray_session):
     assert got["p_brand"].tolist() == ["A"]
     assert got["n_suppliers"].tolist() == [2]
     assert got["n_lines"].tolist() == [4]
+
+
+def test_events_gap_quantiles_pencil(tmp_path, ray_session):
+    """Hand case, one type, timestamps at 0,1,3,6,10 s → gaps (µs)
+    [1,2,3,4]e6 sorted; m=4: p50 rank (4+1)//2=2 → 2e6; p90 rank
+    (36+9)//10=4 → 4e6; duplicate-ts events order by event_id."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import events_gap_quantiles
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+         "2024-01-01 00:00:03", "2024-01-01 00:00:06",
+         "2024-01-01 00:00:10"])
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5, pa.string()),
+            "value": pa.array([0.0] * 5, pa.float64()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = events_gap_quantiles(str(tmp_path)).to_pandas()
+    assert got["n_gaps"].tolist() == [4]
+    assert got["p50_us"].tolist() == [2_000_000]
+    assert got["p90_us"].tolist() == [4_000_000]
+    assert got["max_us"].tolist() == [4_000_000]
