@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cluster_doc_stats"] = ann.cluster_doc_stats
     q["emb_semdedup"] = ann.semdedup
     q["ann_lsh_topk"] = ann.lsh_topk
+    q["emb_jl_project"] = ann.jl_project
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -837,6 +838,22 @@ SELECT event_type, CAST(max(m) AS BIGINT) n_gaps,
             AS BIGINT) p90_us,
        CAST(max(gap) AS BIGINT) max_us
 FROM r GROUP BY event_type
+""",
+        # deterministic ±1 JL sign matrix from pure integer arithmetic;
+        # one rounded double per (vec, dim) — see text/ann.jl_project
+        "emb_jl_project": """
+WITH e AS (SELECT vec_id, unnest(embedding) x,
+                  generate_subscripts(embedding, 1) i
+           FROM embeddings),
+ dims AS (SELECT unnest([0, 1, 2, 3]) j),
+ s AS (SELECT i, j,
+              CASE WHEN (i * 2654435761 + j * 40503) % 97 < 48
+                   THEN 1.0 ELSE -1.0 END sgn
+       FROM (SELECT DISTINCT i FROM e), dims)
+SELECT CAST(e.vec_id AS BIGINT) vec_id, CAST(s.j AS BIGINT) dim,
+       round(sum(CAST(e.x AS DOUBLE) * s.sgn) / sqrt(4.0), 6) v
+FROM e JOIN s USING (i)
+GROUP BY e.vec_id, s.j
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -37,6 +37,7 @@ __all__ = [
     "cluster_doc_stats",
     "semdedup",
     "lsh_topk",
+    "jl_project",
 ]
 
 
@@ -1090,3 +1091,41 @@ def cluster_doc_stats(
             _Sum("n_en", alias_name="n_en"),
         )
     )
+
+
+def jl_project(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Johnson-Lindenstrauss random-sign projection (Achlioptas 2003's
+    database-friendly ±1 variant, public): y = X·S / √k with a
+    DETERMINISTIC sign matrix — component i (1-based), output dim j gets
+    sign +1 iff ``(i·2654435761 + j·40503) mod 97 < 48`` (pure integer
+    arithmetic, reproducible in SQL; the two odd multipliers feed a prime
+    modulus so the pattern is not a rank-degenerate parity checkerboard).
+
+    The projection is the standard sketch in front of any distance-based
+    stage (dedup, clustering, ANN): JL guarantees pairwise distances are
+    preserved within 1±ε for k = O(log n / ε²). Embarrassingly parallel —
+    one map_batches, the sign matrix is built once per batch from the
+    formula (no state to ship). Float contract: inputs are float32-exact
+    doubles, products are summed once per (vec, dim) and rounded to 6
+    decimals — the sum-order discrepancy (~1e-14) is far below the
+    rounding quantum. Long format: vec_id, dim, v."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    sqk = float(np.sqrt(float(k)))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        x = _batch_matrix(df)
+        dim = x.shape[1]
+        i = np.arange(1, dim + 1, dtype=np.int64)[:, None]
+        j = np.arange(k, dtype=np.int64)[None, :]
+        s = np.where((i * 2654435761 + j * 40503) % 97 < 48, 1.0, -1.0)
+        y = np.round(x @ s / sqk, 6)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(df["vec_id"].to_numpy(np.int64), k),
+                "dim": np.tile(np.arange(k, dtype=np.int64), n),
+                "v": y.ravel(),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pandas")

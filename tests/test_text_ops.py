@@ -1283,3 +1283,32 @@ def test_bm25_multi_term_and_boundary_order(tmp_path):
     assert got["doc_id"].tolist() == [0, 1]
     assert got["n_hit"].tolist() == [2, 2]
     assert got["score"].iloc[0] == got["score"].iloc[1]
+
+
+def test_jl_project_pencil(tmp_path):
+    """Scalar reproduction of the sign formula on a 4-dim embedding, and
+    a degeneracy check: the prime-modulus signs must NOT be the parity
+    checkerboard (which would make dims j and j+2 identical)."""
+    from hydro_raster_ray.text import ann
+
+    emb = [[1.0, 2.0, 3.0, 4.0], [0.5, -0.5, 0.25, -0.25]]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array([0, 1], pa.int64()),
+        }),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    got = ann.jl_project(str(tmp_path), k=4).to_pandas().sort_values(
+        ["vec_id", "dim"]).reset_index(drop=True)
+
+    def sgn(i, j):
+        return 1.0 if (i * 2654435761 + j * 40503) % 97 < 48 else -1.0
+
+    signs = np.array([[sgn(i, j) for j in range(4)] for i in range(1, 5)])
+    assert not np.array_equal(signs[:, 0], signs[:, 2])  # not checkerboard
+    x = np.array(emb, np.float32).astype(np.float64)
+    want = np.round(x @ signs / 2.0, 6)
+    np.testing.assert_allclose(
+        got["v"].to_numpy().reshape(2, 4), want, atol=1e-12)
