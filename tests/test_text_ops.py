@@ -1306,8 +1306,14 @@ def test_jl_project_pencil(tmp_path):
     def sgn(i, j):
         return 1.0 if (i * 2654435761 + j * 40503) % 97 < 48 else -1.0
 
+    # degeneracy check at the REAL embedding width: a parity-checkerboard
+    # sign scheme (the mod-2 trap) would make columns j and j+2 identical
+    # for ALL i — the prime modulus must not (4-row coincidences are fine)
+    big = np.array([[sgn(i, j) for j in range(4)] for i in range(1, 65)])
+    assert not np.array_equal(big[:, 0], big[:, 2])
+    assert not np.array_equal(big[:, 1], big[:, 3])
+
     signs = np.array([[sgn(i, j) for j in range(4)] for i in range(1, 5)])
-    assert not np.array_equal(signs[:, 0], signs[:, 2])  # not checkerboard
     x = np.array(emb, np.float32).astype(np.float64)
     want = np.round(x @ signs / 2.0, 6)
     np.testing.assert_allclose(
