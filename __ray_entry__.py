@@ -552,7 +552,23 @@ FROM t
 SELECT image_id, group_id
 FROM read_parquet('{F}/witness_phash_near.parquet')
 """,
-        "zonal_majority": f"""
+                "zonal_crosstab": f"""
+WITH px AS (
+  SELECT p.gr, p.gc, p.z, max(zz.feature_id) f
+  FROM {_PX} p JOIN {_ZO} zz
+    ON p.x >= zz.xmin AND p.x <= zz.xmax AND p.y >= zz.ymin AND p.y <= zz.ymax
+  WHERE p.z IS NOT NULL
+  GROUP BY p.gr, p.gc, p.z),
+ b AS (
+  SELECT z3.id AS zone,
+         (px.z >= -30.0)::INT + (px.z >= -10.0)::INT + (px.z >= 0.0)::INT
+           + (px.z >= 10.0)::INT + (px.z >= 30.0)::INT AS bin
+  FROM px JOIN {_ZO} z3 ON z3.feature_id = px.f)
+SELECT CAST(zone AS BIGINT) AS zone, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY zone, bin
+""",
+"zonal_majority": f"""
 WITH px AS (
   SELECT p.gr, p.gc, p.z, max(zz.feature_id) f
   FROM {_PX} p JOIN {_ZO} zz

@@ -167,6 +167,16 @@ def q_zonal_majority(sf_dir: str):
     return zm.map_batches(final, batch_format="pandas")
 
 
+def q_zonal_crosstab(sf_dir: str):
+    """Zone × class contingency counts (Tabulate-Area): full (zone, bin)
+    table under the rankshow breaks — the categorical complement the
+    majority statistic argmaxes over."""
+    ts, scheme = tiles_for(sf_dir)
+    feats = fixtures.rect_zone_features(scheme)
+    return stats.zonal_crosstab(ts, feats, fixtures.CLASSIFY_BREAKS,
+                                attribute="id")
+
+
 def q_voronoi_counts(sf_dir: str):
     ts, _ = tiles_for(sf_dir)
     vc = voronoi_counts(ts, _gauges(sf_dir))
@@ -1510,6 +1520,7 @@ TILE_QUERIES = {
     "otsu_threshold_stats": q_otsu_threshold,
     "rle_stats": q_rle_stats,
     "haversine_nn": q_haversine_nn,
+    "zonal_crosstab": q_zonal_crosstab,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,

@@ -484,6 +484,53 @@ def zonal_majority(ts: TileSet, features, breaks, attribute="id"):
     single-block argmax. Ties break to the SMALLEST bin (SQL
     ``row_number ... ORDER BY n DESC, bin`` parity). Columns: zone,
     maj_bin, n_maj, n_total."""
+    counts = _zone_bin_counts(ts, features, breaks, attribute)
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["zone", "n", "bin"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        tot = df.groupby("zone", as_index=False).agg(n_total=("n", "sum"))
+        top = df.drop_duplicates("zone", keep="first")
+        out = top.merge(tot, on="zone")
+        return pd.DataFrame(
+            {
+                "zone": out["zone"].astype(np.float64),
+                "maj_bin": out["bin"].astype(np.int64),
+                "n_maj": out["n"].astype(np.int64),
+                "n_total": out["n_total"].astype(np.int64),
+            }
+        )
+
+    # |zones|·|bins| rows total: one block, one exact argmax pass
+    return counts.repartition(1).map_batches(
+        majority, batch_format="pandas", batch_size=None
+    )
+
+
+def zonal_crosstab(ts: TileSet, features, breaks, attribute="id"):
+    """Zone × class contingency table (ArcGIS "Tabulate Area" /
+    landcover-per-catchment crosstab): the full (zone, bin, n) counts the
+    majority statistic argmaxes over — same broadcast-burn + single
+    bincount partials + |zones|·|bins|-bounded groupby shape as
+    ``zonal_majority``. Pure integer counts. Columns: zone, bin, n."""
+    counts = _zone_bin_counts(ts, features, breaks, attribute)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone": df["zone"].astype(np.int64),
+                "bin": df["bin"].astype(np.int64),
+                "n": df["n"].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(final, batch_format="pandas")
+
+
+def _zone_bin_counts(ts: TileSet, features, breaks, attribute="id"):
+    """Shared (zone, bin) count reduction for the categorical zonal
+    statistics (majority, crosstab)."""
     ref = _features_ref(features)
     grid = ts.grid
     breaks = list(breaks)
@@ -516,32 +563,12 @@ def zonal_majority(ts: TileSet, features, breaks, attribute="id"):
             }
         )
 
-    counts = (
+    return (
         ts.ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
         .groupby(["zone", "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def majority(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["zone", "n", "bin"], ascending=[True, False, True]
-        ).reset_index(drop=True)
-        tot = df.groupby("zone", as_index=False).agg(n_total=("n", "sum"))
-        top = df.drop_duplicates("zone", keep="first")
-        out = top.merge(tot, on="zone")
-        return pd.DataFrame(
-            {
-                "zone": out["zone"].astype(np.float64),
-                "maj_bin": out["bin"].astype(np.int64),
-                "n_maj": out["n"].astype(np.int64),
-                "n_total": out["n_total"].astype(np.int64),
-            }
-        )
-
-    # |zones|·|bins| rows total: one block, one exact argmax pass
-    return counts.repartition(1).map_batches(
-        majority, batch_format="pandas", batch_size=None
-    )
 
 def hist_equalize_stats(ts: "TileSet", nbins: int = 256) -> "ray.data.Dataset":
     """Global histogram equalization (the classic image contrast remap —

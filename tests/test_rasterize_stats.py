@@ -220,3 +220,25 @@ def test_exact_quantiles_duckdb_parity(tileset):
         "SELECT quantile_disc(z,0.1), quantile_disc(z,0.5), quantile_disc(z,0.9) FROM t"
     ).fetchone()
     assert (got[0.1], got[0.5], got[0.9]) == want
+
+
+def test_zonal_crosstab_sums_match_majority(ray_session, small_scheme):
+    """The crosstab is the table the majority argmaxes over: per zone,
+    sum(n) == n_total and max row == (maj_bin, n_maj)."""
+    from hydro_raster_ray import fixtures
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.stats import zonal_crosstab, zonal_majority
+
+    ts = from_arrow_tiles(fixtures.tiles_table(small_scheme), small_scheme)
+    feats = fixtures.rect_zone_features(small_scheme)
+    ct = zonal_crosstab(
+        ts, feats, fixtures.CLASSIFY_BREAKS, attribute="id").to_pandas()
+    mj = zonal_majority(
+        ts, feats, fixtures.CLASSIFY_BREAKS, attribute="id").to_pandas()
+    for _, row in mj.iterrows():
+        z = ct[ct["zone"] == int(row["zone"])]
+        assert z["n"].sum() == row["n_total"]
+        best = z.sort_values(["n", "bin"],
+                             ascending=[False, True]).iloc[0]
+        assert best["bin"] == row["maj_bin"]
+        assert best["n"] == row["n_maj"]

@@ -1084,13 +1084,13 @@ def test_lsh_topk_contract():
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
 
 
-def _write_docs(tmp_path, texts, langs=None, n_chars=None):
+def _write_docs(tmp_path, texts, langs=None, n_chars=None, sources=None):
     n = len(texts)
     pq.write_table(pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(texts),
         "lang": pa.array(langs or ["en"] * n),
-        "source": pa.array(["t"] * n),
+        "source": pa.array(sources or ["t"] * n),
         "n_chars": pa.array(n_chars or [len(t) for t in texts], pa.int64()),
     }), os.path.join(tmp_path, "documents.parquet"))
     return str(tmp_path)
@@ -1196,21 +1196,6 @@ def test_events_cumulative_distinct_first_seen(tmp_path):
         "2024-01-01", "2024-01-02", "2024-01-03"]
     assert got["new_users"].tolist() == [1, 1, 2]
     assert got["cum_users"].tolist() == [1, 2, 4]
-
-
-def _write_docs(tmp_path, texts, sources=None):
-    n = len(texts)
-    pq.write_table(
-        pa.table({
-            "doc_id": pa.array(range(n), pa.int64()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(["en"] * n, pa.string()),
-            "source": pa.array(sources or ["s0"] * n, pa.string()),
-            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-        }),
-        os.path.join(tmp_path, "documents.parquet"),
-    )
-    return str(tmp_path)
 
 
 def test_heavy_hitters_pencil_and_guard(tmp_path):
