@@ -1894,7 +1894,11 @@ FROM read_parquet('{F}/witness_reproject_epsg2157.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_flowlen.parquet')
 """,
-        "strahler_stats": f"""
+                "viewshed_coverage": f"""
+SELECT obs_id, n_cells, n_visible, sum_vis_z
+FROM read_parquet('{F}/witness_viewshed.parquet')
+""",
+"strahler_stats": f"""
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_strahler.parquet')
 """,

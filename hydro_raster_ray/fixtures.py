@@ -1823,6 +1823,90 @@ def _ensure_avi_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_viewshed_witness(tag: str, out: str) -> None:
+    """viewshed_coverage witness (own marker → in-place upgrade).
+
+    SCALAR reproduction of the R3 spec in ``stages/viewshed.py``'s module
+    docstring: per target a plain per-sample Python loop, bilinear with
+    the same expression (a zero-weight NaN corner poisons the sample both
+    sides), strict-< blocking, observed over the whole assembled truth
+    grid — no window gather, no vectorized fancy-indexing."""
+    done = os.path.join(out, "_VIEWSHED_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    import pyarrow.parquet as _pq
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    g = scheme.grid
+    ga = _pq.read_table(os.path.join(out, "gauges.parquet")).to_pandas()
+    from .grid import map2sub
+
+    R, mast = 12, 2.0
+    rows = {"obs_id": [], "n_cells": [], "n_visible": [], "sum_vis_z": []}
+    for _, o in ga.iterrows():
+        orow, ocol = map2sub(float(o["x"]), float(o["y"]), g)
+        orow, ocol = int(orow), int(ocol)
+        if not (0 <= orow < g.nrows and 0 <= ocol < g.ncols):
+            continue
+        if not np.isfinite(full[orow, ocol]):
+            continue
+        z_o = full[orow, ocol] + mast
+        n_cells = n_vis = 0
+        s_vis = 0.0
+        for tr in range(max(0, orow - R), min(g.nrows, orow + R + 1)):
+            for tc in range(max(0, ocol - R), min(g.ncols, ocol + R + 1)):
+                dr, dc = tr - orow, tc - ocol
+                if dr * dr + dc * dc > R * R or (dr == 0 and dc == 0):
+                    continue
+                if not np.isfinite(full[tr, tc]):
+                    continue
+                n_cells += 1
+                dist = np.sqrt(float(tr - orow) ** 2.0
+                               + float(tc - ocol) ** 2.0)
+                tslope = (full[tr, tc] - z_o) / dist
+                n = max(abs(dr), abs(dc))
+                vis = True
+                for k in range(1, n):
+                    t = k / n
+                    fr = orow + (tr - orow) * t
+                    fc = ocol + (tc - ocol) * t
+                    r0, c0 = int(np.floor(fr)), int(np.floor(fc))
+                    r1 = min(r0 + 1, g.nrows - 1)
+                    c1 = min(c0 + 1, g.ncols - 1)
+                    wr, wc = fr - r0, fc - c0
+                    zi = (full[r0, c0] * (1 - wr) * (1 - wc)
+                          + full[r0, c1] * (1 - wr) * wc
+                          + full[r1, c0] * wr * (1 - wc)
+                          + full[r1, c1] * wr * wc)
+                    d = np.sqrt((fr - orow) ** 2 + (fc - ocol) ** 2)
+                    s = (zi - z_o) / d
+                    if np.isfinite(s) and s >= tslope:
+                        vis = False
+                        break
+                if vis:
+                    n_vis += 1
+                    s_vis += full[tr, tc]
+        rows["obs_id"].append(str(o["gauge_id"]))
+        rows["n_cells"].append(n_cells)
+        rows["n_visible"].append(n_vis)
+        rows["sum_vis_z"].append(round(float(s_vis), 2))
+    _write_atomic(
+        pa.table(
+            {
+                "obs_id": pa.array(rows["obs_id"], pa.string()),
+                "n_cells": pa.array(rows["n_cells"], pa.int64()),
+                "n_visible": pa.array(rows["n_visible"], pa.int64()),
+                "sum_vis_z": pa.array(rows["sum_vis_z"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_viewshed.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_wav_witness(tag: str, out: str) -> None:
     """media_audio_features_wav witness (own marker → in-place upgrade).
 
@@ -2105,6 +2189,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_mulaw_witness(tag, out)
     _ensure_tiff_witness(tag, out)
     _ensure_avi_witness(tag, out)
+    _ensure_viewshed_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

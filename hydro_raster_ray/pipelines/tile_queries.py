@@ -167,6 +167,22 @@ def q_zonal_majority(sf_dir: str):
     return zm.map_batches(final, batch_format="pandas")
 
 
+def q_viewshed(sf_dir: str):
+    """Bounded-radius multi-observer R3 viewshed (gauges as towers, R=12,
+    2 m mast): per-observer disk gather → vectorized line-of-sight; the
+    witness is an independent SCALAR per-sample loop over the assembled
+    truth grid (fixtures._ensure_viewshed_witness)."""
+    from ..stages.viewshed import viewshed_stats
+
+    ts, _ = tiles_for(sf_dir)
+    g = _gauges(sf_dir)
+    observers = [
+        {"obs_id": gid, "x": x, "y": y}
+        for gid, x, y in zip(g["gauge_id"], g["x"], g["y"])
+    ]
+    return viewshed_stats(ts, observers, radius_cells=12, mast=2.0)
+
+
 def q_zonal_crosstab(sf_dir: str):
     """Zone × class contingency counts (Tabulate-Area): full (zone, bin)
     table under the rankshow breaks — the categorical complement the
@@ -1521,6 +1537,7 @@ TILE_QUERIES = {
     "rle_stats": q_rle_stats,
     "haversine_nn": q_haversine_nn,
     "zonal_crosstab": q_zonal_crosstab,
+    "viewshed_coverage": q_viewshed,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,
