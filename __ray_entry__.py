@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_semdedup"] = ann.semdedup
     q["ann_lsh_topk"] = ann.lsh_topk
     q["emb_jl_project"] = ann.jl_project
+    q["emb_hard_negatives"] = ann.hard_negatives
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -870,6 +871,20 @@ SELECT CAST(e.vec_id AS BIGINT) vec_id, CAST(s.j AS BIGINT) dim,
        round(sum(CAST(e.x AS DOUBLE) * s.sgn) / sqrt(4.0), 6) v
 FROM e JOIN s USING (i)
 GROUP BY e.vec_id, s.j
+""",
+        # argmax over different-label cosine sims; tie-break (sim DESC,
+        # neg_id) == np.argmax first-max on id-sorted columns — see
+        # text/ann.hard_negatives for the float-tie caveat
+        "emb_hard_negatives": """
+WITH p AS (SELECT a.vec_id, b.vec_id nid,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) sim
+           FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+ r AS (SELECT vec_id, nid, sim, row_number() OVER
+           (PARTITION BY vec_id ORDER BY sim DESC, nid) rk FROM p)
+SELECT CAST(vec_id AS BIGINT) vec_id, CAST(nid AS BIGINT) neg_id,
+       round(sim, 6) sim
+FROM r WHERE rk = 1
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -38,6 +38,7 @@ __all__ = [
     "semdedup",
     "lsh_topk",
     "jl_project",
+    "hard_negatives",
 ]
 
 
@@ -1129,3 +1130,47 @@ def jl_project(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def hard_negatives(sf_dir: str) -> "ray.data.Dataset":
+    """Hard-negative mining (the metric-learning/contrastive-training
+    staple): for every vector, the most cosine-similar vector with a
+    DIFFERENT label — the pair a triplet-loss pipeline feeds as its
+    hardest negative.
+
+    Scale shape: the corpus matrix broadcasts ONCE via ``ray.put``
+    (id-sorted with labels) and each batch runs one normalized gemm
+    against it — the ``brute_force_topk`` baseline pattern; the IVF
+    bucket index is the scale path when the corpus side outgrows a
+    broadcast (mine within probed buckets, union, re-argmax). Tie-break
+    contract: ``np.argmax`` over id-sorted columns — first max wins, i.e.
+    the MIN neg_id on an exact tie; the SQL oracle pins the same rule.
+    Residual caveat (the ``cluster_doc_stats`` convention): gemm vs
+    ``list_cosine_similarity`` float paths may disagree on exact ties;
+    the shipped fixtures are tie-free. Columns: vec_id, neg_id, sim."""
+    ds = read_embeddings(sf_dir)
+    allp = ds.to_pandas().sort_values("vec_id")  # embedding table: the
+    # broadcast side of the baseline (see docstring for the IVF path)
+    m = np.stack(allp["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((allp["vec_id"].to_numpy(np.int64),
+                   allp["label"].to_numpy(np.int64), m))
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        ids, labels, mat = ray.get(ref)
+        x = _batch_matrix(df)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ mat.T
+        same = (df["label"].to_numpy(np.int64)[:, None]
+                == labels[None, :])
+        sims[same] = -np.inf  # excludes self too (same label)
+        j = np.argmax(sims, axis=1)  # first max == min neg_id (sorted)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "neg_id": ids[j],
+                "sim": np.round(sims[np.arange(len(j)), j], 6),
+            }
+        )
+
+    return ds.map_batches(mine, batch_format="pandas").sort("vec_id")

@@ -1303,3 +1303,28 @@ def test_jl_project_pencil(tmp_path):
     want = np.round(x @ signs / 2.0, 6)
     np.testing.assert_allclose(
         got["v"].to_numpy().reshape(2, 4), want, atol=1e-12)
+
+
+def test_hard_negatives_pencil(tmp_path):
+    """Hand case: v0 (label 0) vs {v1: identical direction but label 0 —
+    excluded; v2: label 1, sim 1.0 (same direction); v3: label 1,
+    orthogonal}. Hardest negative of v0 is v2 with sim 1.0; of v3 it is
+    v0 or v2 equally (sim 0.0) → tie breaks to the SMALLEST id (v0)."""
+    from hydro_raster_ray.text import ann
+
+    emb = [[1.0, 0.0], [2.0, 0.0], [3.0, 0.0], [0.0, 1.0]]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1], pa.int64()),
+        }),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    got = ann.hard_negatives(str(tmp_path)).to_pandas()
+    by = {int(r.vec_id): (int(r.neg_id), float(r.sim))
+          for r in got.itertuples()}
+    assert by[0] == (2, 1.0)
+    assert by[1] == (2, 1.0)
+    assert by[2][0] == 0 and by[2][1] == 1.0  # tie v0/v1 → min id
+    assert by[3][0] == 0 and by[3][1] == 0.0  # orthogonal ties → min id
