@@ -380,6 +380,21 @@ def run_bench() -> dict:
         ts = read_tiles(BENCH_DIR, scheme)
         rle_stats(ts).count()
 
+    # EP24: 1500-tower bounded-radius R3 viewshed (per-observer disk
+    # gather → one groupby(obs) solve; ~3.5M line-of-sight targets)
+    def ep24_viewshed():
+        from hydro_raster_ray.stages.viewshed import viewshed_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        g = fixtures.gauges_large_table(scheme, 1500)
+        observers = [
+            {"obs_id": f"t{int(i):05d}", "x": float(x), "y": float(y)}
+            for i, x, y in zip(
+                g["gid"].to_pylist(), g["x"].to_pylist(), g["y"].to_pylist()
+            )
+        ]
+        viewshed_stats(ts, observers, radius_cells=24).count()
+
     # EP19: Sobel edge magnitude — single strict-window halo pass
     def ep19_sobel():
         from hydro_raster_ray.stages.sobel import sobel_magnitude
@@ -577,7 +592,7 @@ def run_bench() -> dict:
         ep6_reproject_tmerc, ep7_resume, ep7b_resume_shuffle, ep8_terrain_slope,
         ep9_flowacc, ep10_filldep, ep15_contour, ep16_histeq,
         ep17_morph_open, ep18_distance, ep19_sobel, ep20_pyramid, ep21_lbp,
-        ep22_otsu, ep23_rle,
+        ep22_otsu, ep23_rle, ep24_viewshed,
         doc_suite, minhash_dedup, doc_rarity, doc_ngram_dedup, minhash_sigs,
         ann_topk, doc_quality, sched_probe,
     ]
