@@ -1961,6 +1961,10 @@ FROM read_parquet('{F}/witness_media_image_gif.parquet')
 SELECT image_id, mean, std, p_low, p_high, edge_energy
 FROM read_parquet('{F}/witness_media_image_tiff.parquet')
 """,
+        "media_image_features_pnm": f"""
+SELECT image_id, mean, std, p_low, p_high, edge_energy
+FROM read_parquet('{F}/witness_media_image_pnm.parquet')
+""",
         "media_audio_spectral": f"""
 SELECT audio_id, n_frames, centroid_mean, low_frac, mid_frac, high_frac,
        rolloff85

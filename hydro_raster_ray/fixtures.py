@@ -1785,6 +1785,49 @@ def _ensure_tiff_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_pnm_witness(tag: str, out: str) -> None:
+    """media_image_features_pnm witness: PNM is LOSSLESS and the corpus
+    shares ``tiff_fake_plane``, so the witness is the tiff computation
+    with the 'p' id prefix — still formula-only, codec never touched
+    (container correctness evidenced in ``tests/test_pnm.py``)."""
+    done = os.path.join(out, "_PNM_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    from .stages.multimodal import tiff_fake_plane
+
+    rows = {"image_id": [], "mean": [], "std": [], "p_low": [], "p_high": [],
+            "edge_energy": []}
+    for i in range(12):
+        a = tiff_fake_plane(i, 40, 32).astype(np.float64)
+        v = a[np.isfinite(a)]
+        rows["image_id"].append(f"p{i:04d}")
+        rows["mean"].append(round(float(v.mean()), 6))
+        rows["std"].append(round(float(v.std()), 6))
+        rows["p_low"].append(round(float(np.percentile(v, 5)), 6))
+        rows["p_high"].append(round(float(np.percentile(v, 95)), 6))
+        plane = a if a.ndim == 2 else a[..., 0]
+        gx = np.diff(plane, axis=1)
+        gy = np.diff(plane, axis=0)
+        rows["edge_energy"].append(
+            round(float(np.nansum(gx * gx) + np.nansum(gy * gy)), 4)
+        )
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "mean": pa.array(rows["mean"], pa.float64()),
+                "std": pa.array(rows["std"], pa.float64()),
+                "p_low": pa.array(rows["p_low"], pa.float64()),
+                "p_high": pa.array(rows["p_high"], pa.float64()),
+                "edge_energy": pa.array(rows["edge_energy"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_media_image_pnm.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_avi_witness(tag: str, out: str) -> None:
     """media_frame_sample_avi witness (own marker → in-place upgrade).
 
@@ -2190,6 +2233,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_tiff_witness(tag, out)
     _ensure_avi_witness(tag, out)
     _ensure_viewshed_witness(tag, out)
+    _ensure_pnm_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

@@ -846,6 +846,27 @@ def q_media_image_features_tiff(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_media_image_features_pnm(sf_dir: str):
+    """Per-image features over a REAL-pnm corpus (Netpbm P2/P3/P5/P6 —
+    ASCII token/comment parsing and the 16-bit big-endian binary path,
+    ``pnm.py``); lossless, witness = features on the shared formula
+    planes (fixtures._ensure_pnm_witness)."""
+    import ray.data
+
+    from ..stages import multimodal
+
+    ds = ray.data.from_arrow(multimodal.make_fake_pnms(12, 40, 32))
+    out = multimodal.image_features_table(ds, concurrency=2)
+
+    def rnd(df):
+        for c in ("mean", "std", "p_low", "p_high"):
+            df[c] = df[c].round(6)
+        df["edge_energy"] = df["edge_energy"].round(4)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_media_audio_spectral(sf_dir: str):
     """Framed-STFT spectral features (256-sample Hann frames, hop 128)
     over the REAL-WAV corpus — the spectrogram-shaped actor-pool stage;
@@ -1562,6 +1583,7 @@ TILE_QUERIES = {
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_gif": q_media_image_features_gif,
     "media_image_features_tiff": q_media_image_features_tiff,
+    "media_image_features_pnm": q_media_image_features_pnm,
     "media_audio_spectral": q_media_audio_spectral,
     "sample_tiles": q_sample_tiles,
     "tile_set_ops": q_tile_set_ops,

@@ -45,6 +45,7 @@ __all__ = [
     "tiff_fake_plane",
     "make_fake_avis",
     "avi_fake_frames",
+    "make_fake_pnms",
     "augment_tiles",
     "audio_features",
     "audio_spectral_features",
@@ -121,6 +122,15 @@ class MediaCodec:
             if img.shape[0] != h or img.shape[1] != w:
                 raise ValueError(
                     f"tiff payload is {img.shape[:2]}, row metadata says {(h, w)}"
+                )
+            return img.astype(np.float64)
+        if fmt == "pnm":
+            from ..pnm import pnm_decode
+
+            img = pnm_decode(buf)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"pnm payload is {img.shape[:2]}, row metadata says {(h, w)}"
                 )
             return img.astype(np.float64)
         raise ValueError(f"unknown media fmt {fmt!r}")
@@ -448,6 +458,36 @@ def make_fake_tiffs(n_images: int, h: int, w: int) -> pa.Table:
             "h": pa.array(hs, pa.int32()),
             "w": pa.array(ws, pa.int32()),
             "fmt": pa.array(["tiff"] * n_images, pa.string()),
+        }
+    )
+
+
+def make_fake_pnms(n_images: int, h: int, w: int) -> pa.Table:
+    """Deterministic REAL-pnm image table: ``tiff_fake_plane`` planes (the
+    shared formula) written through ``pnm.pnm_encode`` under a rotating
+    form schedule — binary P5 gray-8/16, binary P6 RGB, ASCII P2/P3 —
+    covering every decode path. Lossless, so truth IS the formula plane."""
+    from ..pnm import pnm_encode
+
+    ids, bufs, hs, ws = [], [], [], []
+    for i in range(n_images):
+        plane = tiff_fake_plane(i, h, w)
+        ascii_form = i % 4 == 3
+        if plane.dtype == np.uint16 and plane.ndim == 2:
+            buf = pnm_encode(plane)  # P5 16-bit (big-endian)
+        else:
+            buf = pnm_encode(plane, ascii_form=ascii_form)
+        ids.append(f"p{i:04d}")
+        bufs.append(buf)
+        hs.append(plane.shape[0])
+        ws.append(plane.shape[1])
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "fmt": pa.array(["pnm"] * n_images, pa.string()),
         }
     )
 

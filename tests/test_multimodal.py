@@ -454,3 +454,21 @@ def test_fake_avis_decode_matches_formula(ray_session):
             np.testing.assert_array_equal(
                 codec.decode_frame(buf, 24, wv, "avi", k),
                 want[k].astype(np.float64))
+
+
+def test_fake_pnms_decode_matches_formula_plane():
+    """MediaCodec fmt='pnm' over the P5/P6/P2/P3 + 16-bit schedule must
+    reproduce the shared formula plane exactly — PNM is lossless."""
+    from hydro_raster_ray.stages.multimodal import (
+        make_fake_pnms,
+        tiff_fake_plane,
+    )
+
+    t = make_fake_pnms(12, 40, 32)
+    codec = MediaCodec()
+    for i in range(t.num_rows):
+        want = tiff_fake_plane(i, 40, 32).astype(np.float64)
+        got = codec.decode(
+            t["bytes"][i].as_py(), int(t["h"][i].as_py()),
+            int(t["w"][i].as_py()), "pnm")
+        np.testing.assert_array_equal(got, want)
