@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_rfm"] = relational.events_rfm
     q["events_path_trigrams"] = relational.events_path_trigrams
     q["events_gap_quantiles"] = relational.events_gap_quantiles
+    q["doc_domain_mix"] = relational.domain_mix_weights
+    q["events_mad_outliers"] = relational.events_mad_outliers
     q["customer_order_distribution"] = relational.customer_order_distribution
     q["top_supplier_revenue"] = relational.top_supplier_revenue
     q["small_quantity_revenue"] = relational.small_quantity_revenue
@@ -885,6 +887,50 @@ WITH p AS (SELECT a.vec_id, b.vec_id nid,
 SELECT CAST(vec_id AS BIGINT) vec_id, CAST(nid AS BIGINT) neg_id,
        round(sim, 6) sim
 FROM r WHERE rk = 1
+""",
+        "doc_domain_mix": """
+WITH t AS (SELECT source,
+                  CAST(len(regexp_extract_all(lower(text), '\\S+'))
+                       AS BIGINT) nt
+           FROM documents),
+ s AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+              CAST(sum(nt) AS BIGINT) n_tokens
+       FROM t GROUP BY source),
+ g AS (SELECT CAST(sum(n_tokens) AS BIGINT) tok_total,
+              CAST(sum(n_docs) AS BIGINT) doc_total FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // tok_total AS BIGINT) weight_ppm,
+       CAST(n_docs * 1000000 // doc_total AS BIGINT) doc_ppm
+FROM s, g
+""",
+        # median/MAD in TYPE-1 integer rank arithmetic on exact cents;
+        # outlier test in pure int64 (see relational.events_mad_outliers)
+        "events_mad_outliers": """
+WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) cents
+           FROM events WHERE event_type = 'purchase'),
+ r1 AS (SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY cents) rn,
+               count(*) OVER (PARTITION BY user_id) m
+        FROM e),
+ med AS (SELECT user_id, max(m) m,
+                CAST(max(CASE WHEN rn = (1 * m + 1) // 2 THEN cents END)
+                     AS BIGINT) med
+         FROM r1 GROUP BY user_id),
+ d AS (SELECT e.user_id, abs(e.cents - med.med) dev, med.med, med.m
+       FROM e JOIN med USING (user_id)),
+ r2 AS (SELECT user_id, dev, med, m,
+               row_number() OVER (PARTITION BY user_id ORDER BY dev) rn
+        FROM d),
+ madt AS (SELECT user_id, max(m) m, max(med) med,
+                 CAST(max(CASE WHEN rn = (1 * m + 1) // 2 THEN dev END)
+                      AS BIGINT) mad
+          FROM r2 GROUP BY user_id)
+SELECT d.user_id, CAST(max(d.m) AS BIGINT) n_events,
+       CAST(max(madt.med) AS BIGINT) med_cents,
+       CAST(max(madt.mad) AS BIGINT) mad_cents,
+       CAST(sum(CASE WHEN d.dev > 3 * madt.mad THEN 1 ELSE 0 END)
+            AS BIGINT) n_outliers
+FROM d JOIN madt USING (user_id) GROUP BY d.user_id
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

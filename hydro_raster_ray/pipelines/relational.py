@@ -54,6 +54,8 @@ __all__ = [
     "important_part_value",
     "dominant_part_suppliers",
     "events_gap_quantiles",
+    "domain_mix_weights",
+    "events_mad_outliers",
 ]
 
 
@@ -3266,3 +3268,112 @@ def events_gap_quantiles(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("event_type").map_groups(gaps, batch_format="pandas")
+
+
+def domain_mix_weights(sf_dir: str) -> "ray.data.Dataset":
+    """Training-mixture weights per source (the DoReMi-style domain
+    rebalancing input): each source's share of corpus tokens and docs in
+    fixed-point parts-per-million — ``weight_ppm = tok·1e6 // tok_total``
+    (pure integer, no float hazards).
+
+    Shape: per-batch (source, n_docs, n_tokens) partials → one
+    sources-sized groupby; the global totals come from a final
+    single-block pass over THAT table (result-sized by construction).
+    Columns: source, n_docs, n_tokens, weight_ppm, doc_ppm."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        toks = df["text"].str.lower().str.split()
+        g = pd.DataFrame(
+            {"source": df["source"].to_numpy(dtype=object),
+             "n_tokens": np.fromiter(
+                 (len(t) for t in toks), dtype=np.int64, count=len(df)),
+             "n_docs": np.ones(len(df), np.int64)}
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=512)
+        .groupby("source")
+        .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                   _Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+    def weights(df: pd.DataFrame) -> pd.DataFrame:
+        tok_total = int(df["n_tokens"].sum())
+        doc_total = int(df["n_docs"].sum())
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["n_docs"].astype(np.int64),
+                "n_tokens": df["n_tokens"].astype(np.int64),
+                "weight_ppm": (df["n_tokens"].to_numpy(np.int64)
+                               * 1_000_000) // tok_total,
+                "doc_ppm": (df["n_docs"].to_numpy(np.int64)
+                            * 1_000_000) // doc_total,
+            }
+        )
+
+    # |sources| rows: one block so the totals are global, not per-block
+    return agg.repartition(1).map_batches(
+        weights, batch_format="pandas", batch_size=None)
+
+
+def events_mad_outliers(
+    sf_dir: str, event_type: str = "purchase", k: int = 3,
+) -> "ray.data.Dataset":
+    """Median/MAD robust outlier counts per user — the heavy-tail-safe
+    complement to ``events_zscore_outliers``. Integer-exact end to end:
+    cents quantization first (the zscore contract), TYPE-1 medians via
+    the (1·m+1)//2 rank arithmetic (the ``doc_len_quantiles`` recipe) on
+    both the values and the absolute deviations, and the outlier test
+    ``|c − med| > k·mad`` in pure int64.
+
+    Shape: ``groupby(user_id).map_groups`` (one user's purchase history
+    per task — the sessionization partitioning assumption). Columns:
+    user_id, n_events, med_cents, mad_cents, n_outliers."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def cents_only(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = df[df["event_type"] == event_type]
+        return pa.table(
+            {
+                "user_id": pa.array(d["user_id"].to_numpy(np.int64)),
+                "cents": pa.array(
+                    np.round(d["value"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    ev = ds.map_batches(cents_only, batch_format="pandas")
+
+    def mad(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(df["cents"].to_numpy(np.int64))
+        m = c.size
+        med = int(c[(1 * m + 1) // 2 - 1])
+        dev = np.sort(np.abs(df["cents"].to_numpy(np.int64) - med))
+        madv = int(dev[(1 * m + 1) // 2 - 1])
+        n_out = int((np.abs(df["cents"].to_numpy(np.int64) - med)
+                     > k * madv).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_events": [np.int64(m)],
+                "med_cents": [np.int64(med)],
+                "mad_cents": [np.int64(madv)],
+                "n_outliers": [np.int64(n_out)],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(mad, batch_format="pandas")

@@ -538,3 +538,59 @@ def test_events_gap_quantiles_pencil(tmp_path, ray_session):
     assert got["p50_us"].tolist() == [2_000_000]
     assert got["p90_us"].tolist() == [4_000_000]
     assert got["max_us"].tolist() == [4_000_000]
+
+
+def test_events_mad_pencil(tmp_path, ray_session):
+    """Hand case, cents [100, 200, 200, 300, 10000]: m=5, rank 3 →
+    med=200; deviations sorted [0, 0, 100, 100, 9800] → mad=100;
+    outliers with dev > 300: only 10000 → 1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import events_mad_outliers
+
+    vals = [1.0, 2.0, 2.0, 3.0, 100.0]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01"] * 5), pa.timestamp("us")),
+            "user_id": pa.array([7] * 5, pa.int64()),
+            "event_type": pa.array(["purchase"] * 5, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = events_mad_outliers(str(tmp_path)).to_pandas()
+    assert got["n_events"].tolist() == [5]
+    assert got["med_cents"].tolist() == [200]
+    assert got["mad_cents"].tolist() == [100]
+    assert got["n_outliers"].tolist() == [1]
+
+
+def test_domain_mix_pencil(tmp_path, ray_session):
+    """Two sources, 3 vs 1 tokens → 750000/250000 ppm; 1 doc each →
+    500000 doc_ppm both."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import domain_mix_weights
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c", "d"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["s0", "s1"], pa.string()),
+            "n_chars": pa.array([5, 1], pa.int64()),
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = domain_mix_weights(str(tmp_path)).to_pandas().sort_values(
+        "source").reset_index(drop=True)
+    assert got["weight_ppm"].tolist() == [750000, 250000]
+    assert got["doc_ppm"].tolist() == [500000, 500000]
