@@ -1955,7 +1955,11 @@ FROM read_parquet('{F}/witness_reproject_epsg2157.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_flowlen.parquet')
 """,
-                "viewshed_coverage": f"""
+                        "cost_distance": f"""
+SELECT image_id, n_reached, sum_dist, max_dist
+FROM read_parquet('{F}/witness_costdist.parquet')
+""",
+"viewshed_coverage": f"""
 SELECT obs_id, n_cells, n_visible, sum_vis_z
 FROM read_parquet('{F}/witness_viewshed.parquet')
 """,

@@ -395,6 +395,17 @@ def run_bench() -> dict:
         ]
         viewshed_stats(ts, observers, radius_cells=24).count()
 
+    # EP25: distributed cost distance from 200 sources (iterative tile
+    # relaxation + border-ring driver coupling until quiescence)
+    def ep25_costdist():
+        from hydro_raster_ray.stages.costdist import cost_distance_stats
+
+        ts = read_tiles(BENCH_DIR, scheme)
+        g = fixtures.gauges_large_table(scheme, 200)
+        cost_distance_stats(
+            ts, list(zip(g["x"].to_pylist(), g["y"].to_pylist()))
+        ).count()
+
     # EP19: Sobel edge magnitude — single strict-window halo pass
     def ep19_sobel():
         from hydro_raster_ray.stages.sobel import sobel_magnitude
@@ -601,7 +612,7 @@ def run_bench() -> dict:
     # stays inside the driver's wall budget; reachable ONLY by naming them
     # in GRAFT_BENCH_ONLY
     opt_in = [ep11_basins, ep12_flowlen, ep13_strahler, ep14_twi,
-              ep3d_s2_join_10m]
+              ep3d_s2_join_10m, ep25_costdist]
     if only is not None:
         stages = stages + [fn for fn in opt_in if fn.__name__ in only]
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))

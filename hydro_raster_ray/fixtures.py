@@ -1785,6 +1785,89 @@ def _ensure_tiff_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_costdist_witness(tag: str, out: str) -> None:
+    """cost_distance witness (own marker → in-place upgrade).
+
+    SCALAR multi-source Dijkstra (plain ``heapq``) over the assembled
+    truth grid with the spec's step costs — completely independent of the
+    engine's chamfer relaxation and tile/ring machinery; the two agree
+    bit-exactly because both compute the min over left-associated float
+    path sums (see ``stages/costdist.py``'s exactness contract)."""
+    done = os.path.join(out, "_COSTDIST_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    import heapq
+
+    import pyarrow.parquet as _pq
+
+    from .grid import map2sub
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    g = scheme.grid
+    zmin = float(np.nanmin(full))
+    cost = full - zmin + 1.0
+    cost[~np.isfinite(full)] = np.inf
+    h, w = cost.shape
+    ga = _pq.read_table(os.path.join(out, "gauges.parquet")).to_pandas()
+    dist = np.full((h, w), np.inf)
+    heap = []
+    sq2 = float(np.sqrt(2.0))
+    for _, o in ga.iterrows():
+        r, c = map2sub(float(o["x"]), float(o["y"]), g)
+        r, c = int(r), int(c)
+        if 0 <= r < h and 0 <= c < w and np.isfinite(cost[r, c]) \
+                and dist[r, c] > 0.0:
+            dist[r, c] = 0.0
+            heapq.heappush(heap, (0.0, r, c))
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist[r, c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if not (0 <= nr < h and 0 <= nc < w):
+                    continue
+                if not np.isfinite(cost[nr, nc]):
+                    continue
+                step = 0.5 * (cost[r, c] + cost[nr, nc]) * (
+                    sq2 if dr and dc else 1.0)
+                nd = d + step
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(heap, (nd, nr, nc))
+    rows = {"image_id": [], "n_reached": [], "sum_dist": [], "max_dist": []}
+    for tr in range(scheme.n_tile_rows):
+        for tc in range(scheme.n_tile_cols):
+            r0, c0 = scheme.tile_origin_rc(tr, tc)
+            z = tile_truth(scheme, tr, tc)
+            d = dist[r0:r0 + z.shape[0], c0:c0 + z.shape[1]]
+            fin = np.isfinite(d)
+            rows["image_id"].append(f"t{tr:04d}_{tc:04d}")
+            rows["n_reached"].append(int(fin.sum()))
+            rows["sum_dist"].append(
+                round(float(d[fin].sum()), 2) if fin.any() else 0.0)
+            rows["max_dist"].append(
+                round(float(d[fin].max()), 6) if fin.any() else 0.0)
+    _write_atomic(
+        pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "n_reached": pa.array(rows["n_reached"], pa.int64()),
+                "sum_dist": pa.array(rows["sum_dist"], pa.float64()),
+                "max_dist": pa.array(rows["max_dist"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_costdist.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_pnm_witness(tag: str, out: str) -> None:
     """media_image_features_pnm witness: PNM is LOSSLESS and the corpus
     shares ``tiff_fake_plane``, so the witness is the tiff computation
@@ -2234,6 +2317,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_avi_witness(tag, out)
     _ensure_viewshed_witness(tag, out)
     _ensure_pnm_witness(tag, out)
+    _ensure_costdist_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

@@ -183,6 +183,19 @@ def q_viewshed(sf_dir: str):
     return viewshed_stats(ts, observers, radius_cells=12, mast=2.0)
 
 
+def q_cost_distance(sf_dir: str):
+    """Distributed cost distance from the gauge cells over the
+    ``z − zmin + 1`` cost surface (iterative tile relaxation with
+    border-ring driver coupling); witness = scalar heapq Dijkstra on the
+    assembled grid — bit-exact by the left-associated path-sum contract
+    (fixtures._ensure_costdist_witness)."""
+    from ..stages.costdist import cost_distance_stats
+
+    ts, _ = tiles_for(sf_dir)
+    g = _gauges(sf_dir)
+    return cost_distance_stats(ts, list(zip(g["x"], g["y"])))
+
+
 def q_zonal_crosstab(sf_dir: str):
     """Zone × class contingency counts (Tabulate-Area): full (zone, bin)
     table under the rankshow breaks — the categorical complement the
@@ -1559,6 +1572,7 @@ TILE_QUERIES = {
     "haversine_nn": q_haversine_nn,
     "zonal_crosstab": q_zonal_crosstab,
     "viewshed_coverage": q_viewshed,
+    "cost_distance": q_cost_distance,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,
