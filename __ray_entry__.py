@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_lsh_topk"] = ann.lsh_topk
     q["emb_jl_project"] = ann.jl_project
     q["emb_hard_negatives"] = ann.hard_negatives
+    q["ann_ivf_recall"] = ann.ivf_recall
     q["events_hourly"] = relational.events_hourly
     q["events_sliding"] = relational.events_sliding
     q["events_sessions"] = relational.events_sessions
@@ -931,6 +932,42 @@ SELECT d.user_id, CAST(max(d.m) AS BIGINT) n_events,
        CAST(sum(CASE WHEN d.dev > 3 * madt.mad THEN 1 ELSE 0 END)
             AS BIGINT) n_outliers
 FROM d JOIN madt USING (user_id) GROUP BY d.user_id
+""",
+        # recall@k: IVF (nprobe=1 → the query's own min-cid-tie bucket)
+        # vs exact brute force, both rankings reproduced in SQL
+        "ann_ivf_recall": """
+WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+ brute AS (
+   SELECT q.qid, e.vec_id
+   FROM embeddings e, q WHERE e.vec_id <> q.qid
+   QUALIFY row_number() OVER (PARTITION BY q.qid
+       ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) DESC,
+                e.vec_id) <= 10),
+ c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id < 8),
+ s AS (SELECT e.vec_id, c.cid,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) sim
+       FROM embeddings e, c),
+ a AS (SELECT vec_id, min(cid) centroid
+       FROM (SELECT vec_id, cid, sim,
+                    max(sim) OVER (PARTITION BY vec_id) ms FROM s)
+       WHERE sim = ms GROUP BY vec_id),
+ qa AS (SELECT a.vec_id qid, a.centroid FROM a JOIN q ON a.vec_id = q.qid),
+ ivf AS (
+   SELECT q.qid, e.vec_id
+   FROM embeddings e
+   JOIN a ON a.vec_id = e.vec_id
+   JOIN qa ON qa.centroid = a.centroid AND qa.qid <> e.vec_id
+   JOIN q ON q.qid = qa.qid
+   QUALIFY row_number() OVER (PARTITION BY q.qid
+       ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) DESC,
+                e.vec_id) <= 10)
+SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) n_hit,
+       CAST(count(i.vec_id) * 1000000 // 10 AS BIGINT) recall_ppm
+FROM brute b LEFT JOIN ivf i USING (qid, vec_id)
+GROUP BY b.qid
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -39,6 +39,7 @@ __all__ = [
     "lsh_topk",
     "jl_project",
     "hard_negatives",
+    "ivf_recall",
 ]
 
 
@@ -1174,3 +1175,28 @@ def hard_negatives(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(mine, batch_format="pandas").sort("vec_id")
+
+
+def ivf_recall(
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, n_centroids: int = 8,
+    nprobe: int = 1,
+) -> "ray.data.Dataset":
+    """Recall@k of the IVF index against exact brute force — the
+    evaluation harness every ANN deployment runs before turning the
+    nprobe dial. Both rankings are existing distributed pipelines; the
+    comparison itself is RESULT-SIZED (|queries|·k rows), so the driver
+    merge is by construction not a scale term. recall_ppm is fixed-point
+    (n_hit·1e6 // k) — integer-exact. Columns: qid, n_hit, recall_ppm."""
+    ivf = ivf_topk(sf_dir, query_ids, k, n_centroids, nprobe).to_pandas()
+    ex = brute_force_topk(sf_dir, query_ids, k).to_pandas()
+    hits = ex.merge(ivf, on=["qid", "vec_id"], how="inner")
+    by = hits.groupby("qid").size().to_dict()
+    qs = sorted(int(q) for q in query_ids)
+    n_hit = np.array([by.get(q, 0) for q in qs], np.int64)
+    return ray.data.from_pandas(pd.DataFrame(
+        {
+            "qid": np.array(qs, np.int64),
+            "n_hit": n_hit,
+            "recall_ppm": n_hit * 1_000_000 // k,
+        }
+    ))

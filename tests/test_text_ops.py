@@ -1328,3 +1328,16 @@ def test_hard_negatives_pencil(tmp_path):
     assert by[1] == (2, 1.0)
     assert by[2][0] == 0 and by[2][1] == 1.0  # tie v0/v1 → min id
     assert by[3][0] == 0 and by[3][1] == 0.0  # orthogonal ties → min id
+
+
+def test_ivf_recall_bounds_and_nprobe_monotone():
+    """recall@k is in [0, 1e6] ppm, and probing MORE buckets can only
+    help: recall(nprobe=2) >= recall(nprobe=1) per query (the IVF scan
+    set grows monotonically)."""
+    from hydro_raster_ray.text import ann
+
+    r1 = ann.ivf_recall(SF, nprobe=1).to_pandas().set_index("qid")
+    r2 = ann.ivf_recall(SF, nprobe=2).to_pandas().set_index("qid")
+    assert ((r1["recall_ppm"] >= 0) & (r1["recall_ppm"] <= 1_000_000)).all()
+    assert (r2["recall_ppm"] >= r1["recall_ppm"]).all()
+    assert (r1["n_hit"] * 100_000 == r1["recall_ppm"]).all()
