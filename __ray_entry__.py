@@ -1992,7 +1992,11 @@ FROM read_parquet('{F}/witness_reproject_epsg2157.parquet')
 SELECT image_id, n_px, n_valid, sum_z
 FROM read_parquet('{F}/witness_flowlen.parquet')
 """,
-                        "cost_distance": f"""
+                                "least_cost_path": f"""
+SELECT step, gr, gc, dist
+FROM read_parquet('{F}/witness_costpath.parquet')
+""",
+"cost_distance": f"""
 SELECT image_id, n_reached, sum_dist, max_dist
 FROM read_parquet('{F}/witness_costdist.parquet')
 """,

@@ -1868,6 +1868,99 @@ def _ensure_costdist_witness(tag: str, out: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_costpath_witness(tag: str, out: str) -> None:
+    """least_cost_path witness: scalar Dijkstra field (same as the
+    costdist witness), then the identical remote-cell pick (global
+    row-major first-max) and steepest-descent walk with the documented
+    (dr, dc) tie order."""
+    done = os.path.join(out, "_COSTPATH_WITNESS_V1")
+    if os.path.exists(done):
+        return
+    import heapq
+
+    import pyarrow.parquet as _pq
+
+    from .grid import map2sub
+
+    tr_n, tc_n = SCALES.get(tag, SCALES["sf0.01"])
+    scheme = make_scheme(tr_n, tc_n)
+    full = assemble_truth(scheme)
+    g = scheme.grid
+    zmin = float(np.nanmin(full))
+    cost = full - zmin + 1.0
+    cost[~np.isfinite(full)] = np.inf
+    h, w = cost.shape
+    ga = _pq.read_table(os.path.join(out, "gauges.parquet")).to_pandas()
+    dist = np.full((h, w), np.inf)
+    heap = []
+    sq2 = float(np.sqrt(2.0))
+    for _, o in ga.iterrows():
+        r, c = map2sub(float(o["x"]), float(o["y"]), g)
+        r, c = int(r), int(c)
+        if 0 <= r < h and 0 <= c < w and np.isfinite(cost[r, c]) \
+                and dist[r, c] > 0.0:
+            dist[r, c] = 0.0
+            heapq.heappush(heap, (0.0, r, c))
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist[r, c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if not (0 <= nr < h and 0 <= nc < w):
+                    continue
+                if not np.isfinite(cost[nr, nc]):
+                    continue
+                nd = d + 0.5 * (cost[r, c] + cost[nr, nc]) * (
+                    sq2 if dr and dc else 1.0)
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(heap, (nd, nr, nc))
+    dm = np.where(np.isfinite(dist), dist, -np.inf)
+    flat = int(np.argmax(dm))  # global row-major first-max
+    cur = divmod(flat, w)
+    rows = {"step": [], "gr": [], "gc": [], "dist": []}
+    d_cur = float(dist[cur])
+    guard = h * w
+    while True:
+        rows["step"].append(len(rows["step"]))
+        rows["gr"].append(int(cur[0]))
+        rows["gc"].append(int(cur[1]))
+        rows["dist"].append(round(d_cur, 6))
+        if d_cur == 0.0 or len(rows["step"]) > guard:
+            break
+        best = None
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = cur[0] + dr, cur[1] + dc
+                dv = (float(dist[nr, nc])
+                      if 0 <= nr < h and 0 <= nc < w else np.inf)
+                if best is None or dv < best[0]:
+                    best = (dv, nr, nc)
+        if best is None or best[0] >= d_cur:
+            break
+        d_cur = best[0]
+        cur = (best[1], best[2])
+    _write_atomic(
+        pa.table(
+            {
+                "step": pa.array(rows["step"], pa.int64()),
+                "gr": pa.array(rows["gr"], pa.int64()),
+                "gc": pa.array(rows["gc"], pa.int64()),
+                "dist": pa.array(rows["dist"], pa.float64()),
+            }
+        ),
+        os.path.join(out, "witness_costpath.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_pnm_witness(tag: str, out: str) -> None:
     """media_image_features_pnm witness: PNM is LOSSLESS and the corpus
     shares ``tiff_fake_plane``, so the witness is the tiff computation
@@ -2318,6 +2411,7 @@ def ensure_fixture_dir(tag: str, root: str = FIXTURE_ROOT) -> str:
     _ensure_viewshed_witness(tag, out)
     _ensure_pnm_witness(tag, out)
     _ensure_costdist_witness(tag, out)
+    _ensure_costpath_witness(tag, out)
     _ensure_spectral_witness(tag, out)
     _ensure_epsg_witness(tag, out)
     return out

@@ -196,6 +196,18 @@ def q_cost_distance(sf_dir: str):
     return cost_distance_stats(ts, list(zip(g["x"], g["y"])))
 
 
+def q_least_cost_path(sf_dir: str):
+    """Least-cost path from the most remote reachable cell down to a
+    gauge source (steepest descent over the converged cost-distance
+    field, lazy per-tile re-solves along the route); witness = the same
+    walk on the scalar-Dijkstra field."""
+    from ..stages.costdist import least_cost_path
+
+    ts, _ = tiles_for(sf_dir)
+    g = _gauges(sf_dir)
+    return least_cost_path(ts, list(zip(g["x"], g["y"])))
+
+
 def q_zonal_crosstab(sf_dir: str):
     """Zone × class contingency counts (Tabulate-Area): full (zone, bin)
     table under the rankshow breaks — the categorical complement the
@@ -1573,6 +1585,7 @@ TILE_QUERIES = {
     "zonal_crosstab": q_zonal_crosstab,
     "viewshed_coverage": q_viewshed,
     "cost_distance": q_cost_distance,
+    "least_cost_path": q_least_cost_path,
     "slope_stats": q_slope_stats,
     "curvature_stats": q_curvature_stats,
     "twi_stats": q_twi_stats,

@@ -46,7 +46,7 @@ from ..grid import map2sub
 from .decode import iter_tiles
 from .stats import global_stats
 
-__all__ = ["cost_distance_stats", "chamfer_solve"]
+__all__ = ["cost_distance_stats", "chamfer_solve", "least_cost_path"]
 
 _SQ2 = float(np.sqrt(2.0))
 
@@ -100,8 +100,10 @@ def _ring_index(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     return rr[m], cc[m]
 
 
-def cost_distance_stats(ts, sources_xy, max_rounds: int | None = None):
-    """Distributed cost distance → per-tile stats (see module doc)."""
+def _converge(ts, sources_xy, max_rounds: int | None = None):
+    """Shared phase 1+2: iterate tile solves + ring relaxation to global
+    quiescence. Returns (zmin, src_arr, seeds, meta) — seeds/meta are
+    border-scale driver state keyed by image_id."""
     grid = ts.grid
     zmin = float(global_stats(ts)["min"])
     srcs = set()
@@ -212,6 +214,32 @@ def cost_distance_stats(ts, sources_xy, max_rounds: int | None = None):
             seeds[t] = dists[t].copy()
     else:
         raise RuntimeError("cost_distance: no quiescence within budget")
+    return zmin, src_arr, seeds, meta
+
+
+def _tile_cost_of(arr: np.ndarray, zmin: float) -> np.ndarray:
+    c = arr.astype(np.float64) - zmin + 1.0
+    c[~np.isfinite(arr)] = np.inf
+    return c
+
+
+def _seed_grid_of(info, ring_seed, cost, src_arr) -> np.ndarray:
+    d = np.full(cost.shape, np.inf)
+    if ring_seed is not None:
+        rr, cc = _ring_index(*cost.shape)
+        d[rr, cc] = ring_seed
+    for (gr, gc) in src_arr:
+        r, c = gr - info.gr0, gc - info.gc0
+        if 0 <= r < cost.shape[0] and 0 <= c < cost.shape[1] \
+                and np.isfinite(cost[r, c]):
+            d[r, c] = 0.0
+    return d
+
+
+def cost_distance_stats(ts, sources_xy, max_rounds: int | None = None):
+    """Distributed cost distance → per-tile stats (see module doc)."""
+    grid = ts.grid
+    zmin, src_arr, seeds, _meta = _converge(ts, sources_xy, max_rounds)
 
     # stats pass with converged ring seeds
     sref = ray.put(seeds)
@@ -220,9 +248,9 @@ def cost_distance_stats(ts, sources_xy, max_rounds: int | None = None):
         sd = ray.get(sref)
         ids, nr, sm, mx = [], [], [], []
         for info, arr in iter_tiles(batch, grid, dtype=np.float32):
-            cost = _tile_cost(arr)
+            cost = _tile_cost_of(arr, zmin)
             d = chamfer_solve(
-                cost, _seed_grid(info, sd[info.image_id], cost))
+                cost, _seed_grid_of(info, sd[info.image_id], cost, src_arr))
             fin = np.isfinite(d)
             ids.append(info.image_id)
             nr.append(int(fin.sum()))
@@ -236,3 +264,147 @@ def cost_distance_stats(ts, sources_xy, max_rounds: int | None = None):
         )
 
     return ts.ds.map_batches(stats_fn, batch_format="pyarrow").sort("image_id")
+
+
+def least_cost_path(ts, sources_xy, max_rounds: int | None = None):
+    """Least-cost PATH extraction (ArcGIS Cost Path / GRASS r.drain):
+    steepest-descent backtrack over the converged cost-distance field
+    from the MOST REMOTE reachable cell (global max distance, ties to
+    the smallest (gr, gc) — the worst-case evacuation route) down to a
+    source.
+
+    Shape: phase 1 reuses ``_converge`` (border-ring driver state);
+    phase 2 finds the remote cell via a per-tile argmax pass (one row
+    per tile); phase 3 walks downhill on the driver, lazily re-solving
+    ONLY the tiles the path enters (each solve is seeded by the
+    converged ring, so its field is the global field restricted to the
+    tile — the bit-exactness argument in the module doc). The walk is
+    RESULT-SIZED: O(path length) driver work, O(path tiles) tile
+    fetches (at scale, a key-partitioned tile store makes each fetch
+    O(1) instead of a filtered scan). Descent to the globally minimal
+    8-neighbor strictly decreases d, so termination at d = 0 is
+    guaranteed; neighbor ties break by (dr, dc) row-major order.
+    Columns: step, gr, gc, dist (round 6)."""
+    grid = ts.grid
+    zmin, src_arr, seeds, meta = _converge(ts, sources_xy, max_rounds)
+    sref = ray.put(seeds)
+
+    def argmax_fn(batch: pa.Table) -> pa.Table:
+        sd = ray.get(sref)
+        ids, md, mr, mc = [], [], [], []
+        for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+            cost = _tile_cost_of(arr, zmin)
+            d = chamfer_solve(
+                cost, _seed_grid_of(info, sd[info.image_id], cost, src_arr))
+            fin = np.isfinite(d)
+            if not fin.any():
+                continue
+            dm = np.where(fin, d, -np.inf)
+            # ties to smallest (r, c): argmax of row-major flat is exactly
+            # the first maximum in (r, c) order
+            flat = int(np.argmax(dm))
+            r, c = divmod(flat, d.shape[1])
+            ids.append(info.image_id)
+            md.append(float(d[r, c]))
+            mr.append(int(info.gr0 + r))
+            mc.append(int(info.gc0 + c))
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             "maxd": pa.array(md, pa.float64()),
+             "gr": pa.array(mr, pa.int64()),
+             "gc": pa.array(mc, pa.int64())}
+        )
+
+    cand = ts.ds.map_batches(argmax_fn, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"step": pd.Series([], dtype=np.int64),
+             "gr": pd.Series([], dtype=np.int64),
+             "gc": pd.Series([], dtype=np.int64),
+             "dist": pd.Series([], dtype=np.float64)}))
+    cand = cand.sort_values(
+        ["maxd", "gr", "gc"], ascending=[False, True, True])
+    cur = (int(cand.iloc[0]["gr"]), int(cand.iloc[0]["gc"]))
+
+    # lazy per-tile field cache: one filtered solve per tile the path enters
+    fields: dict[str, tuple] = {}  # image_id -> (gr0, gc0, d array)
+    by_origin = {}
+    for tid, (g0, c0, h, w) in meta.items():
+        by_origin[tid] = (g0, c0, h, w)
+
+    def tile_of(r, c):
+        for tid, (g0, c0, h, w) in by_origin.items():
+            if g0 <= r < g0 + h and c0 <= c < c0 + w:
+                return tid
+        return None
+
+    def field(tid):
+        if tid in fields:
+            return fields[tid]
+        want = {tid}
+        wref = ray.put(want)
+
+        def solve_one(batch: pa.Table) -> pa.Table:
+            w_ = ray.get(wref)
+            sd = ray.get(sref)
+            ids, g0s, c0s, bufs = [], [], [], []
+            for info, arr in iter_tiles(batch, grid, dtype=np.float32):
+                if info.image_id not in w_:
+                    continue
+                cost = _tile_cost_of(arr, zmin)
+                d = chamfer_solve(
+                    cost,
+                    _seed_grid_of(info, sd[info.image_id], cost, src_arr))
+                ids.append(info.image_id)
+                g0s.append(info.gr0)
+                c0s.append(info.gc0)
+                bufs.append(d.astype("<f8").tobytes())
+            return pa.table(
+                {"image_id": pa.array(ids, pa.string()),
+                 "gr0": pa.array(g0s, pa.int64()),
+                 "gc0": pa.array(c0s, pa.int64()),
+                 "buf": pa.array(bufs, pa.binary())}
+            )
+
+        out = ts.ds.map_batches(solve_one, batch_format="pyarrow").to_pandas()
+        row = out[out["image_id"] == tid].iloc[0]
+        g0, c0, h, w = by_origin[tid]
+        d = np.frombuffer(row["buf"], "<f8").reshape(h, w)
+        fields[tid] = (int(row["gr0"]), int(row["gc0"]), d)
+        return fields[tid]
+
+    def dval(r, c):
+        if not (0 <= r < grid.nrows and 0 <= c < grid.ncols):
+            return np.inf
+        tid = tile_of(r, c)
+        g0, c0, d = field(tid)
+        return float(d[r - g0, c - c0])
+
+    path = []
+    guard = grid.nrows * grid.ncols
+    d_cur = dval(*cur)
+    while True:
+        path.append((len(path), cur[0], cur[1], round(d_cur, 6)))
+        if d_cur == 0.0 or len(path) > guard:
+            break
+        best = None
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                dv = dval(cur[0] + dr, cur[1] + dc)
+                if best is None or dv < best[0]:
+                    best = (dv, cur[0] + dr, cur[1] + dc)
+        if best is None or best[0] >= d_cur:
+            break  # defensive: no descent possible
+        d_cur = best[0]
+        cur = (best[1], best[2])
+
+    return ray.data.from_pandas(pd.DataFrame(
+        {
+            "step": np.array([p[0] for p in path], np.int64),
+            "gr": np.array([p[1] for p in path], np.int64),
+            "gc": np.array([p[2] for p in path], np.int64),
+            "dist": np.array([p[3] for p in path], np.float64),
+        }
+    ))

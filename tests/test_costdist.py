@@ -105,3 +105,41 @@ def test_cost_distance_engine_matches_scalar_dijkstra(ray_session):
                                    if fin.any() else 0.0)
         assert row["max_dist"] == (round(float(d[fin].max()), 6)
                                    if fin.any() else 0.0)
+
+
+def test_least_cost_path_invariants_and_scalar_parity(ray_session):
+    """Path invariants on the multi-tile fixture — strictly decreasing
+    dist, 8-connected steps, starts at the global remote cell, ends at a
+    source (dist 0) — and bit-parity with the identical walk on the
+    in-test Dijkstra field."""
+    from hydro_raster_ray.sources import from_arrow_tiles
+    from hydro_raster_ray.stages.costdist import least_cost_path
+
+    scheme = fixtures.make_scheme(3, 3)
+    ts = from_arrow_tiles(fixtures.tiles_table(scheme), scheme)
+    g = scheme.grid
+    full = fixtures.assemble_truth(scheme)
+    zmin = float(np.nanmin(full))
+    cost = full - zmin + 1.0
+    cost[~np.isfinite(full)] = np.inf
+    cells = [(5, 7), (100, 150)]
+    xy = [
+        (g.xllcorner + (c + 0.5) * g.cellsize,
+         g.yllcorner + (g.nrows - r - 0.5) * g.cellsize)
+        for r, c in cells
+    ]
+    got = least_cost_path(ts, xy).to_pandas().sort_values("step")
+    assert len(got) > 2
+    d = got["dist"].to_numpy()
+    assert (np.diff(d) < 0).all()
+    assert d[-1] == 0.0
+    steps_r = np.abs(np.diff(got["gr"].to_numpy()))
+    steps_c = np.abs(np.diff(got["gc"].to_numpy()))
+    assert (np.maximum(steps_r, steps_c) == 1).all()
+    # start == global row-major first-max of the Dijkstra field
+    dist = _dijkstra(cost, cells)
+    dm = np.where(np.isfinite(dist), dist, -np.inf)
+    r0, c0 = divmod(int(np.argmax(dm)), cost.shape[1])
+    assert (got["gr"].iloc[0], got["gc"].iloc[0]) == (r0, c0)
+    assert got["dist"].iloc[0] == round(float(dist[r0, c0]), 6)
+    assert (int(got["gr"].iloc[-1]), int(got["gc"].iloc[-1])) in cells
