@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_gap_quantiles"] = relational.events_gap_quantiles
     q["doc_domain_mix"] = relational.domain_mix_weights
     q["events_mad_outliers"] = relational.events_mad_outliers
+    q["customer_revenue_gini"] = relational.customer_revenue_gini
     q["customer_order_distribution"] = relational.customer_order_distribution
     q["top_supplier_revenue"] = relational.top_supplier_revenue
     q["small_quantity_revenue"] = relational.small_quantity_revenue
@@ -968,6 +969,19 @@ SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) n_hit,
        CAST(count(i.vec_id) * 1000000 // 10 AS BIGINT) recall_ppm
 FROM brute b LEFT JOIN ivf i USING (qid, vec_id)
 GROUP BY b.qid
+""",
+        # exact integer Gini over ranked customer revenue (1-based rank
+        # ORDER BY cents, custkey — the _global_ranks contract)
+        "customer_revenue_gini": """
+WITH c AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) cents
+           FROM orders GROUP BY o_custkey),
+ rk AS (SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) i FROM c),
+ agg AS (SELECT count(*) n, sum(cents) s, sum(i * cents) si FROM rk)
+SELECT CAST(n AS BIGINT) n_customers, CAST(s AS BIGINT) total_cents,
+       CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) gini_ppm
+FROM agg
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

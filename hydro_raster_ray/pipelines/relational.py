@@ -56,6 +56,7 @@ __all__ = [
     "events_gap_quantiles",
     "domain_mix_weights",
     "events_mad_outliers",
+    "customer_revenue_gini",
 ]
 
 
@@ -3377,3 +3378,60 @@ def events_mad_outliers(
         )
 
     return ev.groupby("user_id").map_groups(mad, batch_format="pandas")
+
+
+def customer_revenue_gini(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue-concentration Gini coefficient over customers — the
+    inequality metric every curation/marketplace dashboard carries.
+    Exact integer end to end: per-ORDER cents quantization (the zscore
+    contract) → per-customer int sums → the ``_global_ranks`` exact
+    distributed ranking (rank by (cents, custkey)) → the closed-form
+        gini_ppm = (2·Σ i·xᵢ − (n+1)·Σx) · 1e6 // (n·Σx)
+    with 1-based ranks i over ascending x. The Σ i·x partials are int64
+    (exact while n·max_cents < 2^63 — past that the driver combine
+    switches to Python ints for free since the aggregate is 3 scalars).
+    Columns: n_customers, total_cents, gini_ppm."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        g = pd.DataFrame(
+            {"o_custkey": df["o_custkey"].to_numpy(np.int64),
+             "cents": np.round(
+                 df["o_totalprice"].to_numpy() * 100).astype(np.int64)}
+        ).groupby("o_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        ds.map_batches(cents, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(_Sum("cents", alias_name="cents"))
+    )
+    ranked = _global_ranks(per_cust, "cents", tie_col="o_custkey")
+
+    def partials(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        x = df["cents"].to_numpy(np.int64)
+        i = df["rank_cents"].to_numpy(np.int64) + 1  # 1-based
+        return pa.table(
+            {"n": pa.array([np.int64(len(x))]),
+             "s": pa.array([np.int64(x.sum())]),
+             "si": pa.array([np.int64((i * x).sum())])}
+        )
+
+    agg = ranked.map_batches(partials, batch_format="pandas").aggregate(
+        _Sum("n", alias_name="n"), _Sum("s", alias_name="s"),
+        _Sum("si", alias_name="si"))
+    n, s, si = int(agg["n"]), int(agg["s"]), int(agg["si"])
+    gini_ppm = (2 * si - (n + 1) * s) * 1_000_000 // (n * s)
+    return ray.data.from_pandas(pd.DataFrame(
+        {"n_customers": [np.int64(n)],
+         "total_cents": [np.int64(s)],
+         "gini_ppm": [np.int64(gini_ppm)]}
+    ))

@@ -594,3 +594,32 @@ def test_domain_mix_pencil(tmp_path, ray_session):
         "source").reset_index(drop=True)
     assert got["weight_ppm"].tolist() == [750000, 250000]
     assert got["doc_ppm"].tolist() == [500000, 500000]
+
+
+def test_gini_pencil_cases(tmp_path, ray_session):
+    """Closed-form anchors: equal revenues → gini 0; with revenues
+    [1, 0, 0, 0] concentrated in one of four customers the finite-sample
+    Gini is (2·(1·0+2·0+3·0+4·1) − 5·1)/(4·1) = 3/4 → 750000 ppm."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import customer_revenue_gini
+
+    def write(revs):
+        pq.write_table(
+            pa.table({
+                "o_orderkey": pa.array(range(len(revs)), pa.int64()),
+                "o_custkey": pa.array(range(len(revs)), pa.int64()),
+                "o_totalprice": pa.array(revs, pa.float64()),
+            }),
+            os.path.join(tmp_path, "orders.parquet"),
+        )
+        return str(tmp_path)
+
+    got = customer_revenue_gini(write([5.0, 5.0, 5.0, 5.0])).to_pandas()
+    assert got["gini_ppm"].tolist() == [0]
+    got = customer_revenue_gini(write([0.01, 0.0, 0.0, 0.0])).to_pandas()
+    assert got["gini_ppm"].tolist() == [750000]
+    assert got["total_cents"].tolist() == [1]
