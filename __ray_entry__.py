@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_domain_mix"] = relational.domain_mix_weights
     q["events_mad_outliers"] = relational.events_mad_outliers
     q["customer_revenue_gini"] = relational.customer_revenue_gini
+    q["events_markov"] = relational.events_markov_transitions
+    q["monthly_revenue_share"] = relational.monthly_revenue_share
     q["customer_order_distribution"] = relational.customer_order_distribution
     q["top_supplier_revenue"] = relational.top_supplier_revenue
     q["small_quantity_revenue"] = relational.small_quantity_revenue
@@ -982,6 +984,32 @@ WITH c AS (SELECT o_custkey,
 SELECT CAST(n AS BIGINT) n_customers, CAST(s AS BIGINT) total_cents,
        CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) gini_ppm
 FROM agg
+""",
+        "events_markov": """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER
+                      (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) nxt
+           FROM events),
+ c AS (SELECT event_type from_type, nxt to_type,
+              CAST(count(*) AS BIGINT) n
+       FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ t AS (SELECT from_type, sum(n) tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) p_ppm
+FROM c JOIN t USING (from_type)
+""",
+        "monthly_revenue_share": """
+WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) "month",
+                  CAST(round(o_totalprice * 100) AS BIGINT) cents
+           FROM orders),
+ g AS (SELECT "month", CAST(count(*) AS BIGINT) n_orders,
+              CAST(sum(cents) AS BIGINT) cents
+       FROM m GROUP BY "month"),
+ t AS (SELECT sum(cents) tot FROM g)
+SELECT "month", n_orders, cents,
+       CAST(cents * 1000000 // tot AS BIGINT) share_ppm
+FROM g, t
 """,
         "doc_rarity": """
 WITH toks AS (SELECT DISTINCT doc_id, tok

@@ -57,6 +57,8 @@ __all__ = [
     "domain_mix_weights",
     "events_mad_outliers",
     "customer_revenue_gini",
+    "events_markov_transitions",
+    "monthly_revenue_share",
 ]
 
 
@@ -3435,3 +3437,97 @@ def customer_revenue_gini(sf_dir: str) -> "ray.data.Dataset":
          "total_cents": [np.int64(s)],
          "gini_ppm": [np.int64(gini_ppm)]}
     ))
+
+
+def events_markov_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """First-order Markov transition matrix over event types — per user,
+    consecutive event pairs under the (ts, event_id) total order (the
+    ``events_path_trigrams`` contract), reduced to per-(from, to) counts
+    and fixed-point conditional probabilities ``p_ppm = n·1e6 //
+    from_total``.
+
+    Shape: ``groupby(user_id).map_groups`` emits per-user pair partials
+    (each group pre-collapses its own pairs), one (from, to) groupby
+    (|types|²-sized), and the normalization runs in a single
+    result-sized block. Columns: from_type, to_type, n, p_ppm."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def pairs(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df["event_id"].to_numpy(np.int64), us))
+        et = df["event_type"].to_numpy(dtype=object)[order]
+        if et.size < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]}) \
+            .groupby(["from_type", "to_type"], as_index=False).size()
+        return pa.table({"from_type": pa.array(g["from_type"], pa.string()),
+                         "to_type": pa.array(g["to_type"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    counts = (
+        ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("from_type")["n"].transform("sum").to_numpy(np.int64)
+        out = df.copy()
+        out["n"] = df["n"].astype(np.int64)
+        out["p_ppm"] = df["n"].to_numpy(np.int64) * 1_000_000 // tot
+        return out
+
+    # |types|² rows: one block so from-totals are global
+    return counts.repartition(1).map_batches(
+        normalize, batch_format="pandas", batch_size=None)
+
+
+def monthly_revenue_share(sf_dir: str) -> "ray.data.Dataset":
+    """Order-revenue seasonality: per calendar month (1-12, across all
+    years), exact cents totals and fixed-point share of the whole corpus
+    — the mixture-weights shape on the time axis. One month groupby, the
+    normalization in a single 12-row block. Columns: month, n_orders,
+    cents, share_ppm."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        m = pd.to_datetime(df["o_orderdate"]).dt.month.to_numpy(np.int64)
+        c = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"month": m, "cents": c, "n_orders": 1}) \
+            .groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("month")
+        .aggregate(_Sum("n_orders", alias_name="n_orders"),
+                   _Sum("cents", alias_name="cents"))
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["cents"].sum())
+        out = df.copy()
+        out["month"] = df["month"].astype(np.int64)
+        out["n_orders"] = df["n_orders"].astype(np.int64)
+        out["cents"] = df["cents"].astype(np.int64)
+        out["share_ppm"] = df["cents"].to_numpy(np.int64) * 1_000_000 // tot
+        return out
+
+    return agg.repartition(1).map_batches(
+        share, batch_format="pandas", batch_size=None)

@@ -623,3 +623,35 @@ def test_gini_pencil_cases(tmp_path, ray_session):
     got = customer_revenue_gini(write([0.01, 0.0, 0.0, 0.0])).to_pandas()
     assert got["gini_ppm"].tolist() == [750000]
     assert got["total_cents"].tolist() == [1]
+
+
+def test_markov_pencil(tmp_path, ray_session):
+    """One user, sequence a→b→a→c: pairs {(a,b):1,(b,a):1,(a,c):1};
+    from 'a' the conditional split is 500000/500000 ppm."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydro_raster_ray.pipelines.relational import (
+        events_markov_transitions,
+    )
+
+    ts = pd.to_datetime(["2024-01-01 00:00:0%d" % i for i in range(4)])
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "c"], pa.string()),
+            "value": pa.array([0.0] * 4, pa.float64()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = events_markov_transitions(str(tmp_path)).to_pandas()
+    by = {(r.from_type, r.to_type): (int(r.n), int(r.p_ppm))
+          for r in got.itertuples()}
+    assert by[("a", "b")] == (1, 500000)
+    assert by[("a", "c")] == (1, 500000)
+    assert by[("b", "a")] == (1, 1000000)
+    assert len(by) == 3
